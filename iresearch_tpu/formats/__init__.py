@@ -1,0 +1,20 @@
+"""Index codecs (reference: core/formats/)."""
+
+from iresearch_tpu.formats.spec import (
+    BLOCK,
+    CLASS_DTYPES,
+    NUM_CLASSES,
+    TermCols,
+    IndexFeatures,
+)
+from iresearch_tpu.formats.postings import FieldPostings, encode_field_postings
+
+__all__ = [
+    "BLOCK",
+    "CLASS_DTYPES",
+    "NUM_CLASSES",
+    "TermCols",
+    "IndexFeatures",
+    "FieldPostings",
+    "encode_field_postings",
+]

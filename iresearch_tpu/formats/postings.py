@@ -1,0 +1,236 @@
+"""Host-side postings encoder/decoder for the width-class block format.
+
+Reference behavior being matched (not mimicked structurally):
+core/formats/formats_10.cpp:320-1030 — postings_writer emits 128-doc
+delta blocks with per-block bitwidths, positions, and skip metadata;
+core/formats/formats_10.cpp:2020-2425 — postings_reader decodes blocks and
+prefix-sums deltas.
+
+Here the whole field is encoded in one vectorized numpy pass into three
+width-class pools (see formats/spec.py). Row 0 of every pool is a sentinel
+block (base=0, deltas=0, freqs=0): gather padding can point at row 0 and
+contributes exactly zero score/zero matches, so jitted query shapes can be
+bucket-padded without masks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from iresearch_tpu.formats.spec import (
+    BLOCK,
+    CLASS_DTYPES,
+    NUM_CLASSES,
+    NUM_TERM_COLS,
+    IndexFeatures,
+    TermCols,
+)
+
+
+@dataclass
+class FieldPostings:
+    """One field's complete inverted data for a segment (host numpy form)."""
+
+    # term dictionary: sorted terms as a byte blob + offsets
+    term_blob: bytes
+    term_offsets: np.ndarray  # u64 [T+1]
+    entries: np.ndarray  # u32 [T, NUM_TERM_COLS]
+    # per-class block pools; row 0 of each is the zero sentinel block
+    base: Tuple[np.ndarray, ...]  # u32 [rows_c]
+    bmax: Tuple[np.ndarray, ...]  # u32 [rows_c] last doc id of block
+    bmaxf: Tuple[np.ndarray, ...]  # u32 [rows_c] max freq in block
+    deltas: Tuple[np.ndarray, ...]  # class dtype [rows_c, BLOCK]
+    freqs: Tuple[np.ndarray, ...]  # class dtype [rows_c, BLOCK]
+    norms: np.ndarray  # u32 [num_docs] token count per doc (0 = no field)
+    pos_flat: Optional[np.ndarray]  # u32 [sum ttf] positions per (term,doc)
+    docs_with_field: int
+    total_term_freq: int
+    features: IndexFeatures
+
+    @property
+    def num_terms(self) -> int:
+        return len(self.term_offsets) - 1
+
+    def term_bytes(self, tid: int) -> bytes:
+        return self.term_blob[self.term_offsets[tid] : self.term_offsets[tid + 1]]
+
+    def terms(self) -> List[bytes]:
+        off = self.term_offsets
+        return [bytes(self.term_blob[off[i] : off[i + 1]]) for i in range(self.num_terms)]
+
+
+def encode_field_postings(
+    e_doc: np.ndarray,
+    e_freq: np.ndarray,
+    term_ptr: np.ndarray,
+    term_blob: bytes,
+    term_offsets: np.ndarray,
+    norms: np.ndarray,
+    pos_flat: Optional[np.ndarray] = None,
+    features: IndexFeatures = IndexFeatures.FREQ | IndexFeatures.POS,
+) -> FieldPostings:
+    """Encode one field's (term, doc, freq) entries into block pools.
+
+    Args:
+      e_doc/e_freq: per-entry doc id and frequency, sorted by (term, doc).
+      term_ptr: u64 [T+1], entries of term ``t`` are ``[term_ptr[t], term_ptr[t+1])``.
+      term_blob/term_offsets: the sorted term dictionary bytes.
+      norms: u32 [num_docs] per-doc token counts for this field.
+      pos_flat: flat positions grouped in entry order (len per entry == freq).
+    """
+    e_doc = np.asarray(e_doc, dtype=np.uint32)
+    e_freq = np.asarray(e_freq, dtype=np.uint32)
+    term_ptr = np.asarray(term_ptr, dtype=np.int64)
+    T = len(term_ptr) - 1
+    E = len(e_doc)
+    assert len(e_freq) == E
+    assert term_ptr[0] == 0 and term_ptr[-1] == E
+
+    entries = np.zeros((T, NUM_TERM_COLS), dtype=np.uint32)
+    pools_deltas = []
+    pools_freqs = []
+    pools_base = []
+    pools_bmax = []
+    pools_bmaxf = []
+
+    if T == 0 or E == 0:
+        for c in range(NUM_CLASSES):
+            pools_deltas.append(np.zeros((1, BLOCK), dtype=CLASS_DTYPES[c]))
+            pools_freqs.append(np.zeros((1, BLOCK), dtype=CLASS_DTYPES[c]))
+            pools_base.append(np.zeros(1, dtype=np.uint32))
+            pools_bmax.append(np.zeros(1, dtype=np.uint32))
+            pools_bmaxf.append(np.zeros(1, dtype=np.uint32))
+        return FieldPostings(
+            term_blob=term_blob,
+            term_offsets=np.asarray(term_offsets, dtype=np.uint64),
+            entries=entries,
+            base=tuple(pools_base),
+            bmax=tuple(pools_bmax),
+            bmaxf=tuple(pools_bmaxf),
+            deltas=tuple(pools_deltas),
+            freqs=tuple(pools_freqs),
+            norms=np.asarray(norms, dtype=np.uint32),
+            pos_flat=pos_flat if pos_flat is None else np.asarray(pos_flat, np.uint32),
+            docs_with_field=int(np.count_nonzero(norms)),
+            total_term_freq=0,
+            features=features,
+        )
+
+    df = np.diff(term_ptr)  # [T]
+    assert (df > 0).all(), "terms with zero postings are not allowed"
+    tid_of_entry = np.repeat(np.arange(T, dtype=np.int64), df)
+    rank = np.arange(E, dtype=np.int64) - term_ptr[tid_of_entry]
+    blk_in_term = rank >> 7
+    lane = (rank & (BLOCK - 1)).astype(np.int64)
+
+    prev_doc = np.empty_like(e_doc)
+    prev_doc[0] = 0
+    prev_doc[1:] = e_doc[:-1]
+    # lane 0 is a block start: its doc goes to ``base`` and its delta is 0.
+    delta = np.where(lane == 0, 0, e_doc - prev_doc).astype(np.uint32)
+
+    starts = term_ptr[:-1]
+    max_delta = np.maximum.reduceat(delta, starts)
+    max_freq = np.maximum.reduceat(e_freq, starts)
+    norms_arr = np.asarray(norms, dtype=np.uint32)
+    min_norm = np.minimum.reduceat(norms_arr[e_doc], starts)
+    ttf = np.add.reduceat(e_freq.astype(np.uint64), starts)
+
+    need = np.maximum(max_delta, max_freq)
+    cls = np.digitize(need, (1 << 8, 1 << 16)).astype(np.uint32)
+    nblocks = ((df + BLOCK - 1) // BLOCK).astype(np.int64)
+
+    # row allocation per class (row 0 reserved for the sentinel block)
+    bstart = np.zeros(T, dtype=np.int64)
+    class_rows = []
+    for c in range(NUM_CLASSES):
+        in_c = cls == c
+        nb_c = nblocks[in_c]
+        starts_c = np.cumsum(nb_c) - nb_c + 1  # +1 for sentinel row
+        bstart[in_c] = starts_c
+        class_rows.append(int(nb_c.sum()) + 1)
+
+    row_of_entry = bstart[tid_of_entry] + blk_in_term
+    cls_of_entry = cls[tid_of_entry]
+
+    for c in range(NUM_CLASSES):
+        rows_c = class_rows[c]
+        dt = CLASS_DTYPES[c]
+        pd = np.zeros((rows_c, BLOCK), dtype=dt)
+        pf = np.zeros((rows_c, BLOCK), dtype=dt)
+        pb = np.zeros(rows_c, dtype=np.uint32)
+        sel = cls_of_entry == c
+        r = row_of_entry[sel]
+        ln = lane[sel]
+        pd[r, ln] = delta[sel].astype(dt)
+        pf[r, ln] = e_freq[sel].astype(dt)
+        is_base = ln == 0
+        pb[r[is_base]] = e_doc[sel][is_base]
+        pbm = np.zeros(rows_c, dtype=np.uint32)
+        np.maximum.at(pbm, r, e_doc[sel])
+        pbmf = np.zeros(rows_c, dtype=np.uint32)
+        np.maximum.at(pbmf, r, e_freq[sel])
+        pools_deltas.append(pd)
+        pools_freqs.append(pf)
+        pools_base.append(pb)
+        pools_bmax.append(pbm)
+        pools_bmaxf.append(pbmf)
+
+    pos_base = np.zeros(T, dtype=np.uint64)
+    if pos_flat is not None:
+        pos_base[1:] = np.cumsum(ttf)[:-1]
+        assert int(ttf.sum()) == len(pos_flat), "positions must cover every freq"
+
+    entries[:, TermCols.DF] = df.astype(np.uint32)
+    entries[:, TermCols.TTF] = ttf.astype(np.uint32)
+    entries[:, TermCols.CLS] = cls
+    entries[:, TermCols.BSTART] = bstart.astype(np.uint32)
+    entries[:, TermCols.NBLOCKS] = nblocks.astype(np.uint32)
+    entries[:, TermCols.POS_BASE] = pos_base.astype(np.uint32)
+    entries[:, TermCols.MAX_FREQ] = max_freq
+    entries[:, TermCols.MIN_NORM] = min_norm
+
+    return FieldPostings(
+        term_blob=term_blob,
+        term_offsets=np.asarray(term_offsets, dtype=np.uint64),
+        entries=entries,
+        base=tuple(pools_base),
+        bmax=tuple(pools_bmax),
+        bmaxf=tuple(pools_bmaxf),
+        deltas=tuple(pools_deltas),
+        freqs=tuple(pools_freqs),
+        norms=norms_arr,
+        pos_flat=None if pos_flat is None else np.asarray(pos_flat, np.uint32),
+        docs_with_field=int(np.count_nonzero(norms_arr)),
+        total_term_freq=int(ttf.sum()),
+        features=features,
+    )
+
+
+def decode_term(fp: FieldPostings, tid: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference decoder (host oracle): absolute doc ids + freqs of one term."""
+    e = fp.entries[tid]
+    c = int(e[TermCols.CLS])
+    b0 = int(e[TermCols.BSTART])
+    nb = int(e[TermCols.NBLOCKS])
+    df = int(e[TermCols.DF])
+    d = fp.deltas[c][b0 : b0 + nb].astype(np.uint64)
+    docs = fp.base[c][b0 : b0 + nb].astype(np.uint64)[:, None] + np.cumsum(d, axis=1)
+    freqs = fp.freqs[c][b0 : b0 + nb].astype(np.uint32)
+    return docs.reshape(-1)[:df].astype(np.uint32), freqs.reshape(-1)[:df]
+
+
+def decode_positions(fp: FieldPostings, tid: int) -> List[np.ndarray]:
+    """Positions per posting entry of one term (host oracle)."""
+    assert fp.pos_flat is not None
+    e = fp.entries[tid]
+    _, freqs = decode_term(fp, tid)
+    out = []
+    off = int(e[TermCols.POS_BASE])
+    for f in freqs:
+        out.append(fp.pos_flat[off : off + int(f)])
+        off += int(f)
+    return out

@@ -1,0 +1,20 @@
+"""Storage layer (reference: core/store/)."""
+
+from iresearch_tpu.store.directory import (
+    Directory,
+    FSDirectory,
+    MemoryDirectory,
+    IndexLock,
+    LockObtainError,
+)
+from iresearch_tpu.store.blobpack import BlobPackWriter, BlobPackReader
+
+__all__ = [
+    "Directory",
+    "FSDirectory",
+    "MemoryDirectory",
+    "IndexLock",
+    "LockObtainError",
+    "BlobPackWriter",
+    "BlobPackReader",
+]
