@@ -1,0 +1,96 @@
+"""Segment serialization: SegmentData <-> one blobpack file.
+
+Reference analog: the per-segment file family (.doc/.pos/.tm/.ti/.cs/.sm,
+formats_10.cpp:325-333) collapses into a single checksummed pack whose
+arrays are 64-byte aligned for direct device upload.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from iresearch_tpu.formats.columnstore import Column
+from iresearch_tpu.formats.postings import FieldPostings
+from iresearch_tpu.formats.spec import NUM_CLASSES, IndexFeatures
+from iresearch_tpu.store.blobpack import BlobPackReader, BlobPackWriter
+
+
+def write_segment(seg: "SegmentData") -> bytes:  # noqa: F821
+    from iresearch_tpu.index.segment import SegmentData
+
+    assert isinstance(seg, SegmentData)
+    meta = {
+        "format": "iresearch_tpu/1",
+        "num_docs": seg.num_docs,
+        "fields": {},
+        "columns": {},
+    }
+    w = BlobPackWriter()
+    for fname, fp in seg.fields.items():
+        key = f"f.{fname}"
+        meta["fields"][fname] = {
+            "docs_with_field": fp.docs_with_field,
+            "total_term_freq": fp.total_term_freq,
+            "features": int(fp.features),
+            "has_positions": fp.pos_flat is not None,
+        }
+        w.add(f"{key}.term_blob", np.frombuffer(fp.term_blob, np.uint8))
+        w.add(f"{key}.term_offsets", fp.term_offsets)
+        w.add(f"{key}.entries", fp.entries)
+        w.add(f"{key}.norms", fp.norms)
+        if fp.pos_flat is not None:
+            w.add(f"{key}.pos", fp.pos_flat)
+        for c in range(NUM_CLASSES):
+            w.add(f"{key}.deltas{c}", fp.deltas[c])
+            w.add(f"{key}.freqs{c}", fp.freqs[c])
+            w.add(f"{key}.base{c}", fp.base[c])
+            w.add(f"{key}.bmax{c}", fp.bmax[c])
+            w.add(f"{key}.bmaxf{c}", fp.bmaxf[c])
+    for cname, col in seg.columns.items():
+        key = f"c.{cname}"
+        meta["columns"][cname] = {"kind": col.kind}
+        if col.docs is not None:
+            w.add(f"{key}.docs", col.docs)
+        if col.offsets is not None:
+            w.add(f"{key}.offsets", col.offsets)
+        w.add(f"{key}.blob", np.frombuffer(col.blob, np.uint8))
+    w.set_meta("segment", meta)
+    return w.tobytes()
+
+
+def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
+    from iresearch_tpu.index.segment import SegmentData
+
+    r = BlobPackReader(data)
+    meta = r.meta["segment"]
+    fields: Dict[str, FieldPostings] = {}
+    for fname, fm in meta["fields"].items():
+        key = f"f.{fname}"
+        fields[fname] = FieldPostings(
+            term_blob=r.array(f"{key}.term_blob").tobytes(),
+            term_offsets=r.array(f"{key}.term_offsets"),
+            entries=r.array(f"{key}.entries"),
+            base=tuple(r.array(f"{key}.base{c}") for c in range(NUM_CLASSES)),
+            bmax=tuple(r.array(f"{key}.bmax{c}") for c in range(NUM_CLASSES)),
+            bmaxf=tuple(r.array(f"{key}.bmaxf{c}") for c in range(NUM_CLASSES)),
+            deltas=tuple(r.array(f"{key}.deltas{c}") for c in range(NUM_CLASSES)),
+            freqs=tuple(r.array(f"{key}.freqs{c}") for c in range(NUM_CLASSES)),
+            norms=r.array(f"{key}.norms"),
+            pos_flat=r.array(f"{key}.pos") if f"{key}.pos" in r else None,
+            docs_with_field=fm["docs_with_field"],
+            total_term_freq=fm["total_term_freq"],
+            features=IndexFeatures(fm["features"]),
+        )
+    columns: Dict[str, Column] = {}
+    for cname, cm in meta["columns"].items():
+        key = f"c.{cname}"
+        columns[cname] = Column(
+            kind=cm["kind"],
+            docs=r.array(f"{key}.docs") if f"{key}.docs" in r else None,
+            offsets=r.array(f"{key}.offsets") if f"{key}.offsets" in r else None,
+            blob=r.array(f"{key}.blob").tobytes(),
+            num_docs=meta["num_docs"],
+        )
+    return SegmentData(num_docs=meta["num_docs"], fields=fields, columns=columns)

@@ -1,0 +1,87 @@
+"""Consolidation candidate policies.
+
+Reference: core/utils/index_utils.hpp:32-84 — ConsolidateCount /
+ConsolidateDocsLive / ConsolidateDocsFill / ConsolidateTier (Lucene-tiered
+scoring). Policies receive a DirectoryReader and return the indices of the
+segments to merge.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import numpy as np
+
+Policy = Callable[["DirectoryReader"], List[int]]  # noqa: F821
+
+
+def consolidate_count(threshold: int = 1):
+    """Merge everything whenever the segment count exceeds ``threshold``."""
+
+    def policy(reader) -> List[int]:
+        if len(reader.segments) > threshold:
+            return list(range(len(reader.segments)))
+        return []
+
+    return policy
+
+
+def consolidate_docs_live(deleted_fraction: float = 0.1):
+    """Merge segments whose deleted-doc fraction exceeds the threshold."""
+
+    def policy(reader) -> List[int]:
+        out = []
+        for i, sr in enumerate(reader.segments):
+            if sr.num_docs == 0:
+                out.append(i)
+                continue
+            frac = 1.0 - sr.live_docs_count / sr.num_docs
+            if frac > deleted_fraction:
+                out.append(i)
+        return out if len(out) > 1 else []
+
+    return policy
+
+
+def consolidate_docs_fill(fill_threshold: float = 0.85):
+    """Merge segments whose live fill factor is below the threshold."""
+
+    def policy(reader) -> List[int]:
+        out = [
+            i
+            for i, sr in enumerate(reader.segments)
+            if sr.num_docs and sr.live_docs_count / sr.num_docs < fill_threshold
+        ]
+        return out if len(out) > 1 else []
+
+    return policy
+
+
+def consolidate_tier(
+    reader=None,
+    *,
+    min_segments: int = 2,
+    max_segments: int = 10,
+    floor_segment_docs: int = 1 << 14,
+):
+    """Tiered policy: merge the run of smallest segments.
+
+    Segments below ``floor_segment_docs`` are treated as equal-sized (the
+    Lucene/reference "floor" that sweeps up tiny flush segments). Picks up
+    to ``max_segments`` of the smallest candidates when at least
+    ``min_segments`` exist. Callable directly as a policy too.
+    """
+
+    def policy(r) -> List[int]:
+        sizes = [
+            (max(sr.live_docs_count, 1), i) for i, sr in enumerate(r.segments)
+        ]
+        if len(sizes) < min_segments:
+            return []
+        sizes.sort()
+        chosen = [i for _, i in sizes[:max_segments]]
+        return chosen if len(chosen) >= min_segments else []
+
+    if reader is not None:  # used directly as a policy
+        return policy(reader)
+    return policy

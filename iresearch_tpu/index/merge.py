@@ -1,0 +1,219 @@
+"""Segment merging for consolidation.
+
+Reference: core/index/merge_writer.{hpp,cpp} — k-way merge of segment
+readers remapping doc ids (dropping masked docs), union of term postings,
+column remap. Here the merge is vectorized: decode every entry of each
+segment at once, remap docs/terms with numpy, stable-sort by merged term id
+(doc order is preserved because segment doc ranges are disjoint and
+ascending), and re-encode through the standard block-pool encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from iresearch_tpu.formats.columnstore import ColumnBuilder
+from iresearch_tpu.formats.postings import FieldPostings, encode_field_postings
+from iresearch_tpu.formats.spec import BLOCK, TermCols
+from iresearch_tpu.index.segment import SegmentData, SegmentReader
+
+
+def _decode_all_entries(fp: FieldPostings):
+    """Decode every posting entry of a field in one vectorized pass.
+
+    Returns (tid_of_entry, e_doc, e_freq, pos_offsets) in entry order —
+    entry order is (term asc, doc asc) by construction.
+    """
+    T = fp.num_terms
+    if T == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.astype(np.uint32), z.astype(np.uint32), z
+    df = fp.entries[:, TermCols.DF].astype(np.int64)
+    tid_of_entry = np.repeat(np.arange(T, dtype=np.int64), df)
+    E = int(df.sum())
+    e_doc = np.empty(E, np.uint32)
+    e_freq = np.empty(E, np.uint32)
+    # per-class vectorized block decode
+    ptr = np.zeros(T + 1, np.int64)
+    np.cumsum(df, out=ptr[1:])
+    for c in range(3):
+        sel = np.flatnonzero(fp.entries[:, TermCols.CLS] == c)
+        if len(sel) == 0:
+            continue
+        nb = fp.entries[sel, TermCols.NBLOCKS].astype(np.int64)
+        b0 = fp.entries[sel, TermCols.BSTART].astype(np.int64)
+        # rows of all blocks of all selected terms
+        rows = np.repeat(b0, nb) + (
+            np.arange(int(nb.sum())) - np.repeat(np.cumsum(nb) - nb, nb)
+        )
+        deltas = fp.deltas[c][rows].astype(np.uint64)
+        docs = fp.base[c][rows].astype(np.uint64)[:, None] + np.cumsum(deltas, axis=1)
+        freqs = fp.freqs[c][rows].astype(np.uint32)
+        # write back the valid prefix of each term's flattened blocks
+        term_df = df[sel]
+        flat_docs = docs.reshape(-1)
+        flat_freqs = freqs.reshape(-1)
+        # index of each valid entry within the flattened per-term blocks
+        blk_base = np.repeat(
+            (np.cumsum(nb) - nb) * BLOCK, term_df
+        )  # start of term's flat span
+        within = np.arange(int(term_df.sum())) - np.repeat(
+            np.cumsum(term_df) - term_df, term_df
+        )
+        src = blk_base + within
+        dst = np.repeat(ptr[sel], term_df) + within
+        e_doc[dst] = flat_docs[src].astype(np.uint32)
+        e_freq[dst] = flat_freqs[src]
+    pos_off = np.zeros(E, np.int64)
+    if E:
+        np.cumsum(e_freq[:-1], out=pos_off[1:])
+    return tid_of_entry, e_doc, e_freq, pos_off
+
+
+def merge_segments(readers: List[SegmentReader]) -> SegmentData:
+    """Merge segments into one, dropping masked docs and remapping ids."""
+    # doc id remap: alive docs numbered sequentially across segments
+    doc_maps = []
+    new_num_docs = 0
+    for sr in readers:
+        alive = sr.alive
+        m = np.full(sr.num_docs, -1, np.int64)
+        idx = np.flatnonzero(alive)
+        m[idx] = new_num_docs + np.arange(len(idx))
+        new_num_docs += len(idx)
+        doc_maps.append(m)
+
+    field_names = sorted({n for sr in readers for n in sr.data.fields})
+    out_fields: Dict[str, FieldPostings] = {}
+    for fname in field_names:
+        merged = _merge_field(readers, doc_maps, fname, new_num_docs)
+        if merged is not None:
+            out_fields[fname] = merged
+
+    # columns
+    col_names = sorted({n for sr in readers for n in sr.data.columns})
+    out_columns = {}
+    for cname in col_names:
+        cb = ColumnBuilder(cname)
+        any_value = False
+        pairs = []
+        for sr, dmap in zip(readers, doc_maps):
+            col = sr.data.columns.get(cname)
+            if col is None:
+                continue
+            for doc, value in col.items():
+                nd = dmap[doc]
+                if nd >= 0:
+                    pairs.append((int(nd), value))
+                    any_value = any_value or bool(value)
+        pairs.sort(key=lambda p: p[0])
+        for nd, value in pairs:
+            cb.add(nd, value)
+        out_columns[cname] = cb.build(new_num_docs)
+
+    return SegmentData(new_num_docs, out_fields, out_columns)
+
+
+def _merge_field(
+    readers: List[SegmentReader],
+    doc_maps: List[np.ndarray],
+    fname: str,
+    new_num_docs: int,
+) -> Optional[FieldPostings]:
+    # merged sorted term dictionary
+    term_lists = []
+    for sr in readers:
+        fp = sr.data.fields.get(fname)
+        term_lists.append(sr.terms(fname) if fp is not None else [])
+    merged_terms = sorted(set().union(*term_lists)) if term_lists else []
+    index = {t: i for i, t in enumerate(merged_terms)}
+
+    all_tid = []
+    all_doc = []
+    all_freq = []
+    all_pos = []
+    new_norms = np.zeros(new_num_docs, np.uint32)
+    features = None
+    for sr, dmap, terms in zip(readers, doc_maps, term_lists):
+        fp = sr.data.fields.get(fname)
+        if fp is None:
+            continue
+        features = fp.features if features is None else features
+        keep_norm = dmap >= 0
+        new_norms[dmap[keep_norm]] = fp.norms[keep_norm]
+        tid_of_entry, e_doc, e_freq, pos_off = _decode_all_entries(fp)
+        remap = np.fromiter((index[t] for t in terms), np.int64, count=len(terms))
+        new_doc = dmap[e_doc]
+        keep = new_doc >= 0
+        all_tid.append(remap[tid_of_entry[keep]])
+        all_doc.append(new_doc[keep].astype(np.uint32))
+        kept_freq = e_freq[keep]
+        all_freq.append(kept_freq)
+        if fp.pos_flat is not None:
+            starts = pos_off[keep]
+            lens = kept_freq.astype(np.int64)
+            total = int(lens.sum())
+            if total:
+                within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+                all_pos.append(fp.pos_flat[np.repeat(starts, lens) + within])
+            else:
+                all_pos.append(np.zeros(0, np.uint32))
+
+    if not all_tid:
+        return None
+    tid = np.concatenate(all_tid)
+    doc = np.concatenate(all_doc)
+    freq = np.concatenate(all_freq)
+    # entries are (doc-ascending within tid per segment, disjoint ascending
+    # segment ranges) -> stable sort by tid restores (tid, doc) order
+    order = np.argsort(tid, kind="stable")
+    tid_s = tid[order]
+    e_doc = doc[order]
+    e_freq = freq[order]
+    term_ptr = np.zeros(len(merged_terms) + 1, np.int64)
+    np.add.at(term_ptr, tid_s + 1, 1)
+    np.cumsum(term_ptr, out=term_ptr)
+
+    pos_flat = None
+    if all_pos:
+        pos_cat = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
+        lens = freq.astype(np.int64)
+        starts = np.zeros(len(lens), np.int64)
+        if len(lens):
+            np.cumsum(lens[:-1], out=starts[1:])
+        lens_o = lens[order]
+        starts_o = starts[order]
+        total = int(lens_o.sum())
+        if total:
+            within = np.arange(total) - np.repeat(np.cumsum(lens_o) - lens_o, lens_o)
+            pos_flat = pos_cat[np.repeat(starts_o, lens_o) + within]
+        else:
+            pos_flat = np.zeros(0, np.uint32)
+
+    # drop terms that lost all postings to doc masks
+    df = np.diff(term_ptr)
+    keep_terms = np.flatnonzero(df > 0)
+    if len(keep_terms) < len(merged_terms):
+        kept = [merged_terms[i] for i in keep_terms]
+        new_ptr = np.zeros(len(kept) + 1, np.int64)
+        np.cumsum(df[keep_terms], out=new_ptr[1:])
+        merged_terms = kept
+        term_ptr = new_ptr
+
+    blob = b"".join(merged_terms)
+    offsets = np.zeros(len(merged_terms) + 1, np.uint64)
+    np.cumsum([len(t) for t in merged_terms], out=offsets[1:])
+    from iresearch_tpu.formats.spec import IndexFeatures
+
+    return encode_field_postings(
+        e_doc,
+        e_freq,
+        term_ptr,
+        blob,
+        offsets,
+        new_norms,
+        pos_flat=pos_flat,
+        features=features if features is not None else IndexFeatures.FREQ,
+    )

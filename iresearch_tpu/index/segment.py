@@ -1,0 +1,215 @@
+"""Segment model: host data, reader with term lookup, device residency.
+
+Reference analogs: SegmentReader (core/index/segment_reader_impl.cpp:162-294)
+= fields + columns + doc mask; term dictionary seeks (formats_burst_trie.cpp)
+become bisect over the sorted term array; device residency replaces the
+reference's mmap of index files — pools are uploaded once per segment and
+cached (the `jax.device_put` analog of IOAdvice/mmap warmup).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from iresearch_tpu.formats.columnstore import Column
+from iresearch_tpu.formats.postings import FieldPostings
+from iresearch_tpu.formats.spec import NUM_CLASSES
+
+
+@dataclass
+class SegmentData:
+    """Immutable host-side segment payload."""
+
+    num_docs: int
+    fields: Dict[str, FieldPostings]
+    columns: Dict[str, Column]
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
+
+
+class DeviceField:
+    """One field's pools resident on device, shapes padded to powers of two.
+
+    Padding rows are zero blocks (same semantics as the row-0 sentinel), and
+    norm padding lanes are 1 to keep tf/idf math finite; padded docs carry
+    freq 0 so they never contribute score or matches.
+    """
+
+    def __init__(self, fp: FieldPostings) -> None:
+        import jax.numpy as jnp
+
+        self.deltas = []
+        self.freqs = []
+        self.base = []
+        self.bmax = []
+        self.bmaxf = []
+        for c in range(NUM_CLASSES):
+            rows = fp.deltas[c].shape[0]
+            rp = _pow2(rows)
+            d = np.zeros((rp, fp.deltas[c].shape[1]), fp.deltas[c].dtype)
+            d[:rows] = fp.deltas[c]
+            f = np.zeros((rp, fp.freqs[c].shape[1]), fp.freqs[c].dtype)
+            f[:rows] = fp.freqs[c]
+            b = np.zeros(rp, np.uint32)
+            b[:rows] = fp.base[c]
+            bm = np.zeros(rp, np.uint32)
+            bm[:rows] = fp.bmax[c]
+            bmf = np.zeros(rp, np.uint32)
+            bmf[:rows] = fp.bmaxf[c]
+            self.deltas.append(jnp.asarray(d))
+            self.freqs.append(jnp.asarray(f))
+            self.base.append(jnp.asarray(b.astype(np.int32)))
+            self.bmax.append(jnp.asarray(bm.astype(np.int32)))
+            self.bmaxf.append(jnp.asarray(bmf.astype(np.int32)))
+        nd_pad = _pow2(len(fp.norms))
+        norms = np.ones(nd_pad, np.float32)
+        norms[: len(fp.norms)] = np.maximum(fp.norms, 1).astype(np.float32)
+        self.norms = jnp.asarray(norms)
+        if fp.pos_flat is not None and len(fp.pos_flat):
+            pp = _pow2(len(fp.pos_flat))
+            pos = np.full(pp, np.iinfo(np.int32).max, np.int32)
+            pos[: len(fp.pos_flat)] = fp.pos_flat.astype(np.int32)
+            self.pos = jnp.asarray(pos)
+        else:
+            self.pos = None
+        if fp.docs_with_field > 0:
+            self.avgdl = float(fp.total_term_freq) / float(fp.docs_with_field)
+        else:
+            self.avgdl = 1.0
+
+
+class DeviceSegment:
+    """Device residency for one segment: shared alive mask + per-field pools."""
+
+    def __init__(self, num_docs: int, alive: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        self.num_docs = num_docs
+        self.nd_pad = _pow2(num_docs)
+        padded = np.zeros(self.nd_pad, np.bool_)
+        padded[:num_docs] = alive
+        self.alive = jnp.asarray(padded)
+        self._fields: Dict[str, DeviceField] = {}
+
+    def field(self, name: str, fp: FieldPostings) -> DeviceField:
+        df = self._fields.get(name)
+        if df is None:
+            df = DeviceField(fp)
+            self._fields[name] = df
+        return df
+
+
+class SegmentReader:
+    """Snapshot view of one committed segment (+ its doc mask generation)."""
+
+    def __init__(
+        self,
+        name: str,
+        data: SegmentData,
+        masked_docs: Optional[np.ndarray] = None,
+    ) -> None:
+        self.name = name
+        self.data = data
+        self.num_docs = data.num_docs
+        self._alive = np.ones(data.num_docs, np.bool_)
+        if masked_docs is not None and len(masked_docs):
+            self._alive[np.asarray(masked_docs, np.int64)] = False
+        self._term_lists: Dict[str, List[bytes]] = {}
+        self._device: Optional[DeviceSegment] = None
+
+    # --- stats ---------------------------------------------------------
+
+    @property
+    def docs_count(self) -> int:
+        return self.num_docs
+
+    @property
+    def live_docs_count(self) -> int:
+        return int(self._alive.sum())
+
+    @property
+    def alive(self) -> np.ndarray:
+        return self._alive
+
+    def field_names(self) -> List[str]:
+        return sorted(self.data.fields)
+
+    def field(self, name: str) -> Optional[FieldPostings]:
+        return self.data.fields.get(name)
+
+    def column(self, name: str) -> Optional[Column]:
+        return self.data.columns.get(name)
+
+    def column_names(self) -> List[str]:
+        return sorted(self.data.columns)
+
+    # --- term dictionary ----------------------------------------------
+
+    def terms(self, field_name: str) -> List[bytes]:
+        tl = self._term_lists.get(field_name)
+        if tl is None:
+            fp = self.data.fields.get(field_name)
+            tl = fp.terms() if fp is not None else []
+            self._term_lists[field_name] = tl
+        return tl
+
+    def lookup_term(self, field_name: str, term: bytes) -> Optional[int]:
+        """Exact term -> tid (reference: term_reader seek, burst trie)."""
+        tl = self.terms(field_name)
+        i = bisect.bisect_left(tl, term)
+        if i < len(tl) and tl[i] == term:
+            return i
+        return None
+
+    def term_range(
+        self,
+        field_name: str,
+        low: Optional[bytes],
+        high: Optional[bytes],
+        include_low: bool = True,
+        include_high: bool = True,
+    ) -> Tuple[int, int]:
+        """tid range [lo, hi) of terms within the bounds (None = unbounded)."""
+        tl = self.terms(field_name)
+        if low is None:
+            lo = 0
+        elif include_low:
+            lo = bisect.bisect_left(tl, low)
+        else:
+            lo = bisect.bisect_right(tl, low)
+        if high is None:
+            hi = len(tl)
+        elif include_high:
+            hi = bisect.bisect_right(tl, high)
+        else:
+            hi = bisect.bisect_left(tl, high)
+        return lo, max(lo, hi)
+
+    def term_prefix_range(self, field_name: str, prefix: bytes) -> Tuple[int, int]:
+        tl = self.terms(field_name)
+        lo = bisect.bisect_left(tl, prefix)
+        hi = bisect.bisect_left(tl, prefix + b"\xff" * 8)
+        # exact: advance hi while prefix matches
+        while hi < len(tl) and tl[hi].startswith(prefix):
+            hi += 1
+        return lo, max(lo, hi)
+
+    # --- device --------------------------------------------------------
+
+    def device(self) -> DeviceSegment:
+        if self._device is None:
+            self._device = DeviceSegment(self.num_docs, self._alive)
+        return self._device
+
+    def device_field(self, field_name: str) -> DeviceField:
+        fp = self.data.fields[field_name]
+        return self.device().field(field_name, fp)
+
+    def invalidate_device(self) -> None:
+        self._device = None

