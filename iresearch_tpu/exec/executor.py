@@ -1,0 +1,227 @@
+"""Jitted TPU query executor over the dense block-scan plan.
+
+The reference's read hot path is doc_iterator::next/seek over bit-packed
+128-doc blocks plus combinator trees (formats_10.cpp:2020-2425,
+conjunction.hpp, disjunction.hpp). Here one XLA program per plan signature
+does the whole query:
+
+  gather rows        deltas[rows]            -> [R, 128]   (HBM gather)
+  decode             base + cumsum(deltas)   -> doc ids    (VPU)
+  score              score_block(...)        -> [R, 128]   (fused elementwise)
+  scatter-add        per-leaf dense [L, nd]  score + match counts
+  fold tree          elementwise and/or/not  (XLA fuses the whole fold)
+  top-k              jax.lax.top_k(masked scores)
+
+Padding rows point at sentinel row 0 (all-zero block): they decode to doc 0
+with freq 0 and contribute exactly zero, so no masks are needed.
+Score-vs-oracle note: scatter-add order differs from the host oracle's
+per-term loop, so float sums can differ by ~1 ulp; tests compare with rtol.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from iresearch_tpu.exec.plan import PlanCompiler, SegmentPlan
+from iresearch_tpu.search import filters as F
+from iresearch_tpu.search.host_eval import HostQuery
+from iresearch_tpu.search.scorers import BM25, Scorer, score_block
+
+_NEG_INF = float("-inf")
+
+
+def _fold_tree(tree, leaf_match, leaf_score, aux_match, aux_score, nd, jnp):
+    """Elementwise fold of the static boolean tree -> (match, score)."""
+    kind = tree[0]
+    if kind == "empty":
+        return jnp.zeros(nd, bool), jnp.zeros(nd, jnp.float32)
+    if kind == "all":
+        return jnp.ones(nd, bool), jnp.zeros(nd, jnp.float32)
+    if kind == "leaf":
+        i = tree[1]
+        return leaf_match[i], leaf_score[i]
+    if kind == "aux":
+        i = tree[1]
+        return aux_match[i], aux_score[i]
+    if kind == "not":
+        m, _ = _fold_tree(tree[1], leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
+        return ~m, jnp.zeros(nd, jnp.float32)
+    if kind == "and":
+        _, pos, neg = tree
+        match = jnp.ones(nd, bool)
+        score = jnp.zeros(nd, jnp.float32)
+        for c in pos:
+            m, s = _fold_tree(c, leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
+            match = match & m
+            score = score + s
+        for c in neg:
+            m, _ = _fold_tree(c, leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
+            match = match & ~m
+        return match, jnp.where(match, score, 0.0)
+    if kind == "or":
+        _, pos, neg, min_match = tree
+        count = jnp.zeros(nd, jnp.int32)
+        score = jnp.zeros(nd, jnp.float32)
+        for c in pos:
+            m, s = _fold_tree(c, leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
+            count = count + m.astype(jnp.int32)
+            score = score + s
+        match = jnp.ones(nd, bool) if min_match <= 0 else count >= min_match
+        for c in neg:
+            m, _ = _fold_tree(c, leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
+            match = match & ~m
+        return match, jnp.where(match, score, 0.0)
+    raise ValueError(f"bad tree node {tree!r}")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tree", "scorer", "num_leaves", "k", "nd"),
+)
+def _run_segment(
+    pools,  # tuple per group: (deltas, freqs, base, norms)
+    rowsets,  # tuple per group: (rows i32[R], weight f32[R], leaf i32[R])
+    avgdl,  # f32 [num_groups]
+    leaf_min,  # i32 [L]
+    aux_match,  # bool [A, nd] or None
+    aux_score,  # f32 [A, nd] or None
+    alive,  # bool [nd]
+    *,
+    tree,
+    scorer: Scorer,
+    num_leaves: int,
+    k: int,
+    nd: int,
+):
+    import jax.numpy as jnp
+    from jax import lax
+
+    leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
+    leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
+    for gi, ((deltas, freqs, base, norms), (rows, w, leaf)) in enumerate(
+        zip(pools, rowsets)
+    ):
+        d = deltas[rows].astype(jnp.int32)  # [R, 128]
+        docs = base[rows][:, None] + jnp.cumsum(d, axis=1)
+        f = freqs[rows].astype(jnp.float32)
+        dl = norms[docs]
+        sc = score_block(scorer, w[:, None], f, dl, avgdl[gi], xp=jnp)
+        matched = (f > 0).astype(jnp.int32)
+        leaf_ix = leaf[:, None]
+        leaf_score = leaf_score.at[leaf_ix, docs].add(sc, mode="drop")
+        leaf_count = leaf_count.at[leaf_ix, docs].add(matched, mode="drop")
+
+    leaf_match = leaf_count >= leaf_min[:, None]
+    leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
+
+    match, score = _fold_tree(
+        tree, leaf_match, leaf_score, aux_match, aux_score, nd, jnp
+    )
+    match = match & alive
+    masked = jnp.where(match, score, _NEG_INF)
+    vals, docs = lax.top_k(masked, k)
+    return vals, docs
+
+
+class DeviceQuery:
+    """A prepared query executing on device, exact vs the host oracle.
+
+    Prepare (term expansion, stats collection) is shared with HostQuery so
+    sampled terms and idf stats are identical by construction.
+    """
+
+    def __init__(
+        self,
+        flt: F.Filter,
+        segments: Sequence,
+        scorer: Optional[Scorer] = None,
+    ) -> None:
+        self.flt = flt
+        self.scorer = scorer or BM25()
+        self.prepared = HostQuery(flt, list(segments), self.scorer)
+        self.compiler = PlanCompiler(self.prepared, self.scorer)
+        self._plans: Dict[int, SegmentPlan] = {}
+
+    def plan(self, seg_idx: int) -> SegmentPlan:
+        p = self._plans.get(seg_idx)
+        if p is None:
+            p = self.compiler.compile(self.flt, seg_idx)
+            self._plans[seg_idx] = p
+        return p
+
+    def _device_inputs(self, plan: SegmentPlan):
+        import jax.numpy as jnp
+
+        sr = self.prepared.segments[plan.seg_idx]
+        dseg = sr.device()
+        pools = []
+        rowsets = []
+        for g in plan.groups:
+            dfield = sr.device_field(g.field_name)
+            pools.append(
+                (
+                    dfield.deltas[g.cls],
+                    dfield.freqs[g.cls],
+                    dfield.base[g.cls],
+                    dfield.norms,
+                )
+            )
+            rowsets.append(
+                (jnp.asarray(g.rows), jnp.asarray(g.weight), jnp.asarray(g.leaf))
+            )
+        am = None if plan.aux_match is None else jnp.asarray(plan.aux_match)
+        asc = None if plan.aux_score is None else jnp.asarray(plan.aux_score)
+        return pools, rowsets, am, asc, dseg.alive
+
+    def execute_segment(self, seg_idx: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-segment top-k -> (scores f32[k], local docs i32[k]).
+
+        Entries with score == -inf are non-matches (k exceeded matches).
+        """
+        import jax.numpy as jnp
+
+        plan = self.plan(seg_idx)
+        pools, rowsets, am, asc, alive = self._device_inputs(plan)
+        kk = min(k, plan.nd_pad)
+        vals, docs = _run_segment(
+            tuple(pools),
+            tuple(rowsets),
+            jnp.asarray(plan.group_avgdl),
+            jnp.asarray(plan.leaf_min_match),
+            am,
+            asc,
+            alive,
+            tree=plan.tree,
+            scorer=self.scorer,
+            num_leaves=plan.num_leaves,
+            k=kk,
+            nd=plan.nd_pad,
+        )
+        return np.asarray(vals), np.asarray(docs)
+
+    def top_k(self, k: int) -> List[Tuple[int, float]]:
+        """Global top-k (global_doc, score), ordered by (-score, doc)."""
+        out: List[Tuple[int, float]] = []
+        base = 0
+        for s, sr in enumerate(self.prepared.segments):
+            vals, docs = self.execute_segment(s, k)
+            for v, d in zip(vals, docs):
+                if math.isinf(v) and v < 0:
+                    continue
+                out.append((base + int(d), float(v)))
+            base += sr.num_docs
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
+
+
+def search_device(
+    reader, flt: F.Filter, scorer: Optional[Scorer] = None, k: int = 10
+) -> List[Tuple[int, float]]:
+    """Device twin of host_eval.search: top-k (global_doc, score)."""
+    q = DeviceQuery(flt, list(reader.segments), scorer)
+    return q.top_k(k)

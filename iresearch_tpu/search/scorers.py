@@ -131,8 +131,11 @@ def score_block(
     """
     f = freqs
     if isinstance(scorer, BM25):
-        c0, c1 = scorer.norm_consts(avgdl)
-        denom = f + (c0 + c1 * dl if scorer.b != 0.0 else c0)
+        # inline norm_consts: avgdl may be a traced jax scalar (callers
+        # guarantee avgdl > 0, substituting 1.0 for empty fields)
+        kb = scorer.k * scorer.b
+        c0 = scorer.k - kb
+        denom = f + (c0 + (kb / avgdl) * dl if scorer.b != 0.0 else c0)
         out = weights * f / xp.maximum(denom, 1e-9)
     elif isinstance(scorer, TFIDF):
         tf = xp.sqrt(f)
