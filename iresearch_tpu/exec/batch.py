@@ -1,0 +1,214 @@
+"""Batched query execution — many queries per device dispatch.
+
+The reference achieves query throughput with thread-per-query pull
+iterators (utils/index-search.cpp:718). The TPU replacement batches
+queries into dense device work (SURVEY.md §2.11 item 2): queries whose
+plans share a signature (same boolean tree shape, same (field, width-
+class) group keys) are stacked along a leading query axis and executed by
+ONE jitted vmapped program — decode/score/scatter/fold/top-k for the whole
+batch in a single dispatch, amortizing host-device latency and letting XLA
+keep the MXU/VPU busy across queries.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from iresearch_tpu.exec.executor import _NEG_INF, DeviceQuery, segment_body
+from iresearch_tpu.exec.plan import SegmentPlan
+from iresearch_tpu.search import filters as F
+from iresearch_tpu.search.scorers import BM25, Scorer
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tree", "scorer", "num_leaves", "k", "nd", "has_aux"),
+)
+def _run_batch(
+    pools,  # tuple per group: (deltas, freqs, base, norms) — shared
+    rowsets_b,  # tuple per group: (rows [Q,R], w [Q,R], leaf [Q,R])
+    avgdl,  # f32 [G]
+    leaf_min_b,  # i32 [Q, L] (min_match can differ per query in a batch)
+    aux_match_b,  # bool [Q, A, nd] or None
+    aux_score_b,  # f32 [Q, A, nd] or None
+    alive,  # bool [nd] — shared
+    *,
+    tree,
+    scorer: Scorer,
+    num_leaves: int,
+    k: int,
+    nd: int,
+    has_aux: bool,
+):
+    import jax.numpy as jnp
+    from jax import lax
+
+    def one(rowsets, leaf_min, aux_m, aux_s):
+        return segment_body(
+            pools,
+            rowsets,
+            avgdl,
+            leaf_min,
+            aux_m,
+            aux_s,
+            alive,
+            tree=tree,
+            scorer=scorer,
+            num_leaves=num_leaves,
+            nd=nd,
+        )
+
+    if has_aux:
+        match, score = jax.vmap(one)(
+            rowsets_b, leaf_min_b, aux_match_b, aux_score_b
+        )
+    else:
+        match, score = jax.vmap(lambda r, lm: one(r, lm, None, None))(
+            rowsets_b, leaf_min_b
+        )
+    masked = jnp.where(match, score, _NEG_INF)
+    vals, docs = lax.top_k(masked, k)  # [Q, k]
+    return vals, docs
+
+
+class QueryBatch:
+    """Executes many prepared queries per segment in few dispatches.
+
+    Queries are grouped by plan signature; each group becomes one stacked
+    vmapped call. Results are exact per-query top-k, identical to
+    DeviceQuery.execute_segment.
+    """
+
+    def __init__(
+        self,
+        filters: Sequence[F.Filter],
+        segments: Sequence,
+        scorer: Optional[Scorer] = None,
+    ) -> None:
+        self.scorer = scorer or BM25()
+        self.segments = list(segments)
+        self.queries = [DeviceQuery(f, self.segments, self.scorer) for f in filters]
+
+    def execute_segment(
+        self, seg_idx: int, k: int
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Per-query (scores [k], local docs [k]) for one segment."""
+        raw = self.prepare(seg_idx, k).run()
+        return [(np.asarray(v), np.asarray(d)) for v, d in raw]
+
+    def prepare(self, seg_idx: int, k: int) -> "PreparedBatch":
+        """Stack plans into device arrays once; re-runnable cheaply."""
+        import jax.numpy as jnp
+
+        plans = [q.plan(seg_idx) for q in self.queries]
+        sr = self.segments[seg_idx]
+
+        groups_by_sig: Dict[tuple, List[int]] = defaultdict(list)
+        for qi, p in enumerate(plans):
+            sig = (
+                p.tree,
+                p.num_leaves,
+                tuple((g.field_name, g.cls) for g in p.groups),
+                0 if p.aux_match is None else p.aux_match.shape[0],
+            )
+            groups_by_sig[sig].append(qi)
+
+        calls = []
+        for sig, qis in groups_by_sig.items():
+            tree, num_leaves, gkeys, A = sig
+            reps = [plans[qi] for qi in qis]
+            Q = len(qis)
+            nd = reps[0].nd_pad
+            # common padded R per group position
+            Rs = [
+                _pow2(max(len(p.groups[gi].rows) for p in reps))
+                for gi in range(len(gkeys))
+            ]
+            pools = []
+            rowsets_b = []
+            for gi, (fname, cls) in enumerate(gkeys):
+                dfield = sr.device_field(fname)
+                pools.append(
+                    (
+                        dfield.deltas[cls],
+                        dfield.freqs[cls],
+                        dfield.base[cls],
+                        dfield.norms,
+                    )
+                )
+                R = Rs[gi]
+                rows = np.zeros((Q, R), np.int32)
+                w = np.zeros((Q, R), np.float32)
+                leaf = np.zeros((Q, R), np.int32)
+                for j, p in enumerate(reps):
+                    g = p.groups[gi]
+                    rows[j, : len(g.rows)] = g.rows
+                    w[j, : len(g.weight)] = g.weight
+                    leaf[j, : len(g.leaf)] = g.leaf
+                rowsets_b.append(
+                    (jnp.asarray(rows), jnp.asarray(w), jnp.asarray(leaf))
+                )
+            if A:
+                am = np.zeros((Q, A, nd), np.bool_)
+                asc = np.zeros((Q, A, nd), np.float32)
+                for j, p in enumerate(reps):
+                    am[j] = p.aux_match
+                    asc[j] = p.aux_score
+                am = jnp.asarray(am)
+                asc = jnp.asarray(asc)
+            else:
+                am = asc = None
+            args = (
+                tuple(pools),
+                tuple(rowsets_b),
+                jnp.asarray(reps[0].group_avgdl),
+                jnp.asarray(np.stack([p.leaf_min_match for p in reps])),
+                am,
+                asc,
+                sr.device().alive,
+            )
+            kwargs = dict(
+                tree=tree,
+                scorer=self.scorer,
+                num_leaves=num_leaves,
+                k=min(k, nd),
+                nd=nd,
+                has_aux=bool(A),
+            )
+            calls.append((qis, args, kwargs))
+        return PreparedBatch(len(plans), calls)
+
+
+class PreparedBatch:
+    """Device-resident stacked batch; run() is pure dispatch."""
+
+    def __init__(self, num_queries: int, calls) -> None:
+        self.num_queries = num_queries
+        self._calls = calls
+
+    def run(self):
+        """Per-query (scores [k], local docs [k]) as jax arrays (async)."""
+        out = [None] * self.num_queries
+        for (vals, docs), qis in self.run_grouped():
+            for j, qi in enumerate(qis):
+                out[qi] = (vals[j], docs[j])
+        return out
+
+    def run_grouped(self):
+        """[(  (vals [Q,k], docs [Q,k]), query_indices ), ...] — one entry
+        per dispatch, no per-query slicing (throughput path)."""
+        return [
+            (_run_batch(*args, **kwargs), qis) for qis, args, kwargs in self._calls
+        ]

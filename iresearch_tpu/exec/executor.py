@@ -79,11 +79,7 @@ def _fold_tree(tree, leaf_match, leaf_score, aux_match, aux_score, nd, jnp):
     raise ValueError(f"bad tree node {tree!r}")
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tree", "scorer", "num_leaves", "k", "nd"),
-)
-def _run_segment(
+def segment_body(
     pools,  # tuple per group: (deltas, freqs, base, norms)
     rowsets,  # tuple per group: (rows i32[R], weight f32[R], leaf i32[R])
     avgdl,  # f32 [num_groups]
@@ -95,11 +91,14 @@ def _run_segment(
     tree,
     scorer: Scorer,
     num_leaves: int,
-    k: int,
     nd: int,
 ):
+    """Dense (match, score) over one segment's padded doc axis.
+
+    Shared by the single-chip executor and the shard_map scale-out path
+    (parallel/sharded.py) — semantics defined once.
+    """
     import jax.numpy as jnp
-    from jax import lax
 
     leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
     leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
@@ -123,6 +122,44 @@ def _run_segment(
         tree, leaf_match, leaf_score, aux_match, aux_score, nd, jnp
     )
     match = match & alive
+    return match, score
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tree", "scorer", "num_leaves", "k", "nd"),
+)
+def _run_segment(
+    pools,
+    rowsets,
+    avgdl,
+    leaf_min,
+    aux_match,
+    aux_score,
+    alive,
+    *,
+    tree,
+    scorer: Scorer,
+    num_leaves: int,
+    k: int,
+    nd: int,
+):
+    import jax.numpy as jnp
+    from jax import lax
+
+    match, score = segment_body(
+        pools,
+        rowsets,
+        avgdl,
+        leaf_min,
+        aux_match,
+        aux_score,
+        alive,
+        tree=tree,
+        scorer=scorer,
+        num_leaves=num_leaves,
+        nd=nd,
+    )
     masked = jnp.where(match, score, _NEG_INF)
     vals, docs = lax.top_k(masked, k)
     return vals, docs

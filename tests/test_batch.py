@@ -1,0 +1,48 @@
+"""Batched execution must equal per-query device execution exactly."""
+
+import numpy as np
+import pytest
+
+from iresearch_tpu.index.reader import DirectoryReader
+from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+from iresearch_tpu.search import filters as F
+from iresearch_tpu.search.scorers import BM25
+from iresearch_tpu.store.directory import MemoryDirectory
+
+WORDS = ["one", "two", "three", "four", "five", "six", "seven", "eight", "nine", "ten"]
+
+
+@pytest.fixture(scope="module")
+def reader():
+    rng = np.random.default_rng(5)
+    d = MemoryDirectory()
+    with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
+        for i in range(200):
+            n = int(rng.integers(2, 15))
+            idx = np.minimum(rng.zipf(1.6, size=n) - 1, len(WORDS) - 1)
+            w.insert([Field("body", " ".join(WORDS[j] for j in idx), analyzer="segmentation")])
+        w.commit()
+    return DirectoryReader.open(d)
+
+
+def test_batch_equals_individual(reader):
+    from iresearch_tpu.exec import DeviceQuery
+    from iresearch_tpu.exec.batch import QueryBatch
+
+    filters = (
+        [F.ByTerm("body", w) for w in WORDS]
+        + [F.And(F.ByTerm("body", "one"), F.ByTerm("body", "two"))]
+        + [F.Or(F.ByTerm("body", a), F.ByTerm("body", b)) for a, b in zip(WORDS, WORDS[1:])]
+        + [F.ByTerms("body", [("one", 1.0), ("two", 1.0), ("ten", 1.0)], min_match=2)]
+        + [F.ByPhrase("body", ["one", "two"])]
+    )
+    segs = list(reader.segments)
+    qb = QueryBatch(filters, segs, BM25())
+    batched = qb.execute_segment(0, 10)
+    assert len(batched) == len(filters)
+    for flt, (bv, bd) in zip(filters, batched):
+        dq = DeviceQuery(flt, segs, BM25())
+        vals, docs = dq.execute_segment(0, 10)
+        np.testing.assert_allclose(bv, vals, rtol=1e-6)
+        finite = np.isfinite(vals)
+        np.testing.assert_array_equal(bd[finite], docs[finite])
