@@ -69,7 +69,15 @@ def main():
         IndexFeatures.FREQ | IndexFeatures.POS,
     )
     sr = SegmentReader("bench", SegmentData(NUM_DOCS, {"body": fp}, {}))
-    log(f"index built ({time.time()-t0:.1f}s): {fp.num_terms} terms")
+    pool_bytes = sum(a.nbytes for a in fp.doc_words + fp.freq_words)
+    meta_bytes = sum(
+        a.nbytes for a in fp.base + fp.bmax + fp.bmaxf
+    ) + fp.entries.nbytes + fp.norms.nbytes
+    log(
+        f"index built ({time.time()-t0:.1f}s): {fp.num_terms} terms, "
+        f"postings {pool_bytes/1e6:.1f}MB + meta {meta_bytes/1e6:.1f}MB "
+        f"({8*pool_bytes/max(1,len(tids)):.2f} bits/token)"
+    )
 
     dfs = fp.entries[:, 0].astype(np.int64)
     order = np.argsort(-dfs)

@@ -21,6 +21,7 @@ import numpy as np
 
 from iresearch_tpu.exec.executor import _NEG_INF, DeviceQuery, segment_body
 from iresearch_tpu.exec.plan import SegmentPlan
+from iresearch_tpu.formats.bitpack import BITS
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.scorers import BM25, Scorer
 
@@ -34,11 +35,13 @@ def _pow2(n: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("tree", "scorer", "num_leaves", "k", "nd", "has_aux"),
+    static_argnames=(
+        "tree", "gbits", "scorer", "num_leaves", "k", "nd", "has_aux"
+    ),
 )
 def _run_batch(
-    pools,  # tuple per group: (deltas, freqs, base, norms) — shared
-    rowsets_b,  # tuple per group: (rows [Q,R], w [Q,R], leaf [Q,R])
+    pools,  # tuple per group: (doc_words, freq_words, base, norms) — shared
+    rowsets_b,  # tuple per group: (rows_d [Q,R], rows_f [Q,R], w [Q,R], leaf [Q,R])
     avgdl,  # f32 [G]
     leaf_min_b,  # i32 [Q, L] (min_match can differ per query in a batch)
     aux_match_b,  # bool [Q, A, nd] or None
@@ -46,6 +49,7 @@ def _run_batch(
     alive,  # bool [nd] — shared
     *,
     tree,
+    gbits,
     scorer: Scorer,
     num_leaves: int,
     k: int,
@@ -65,6 +69,7 @@ def _run_batch(
             aux_s,
             alive,
             tree=tree,
+            gbits=gbits,
             scorer=scorer,
             num_leaves=num_leaves,
             nd=nd,
@@ -120,7 +125,7 @@ class QueryBatch:
             sig = (
                 p.tree,
                 p.num_leaves,
-                tuple((g.field_name, g.cls) for g in p.groups),
+                tuple((g.field_name, g.dcls, g.fcls) for g in p.groups),
                 0 if p.aux_match is None else p.aux_match.shape[0],
             )
             groups_by_sig[sig].append(qi)
@@ -133,32 +138,41 @@ class QueryBatch:
             nd = reps[0].nd_pad
             # common padded R per group position
             Rs = [
-                _pow2(max(len(p.groups[gi].rows) for p in reps))
+                _pow2(max(len(p.groups[gi].rows_d) for p in reps))
                 for gi in range(len(gkeys))
             ]
             pools = []
             rowsets_b = []
-            for gi, (fname, cls) in enumerate(gkeys):
+            gbits = []
+            for gi, (fname, dcls, fcls) in enumerate(gkeys):
                 dfield = sr.device_field(fname)
                 pools.append(
                     (
-                        dfield.deltas[cls],
-                        dfield.freqs[cls],
-                        dfield.base[cls],
+                        dfield.doc_words[dcls],
+                        dfield.freq_words[fcls],
+                        dfield.base[dcls],
                         dfield.norms,
                     )
                 )
+                gbits.append((BITS[dcls], BITS[fcls]))
                 R = Rs[gi]
-                rows = np.zeros((Q, R), np.int32)
+                rows_d = np.zeros((Q, R), np.int32)
+                rows_f = np.zeros((Q, R), np.int32)
                 w = np.zeros((Q, R), np.float32)
                 leaf = np.zeros((Q, R), np.int32)
                 for j, p in enumerate(reps):
                     g = p.groups[gi]
-                    rows[j, : len(g.rows)] = g.rows
+                    rows_d[j, : len(g.rows_d)] = g.rows_d
+                    rows_f[j, : len(g.rows_f)] = g.rows_f
                     w[j, : len(g.weight)] = g.weight
                     leaf[j, : len(g.leaf)] = g.leaf
                 rowsets_b.append(
-                    (jnp.asarray(rows), jnp.asarray(w), jnp.asarray(leaf))
+                    (
+                        jnp.asarray(rows_d),
+                        jnp.asarray(rows_f),
+                        jnp.asarray(w),
+                        jnp.asarray(leaf),
+                    )
                 )
             if A:
                 am = np.zeros((Q, A, nd), np.bool_)
@@ -181,6 +195,7 @@ class QueryBatch:
             )
             kwargs = dict(
                 tree=tree,
+                gbits=tuple(gbits),
                 scorer=self.scorer,
                 num_leaves=num_leaves,
                 k=min(k, nd),

@@ -28,6 +28,7 @@ import jax
 import numpy as np
 
 from iresearch_tpu.exec.plan import PlanCompiler, SegmentPlan
+from iresearch_tpu.formats.bitpack import BITS
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.host_eval import HostQuery
 from iresearch_tpu.search.scorers import BM25, Scorer, score_block
@@ -80,8 +81,8 @@ def _fold_tree(tree, leaf_match, leaf_score, aux_match, aux_score, nd, jnp):
 
 
 def segment_body(
-    pools,  # tuple per group: (deltas, freqs, base, norms)
-    rowsets,  # tuple per group: (rows i32[R], weight f32[R], leaf i32[R])
+    pools,  # tuple per group: (doc_words, freq_words, base, norms)
+    rowsets,  # tuple per group: (rows_d i32[R], rows_f i32[R], w f32[R], leaf i32[R])
     avgdl,  # f32 [num_groups]
     leaf_min,  # i32 [L]
     aux_match,  # bool [A, nd] or None
@@ -89,6 +90,7 @@ def segment_body(
     alive,  # bool [nd]
     *,
     tree,
+    gbits,  # tuple per group: (doc_bits, freq_bits) — static
     scorer: Scorer,
     num_leaves: int,
     nd: int,
@@ -100,14 +102,17 @@ def segment_body(
     """
     import jax.numpy as jnp
 
+    from iresearch_tpu.formats.bitpack import unpack_jnp
+
     leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
     leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
-    for gi, ((deltas, freqs, base, norms), (rows, w, leaf)) in enumerate(
-        zip(pools, rowsets)
+    for gi, ((doc_words, freq_words, base, norms), (rows_d, rows_f, w, leaf)) in (
+        enumerate(zip(pools, rowsets))
     ):
-        d = deltas[rows].astype(jnp.int32)  # [R, 128]
-        docs = base[rows][:, None] + jnp.cumsum(d, axis=1)
-        f = freqs[rows].astype(jnp.float32)
+        bd, bf = gbits[gi]
+        d = unpack_jnp(doc_words[rows_d], bd).astype(jnp.int32)  # [R, 128]
+        docs = base[rows_d][:, None] + jnp.cumsum(d, axis=1)
+        f = unpack_jnp(freq_words[rows_f], bf).astype(jnp.float32)
         dl = norms[docs]
         sc = score_block(scorer, w[:, None], f, dl, avgdl[gi], xp=jnp)
         matched = (f > 0).astype(jnp.int32)
@@ -127,7 +132,7 @@ def segment_body(
 
 @partial(
     jax.jit,
-    static_argnames=("tree", "scorer", "num_leaves", "k", "nd"),
+    static_argnames=("tree", "gbits", "scorer", "num_leaves", "k", "nd"),
 )
 def _run_segment(
     pools,
@@ -139,6 +144,7 @@ def _run_segment(
     alive,
     *,
     tree,
+    gbits,
     scorer: Scorer,
     num_leaves: int,
     k: int,
@@ -156,6 +162,7 @@ def _run_segment(
         aux_score,
         alive,
         tree=tree,
+        gbits=gbits,
         scorer=scorer,
         num_leaves=num_leaves,
         nd=nd,
@@ -198,22 +205,29 @@ class DeviceQuery:
         dseg = sr.device()
         pools = []
         rowsets = []
+        gbits = []
         for g in plan.groups:
             dfield = sr.device_field(g.field_name)
             pools.append(
                 (
-                    dfield.deltas[g.cls],
-                    dfield.freqs[g.cls],
-                    dfield.base[g.cls],
+                    dfield.doc_words[g.dcls],
+                    dfield.freq_words[g.fcls],
+                    dfield.base[g.dcls],
                     dfield.norms,
                 )
             )
             rowsets.append(
-                (jnp.asarray(g.rows), jnp.asarray(g.weight), jnp.asarray(g.leaf))
+                (
+                    jnp.asarray(g.rows_d),
+                    jnp.asarray(g.rows_f),
+                    jnp.asarray(g.weight),
+                    jnp.asarray(g.leaf),
+                )
             )
+            gbits.append((BITS[g.dcls], BITS[g.fcls]))
         am = None if plan.aux_match is None else jnp.asarray(plan.aux_match)
         asc = None if plan.aux_score is None else jnp.asarray(plan.aux_score)
-        return pools, rowsets, am, asc, dseg.alive
+        return pools, rowsets, tuple(gbits), am, asc, dseg.alive
 
     def execute_segment(self, seg_idx: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Per-segment top-k -> (scores f32[k], local docs i32[k]).
@@ -223,7 +237,7 @@ class DeviceQuery:
         import jax.numpy as jnp
 
         plan = self.plan(seg_idx)
-        pools, rowsets, am, asc, alive = self._device_inputs(plan)
+        pools, rowsets, gbits, am, asc, alive = self._device_inputs(plan)
         kk = min(k, plan.nd_pad)
         vals, docs = _run_segment(
             tuple(pools),
@@ -234,6 +248,7 @@ class DeviceQuery:
             asc,
             alive,
             tree=plan.tree,
+            gbits=gbits,
             scorer=self.scorer,
             num_leaves=plan.num_leaves,
             k=kk,

@@ -47,11 +47,15 @@ def _pow2(n: int) -> int:
 
 @dataclass
 class RowGroup:
-    """Rows of one (field, width-class) pool feeding the leaf arrays."""
+    """Rows of one (field, doc-class, freq-class) pool pair feeding the
+    leaf arrays. rows_d indexes the doc-delta pool of class dcls; rows_f
+    indexes the freq pool of class fcls (parallel arrays)."""
 
     field_name: str
-    cls: int
-    rows: np.ndarray  # i32 [R] padded with 0 (sentinel row)
+    dcls: int
+    fcls: int
+    rows_d: np.ndarray  # i32 [R] padded with 0 (sentinel row)
+    rows_f: np.ndarray  # i32 [R]
     weight: np.ndarray  # f32 [R]
     leaf: np.ndarray  # i32 [R]
 
@@ -77,7 +81,9 @@ class SegmentPlan:
         return (
             self.tree,
             self.num_leaves,
-            tuple((g.field_name, g.cls, len(g.rows)) for g in self.groups),
+            tuple(
+                (g.field_name, g.dcls, g.fcls, len(g.rows_d)) for g in self.groups
+            ),
             0 if self.aux_match is None else self.aux_match.shape[0],
         )
 
@@ -108,23 +114,26 @@ class PlanCompiler:
 
         groups: List[RowGroup] = []
         avgdls: List[float] = []
-        for (fname, cls), spans in sorted(self._groups.items()):
-            rows_l: List[np.ndarray] = []
+        for (fname, dcls, fcls), spans in sorted(self._groups.items()):
+            rd_l: List[np.ndarray] = []
+            rf_l: List[np.ndarray] = []
             w_l: List[np.ndarray] = []
             leaf_l: List[np.ndarray] = []
-            for bstart, nblocks, w, leaf in spans:
-                r = np.arange(bstart, bstart + nblocks, dtype=np.int32)
-                rows_l.append(r)
+            for dstart, fstart, nblocks, w, leaf in spans:
+                rd_l.append(np.arange(dstart, dstart + nblocks, dtype=np.int32))
+                rf_l.append(np.arange(fstart, fstart + nblocks, dtype=np.int32))
                 w_l.append(np.full(nblocks, w, np.float32))
                 leaf_l.append(np.full(nblocks, leaf, np.int32))
-            rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int32)
+            rows_d = np.concatenate(rd_l) if rd_l else np.zeros(0, np.int32)
+            rows_f = np.concatenate(rf_l) if rf_l else np.zeros(0, np.int32)
             w = np.concatenate(w_l) if w_l else np.zeros(0, np.float32)
             leaf = np.concatenate(leaf_l) if leaf_l else np.zeros(0, np.int32)
-            rp = _pow2(max(8, len(rows)))
-            rows = np.pad(rows, (0, rp - len(rows)))
+            rp = _pow2(max(8, len(rows_d)))
+            rows_d = np.pad(rows_d, (0, rp - len(rows_d)))
+            rows_f = np.pad(rows_f, (0, rp - len(rows_f)))
             w = np.pad(w, (0, rp - len(w)))
             leaf = np.pad(leaf, (0, rp - len(leaf)))
-            groups.append(RowGroup(fname, cls, rows, w, leaf))
+            groups.append(RowGroup(fname, dcls, fcls, rows_d, rows_f, w, leaf))
             dwf, ttf = self.prepared._field(fname)
             avgdls.append((ttf / dwf) if dwf else 1.0)
 
@@ -216,9 +225,15 @@ class PlanCompiler:
 
     def _add_span(self, fname: str, fp, tid: int, w: float, leaf: int) -> None:
         e = fp.entries[tid]
-        key = (fname, int(e[TermCols.CLS]))
+        key = (fname, int(e[TermCols.DCLS]), int(e[TermCols.FCLS]))
         self._groups.setdefault(key, []).append(
-            (int(e[TermCols.BSTART]), int(e[TermCols.NBLOCKS]), w, leaf)
+            (
+                int(e[TermCols.DSTART]),
+                int(e[TermCols.FSTART]),
+                int(e[TermCols.NBLOCKS]),
+                w,
+                leaf,
+            )
         )
 
     def _make_aux(self, flt, boost: float) -> int:

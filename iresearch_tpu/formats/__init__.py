@@ -1,8 +1,8 @@
 """Index codecs (reference: core/formats/)."""
 
+from iresearch_tpu.formats.bitpack import BITS
 from iresearch_tpu.formats.spec import (
     BLOCK,
-    CLASS_DTYPES,
     NUM_CLASSES,
     TermCols,
     IndexFeatures,
@@ -11,7 +11,7 @@ from iresearch_tpu.formats.postings import FieldPostings, encode_field_postings
 
 __all__ = [
     "BLOCK",
-    "CLASS_DTYPES",
+    "BITS",
     "NUM_CLASSES",
     "TermCols",
     "IndexFeatures",

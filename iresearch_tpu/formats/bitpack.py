@@ -1,0 +1,73 @@
+"""Pow2-bit block packing — the TPU replacement for simdcomp.
+
+Reference: postings blocks are bit-packed at arbitrary widths 1..32 with
+SSE unpack (core/formats/formats_10.cpp:87-130, external/simdcomp). On TPU
+arbitrary widths force cross-word gathers; quantizing widths to powers of
+two {1,2,4,8,16,32} makes unpack a *pure vector* op — each 32-bit word
+holds 32/b lanes, so decode is repeat(word, 32/b) >> lane_shift & mask:
+three VPU ops, no gathers, no cross-word bit surgery. Average storage cost
+vs arbitrary widths is <1 bit/lane; decode is memory-bound at full HBM
+bandwidth.
+
+A block is 128 lanes (BLOCK) -> 4*b u32 words per block at width b.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from iresearch_tpu.formats.spec import BLOCK
+
+BITS = (1, 2, 4, 8, 16, 32)
+NUM_BIT_CLASSES = len(BITS)
+
+
+def bits_class(max_value) -> np.ndarray | int:
+    """Smallest class index whose width holds ``max_value``."""
+    limits = np.array([1 << b for b in BITS[:-1]], dtype=np.uint64)
+    return np.digitize(np.asarray(max_value, np.uint64), limits)
+
+
+def words_per_block(b: int) -> int:
+    return (BLOCK * b) // 32  # == 4*b
+
+
+def _lane_shifts(b: int) -> np.ndarray:
+    g = 32 // b
+    return np.tile(np.arange(g, dtype=np.uint32) * b, words_per_block(b))
+
+
+def _mask(b: int) -> int:
+    return 0xFFFFFFFF if b == 32 else (1 << b) - 1
+
+
+def pack_blocks(vals: np.ndarray, b: int) -> np.ndarray:
+    """[n, 128] u32 (< 2^b) -> [n, 4*b] u32 words. Lane j lives in word
+    j // (32/b) at bit (j % (32/b)) * b."""
+    n = vals.shape[0]
+    assert vals.shape == (n, BLOCK)
+    g = 32 // b
+    v = vals.astype(np.uint64).reshape(n, words_per_block(b), g)
+    shifts = (np.arange(g, dtype=np.uint64) * b)[None, None, :]
+    words = (v << shifts).sum(axis=2)  # disjoint bit ranges: sum == OR
+    return words.astype(np.uint32)
+
+
+def unpack_blocks(words: np.ndarray, b: int) -> np.ndarray:
+    """[n, 4*b] u32 words -> [n, 128] u32 (host/oracle path)."""
+    g = 32 // b
+    rep = np.repeat(words, g, axis=1)
+    return (rep >> _lane_shifts(b)[None, :]) & np.uint32(_mask(b))
+
+
+def unpack_jnp(words, b: int):
+    """jnp twin of unpack_blocks: [R, 4*b] u32 -> [R, 128] u32.
+
+    repeat + shift + mask — all elementwise VPU work that XLA fuses into
+    the consumer (cumsum / score)."""
+    import jax.numpy as jnp
+
+    g = 32 // b
+    rep = jnp.repeat(words, g, axis=1)
+    shifts = jnp.asarray(_lane_shifts(b))
+    return (rep >> shifts[None, :]) & jnp.uint32(_mask(b))

@@ -1,4 +1,4 @@
-"""Host-side postings encoder/decoder for the width-class block format.
+"""Host-side postings encoder/decoder for the bit-packed block format.
 
 Reference behavior being matched (not mimicked structurally):
 core/formats/formats_10.cpp:320-1030 — postings_writer emits 128-doc
@@ -6,23 +6,30 @@ delta blocks with per-block bitwidths, positions, and skip metadata;
 core/formats/formats_10.cpp:2020-2425 — postings_reader decodes blocks and
 prefix-sums deltas.
 
-Here the whole field is encoded in one vectorized numpy pass into three
-width-class pools (see formats/spec.py). Row 0 of every pool is a sentinel
-block (base=0, deltas=0, freqs=0): gather padding can point at row 0 and
-contributes exactly zero score/zero matches, so jitted query shapes can be
-bucket-padded without masks.
+Here the whole field is encoded in one vectorized numpy pass into pow2-
+bit-width classed word pools (formats/bitpack.py): doc-delta blocks and
+freq blocks are classed independently per term. Row 0 of every pool is a
+sentinel block (base=0, deltas=0, freqs=0): gather padding can point at
+row 0 and contributes exactly zero score/zero matches, so jitted query
+shapes can be bucket-padded without masks.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
 
+from iresearch_tpu.formats.bitpack import (
+    BITS,
+    bits_class,
+    pack_blocks,
+    unpack_blocks,
+    words_per_block,
+)
 from iresearch_tpu.formats.spec import (
     BLOCK,
-    CLASS_DTYPES,
     NUM_CLASSES,
     NUM_TERM_COLS,
     IndexFeatures,
@@ -38,12 +45,13 @@ class FieldPostings:
     term_blob: bytes
     term_offsets: np.ndarray  # u64 [T+1]
     entries: np.ndarray  # u32 [T, NUM_TERM_COLS]
-    # per-class block pools; row 0 of each is the zero sentinel block
-    base: Tuple[np.ndarray, ...]  # u32 [rows_c]
+    # doc-delta pools per width class; row 0 of each is the zero sentinel
+    doc_words: Tuple[np.ndarray, ...]  # u32 [rows_c, 4*BITS[c]]
+    base: Tuple[np.ndarray, ...]  # u32 [rows_c] absolute first doc of block
     bmax: Tuple[np.ndarray, ...]  # u32 [rows_c] last doc id of block
+    # freq pools per width class (independent row allocation)
+    freq_words: Tuple[np.ndarray, ...]  # u32 [rows_c, 4*BITS[c]]
     bmaxf: Tuple[np.ndarray, ...]  # u32 [rows_c] max freq in block
-    deltas: Tuple[np.ndarray, ...]  # class dtype [rows_c, BLOCK]
-    freqs: Tuple[np.ndarray, ...]  # class dtype [rows_c, BLOCK]
     norms: np.ndarray  # u32 [num_docs] token count per doc (0 = no field)
     pos_flat: Optional[np.ndarray]  # u32 [sum ttf] positions per (term,doc)
     docs_with_field: int
@@ -62,6 +70,17 @@ class FieldPostings:
         return [bytes(self.term_blob[off[i] : off[i + 1]]) for i in range(self.num_terms)]
 
 
+def _empty_pools():
+    dw, fw, pb, pbm, pbmf = [], [], [], [], []
+    for c in range(NUM_CLASSES):
+        dw.append(np.zeros((1, words_per_block(BITS[c])), np.uint32))
+        fw.append(np.zeros((1, words_per_block(BITS[c])), np.uint32))
+        pb.append(np.zeros(1, np.uint32))
+        pbm.append(np.zeros(1, np.uint32))
+        pbmf.append(np.zeros(1, np.uint32))
+    return dw, fw, pb, pbm, pbmf
+
+
 def encode_field_postings(
     e_doc: np.ndarray,
     e_freq: np.ndarray,
@@ -76,7 +95,7 @@ def encode_field_postings(
 
     Args:
       e_doc/e_freq: per-entry doc id and frequency, sorted by (term, doc).
-      term_ptr: u64 [T+1], entries of term ``t`` are ``[term_ptr[t], term_ptr[t+1])``.
+      term_ptr: i64 [T+1], entries of term ``t`` are ``[term_ptr[t], term_ptr[t+1])``.
       term_blob/term_offsets: the sorted term dictionary bytes.
       norms: u32 [num_docs] per-doc token counts for this field.
       pos_flat: flat positions grouped in entry order (len per entry == freq).
@@ -90,31 +109,22 @@ def encode_field_postings(
     assert term_ptr[0] == 0 and term_ptr[-1] == E
 
     entries = np.zeros((T, NUM_TERM_COLS), dtype=np.uint32)
-    pools_deltas = []
-    pools_freqs = []
-    pools_base = []
-    pools_bmax = []
-    pools_bmaxf = []
+    norms_arr = np.asarray(norms, dtype=np.uint32)
 
     if T == 0 or E == 0:
-        for c in range(NUM_CLASSES):
-            pools_deltas.append(np.zeros((1, BLOCK), dtype=CLASS_DTYPES[c]))
-            pools_freqs.append(np.zeros((1, BLOCK), dtype=CLASS_DTYPES[c]))
-            pools_base.append(np.zeros(1, dtype=np.uint32))
-            pools_bmax.append(np.zeros(1, dtype=np.uint32))
-            pools_bmaxf.append(np.zeros(1, dtype=np.uint32))
+        dw, fw, pb, pbm, pbmf = _empty_pools()
         return FieldPostings(
             term_blob=term_blob,
             term_offsets=np.asarray(term_offsets, dtype=np.uint64),
             entries=entries,
-            base=tuple(pools_base),
-            bmax=tuple(pools_bmax),
-            bmaxf=tuple(pools_bmaxf),
-            deltas=tuple(pools_deltas),
-            freqs=tuple(pools_freqs),
-            norms=np.asarray(norms, dtype=np.uint32),
+            doc_words=tuple(dw),
+            base=tuple(pb),
+            bmax=tuple(pbm),
+            freq_words=tuple(fw),
+            bmaxf=tuple(pbmf),
+            norms=norms_arr,
             pos_flat=pos_flat if pos_flat is None else np.asarray(pos_flat, np.uint32),
-            docs_with_field=int(np.count_nonzero(norms)),
+            docs_with_field=int(np.count_nonzero(norms_arr)),
             total_term_freq=0,
             features=features,
         )
@@ -135,48 +145,53 @@ def encode_field_postings(
     starts = term_ptr[:-1]
     max_delta = np.maximum.reduceat(delta, starts)
     max_freq = np.maximum.reduceat(e_freq, starts)
-    norms_arr = np.asarray(norms, dtype=np.uint32)
     min_norm = np.minimum.reduceat(norms_arr[e_doc], starts)
     ttf = np.add.reduceat(e_freq.astype(np.uint64), starts)
 
-    need = np.maximum(max_delta, max_freq)
-    cls = np.digitize(need, (1 << 8, 1 << 16)).astype(np.uint32)
+    dcls = bits_class(max_delta).astype(np.uint32)
+    fcls = bits_class(max_freq).astype(np.uint32)
     nblocks = ((df + BLOCK - 1) // BLOCK).astype(np.int64)
 
-    # row allocation per class (row 0 reserved for the sentinel block)
-    bstart = np.zeros(T, dtype=np.int64)
-    class_rows = []
-    for c in range(NUM_CLASSES):
-        in_c = cls == c
-        nb_c = nblocks[in_c]
-        starts_c = np.cumsum(nb_c) - nb_c + 1  # +1 for sentinel row
-        bstart[in_c] = starts_c
-        class_rows.append(int(nb_c.sum()) + 1)
+    def alloc(cls_of_term):
+        """Row allocation per class (row 0 reserved for the sentinel)."""
+        start = np.zeros(T, dtype=np.int64)
+        rows = []
+        for c in range(NUM_CLASSES):
+            in_c = cls_of_term == c
+            nb_c = nblocks[in_c]
+            start[in_c] = np.cumsum(nb_c) - nb_c + 1
+            rows.append(int(nb_c.sum()) + 1)
+        return start, rows
 
-    row_of_entry = bstart[tid_of_entry] + blk_in_term
-    cls_of_entry = cls[tid_of_entry]
+    dstart, drows = alloc(dcls)
+    fstart, frows = alloc(fcls)
 
+    pools_dw, pools_fw, pools_base, pools_bmax, pools_bmaxf = [], [], [], [], []
     for c in range(NUM_CLASSES):
-        rows_c = class_rows[c]
-        dt = CLASS_DTYPES[c]
-        pd = np.zeros((rows_c, BLOCK), dtype=dt)
-        pf = np.zeros((rows_c, BLOCK), dtype=dt)
-        pb = np.zeros(rows_c, dtype=np.uint32)
-        sel = cls_of_entry == c
-        r = row_of_entry[sel]
+        b = BITS[c]
+        # doc-delta pool
+        sel = dcls[tid_of_entry] == c
+        r = (dstart[tid_of_entry] + blk_in_term)[sel]
         ln = lane[sel]
-        pd[r, ln] = delta[sel].astype(dt)
-        pf[r, ln] = e_freq[sel].astype(dt)
+        mat = np.zeros((drows[c], BLOCK), np.uint32)
+        mat[r, ln] = delta[sel]
+        pools_dw.append(pack_blocks(mat, b))
+        pb = np.zeros(drows[c], np.uint32)
         is_base = ln == 0
         pb[r[is_base]] = e_doc[sel][is_base]
-        pbm = np.zeros(rows_c, dtype=np.uint32)
-        np.maximum.at(pbm, r, e_doc[sel])
-        pbmf = np.zeros(rows_c, dtype=np.uint32)
-        np.maximum.at(pbmf, r, e_freq[sel])
-        pools_deltas.append(pd)
-        pools_freqs.append(pf)
         pools_base.append(pb)
+        pbm = np.zeros(drows[c], np.uint32)
+        np.maximum.at(pbm, r, e_doc[sel])
         pools_bmax.append(pbm)
+        # freq pool
+        self_f = fcls[tid_of_entry] == c
+        rf = (fstart[tid_of_entry] + blk_in_term)[self_f]
+        lnf = lane[self_f]
+        matf = np.zeros((frows[c], BLOCK), np.uint32)
+        matf[rf, lnf] = e_freq[self_f]
+        pools_fw.append(pack_blocks(matf, b))
+        pbmf = np.zeros(frows[c], np.uint32)
+        np.maximum.at(pbmf, rf, e_freq[self_f])
         pools_bmaxf.append(pbmf)
 
     pos_base = np.zeros(T, dtype=np.uint64)
@@ -186,8 +201,10 @@ def encode_field_postings(
 
     entries[:, TermCols.DF] = df.astype(np.uint32)
     entries[:, TermCols.TTF] = ttf.astype(np.uint32)
-    entries[:, TermCols.CLS] = cls
-    entries[:, TermCols.BSTART] = bstart.astype(np.uint32)
+    entries[:, TermCols.DCLS] = dcls
+    entries[:, TermCols.FCLS] = fcls
+    entries[:, TermCols.DSTART] = dstart.astype(np.uint32)
+    entries[:, TermCols.FSTART] = fstart.astype(np.uint32)
     entries[:, TermCols.NBLOCKS] = nblocks.astype(np.uint32)
     entries[:, TermCols.POS_BASE] = pos_base.astype(np.uint32)
     entries[:, TermCols.MAX_FREQ] = max_freq
@@ -197,11 +214,11 @@ def encode_field_postings(
         term_blob=term_blob,
         term_offsets=np.asarray(term_offsets, dtype=np.uint64),
         entries=entries,
+        doc_words=tuple(pools_dw),
         base=tuple(pools_base),
         bmax=tuple(pools_bmax),
+        freq_words=tuple(pools_fw),
         bmaxf=tuple(pools_bmaxf),
-        deltas=tuple(pools_deltas),
-        freqs=tuple(pools_freqs),
         norms=norms_arr,
         pos_flat=None if pos_flat is None else np.asarray(pos_flat, np.uint32),
         docs_with_field=int(np.count_nonzero(norms_arr)),
@@ -213,13 +230,15 @@ def encode_field_postings(
 def decode_term(fp: FieldPostings, tid: int) -> Tuple[np.ndarray, np.ndarray]:
     """Reference decoder (host oracle): absolute doc ids + freqs of one term."""
     e = fp.entries[tid]
-    c = int(e[TermCols.CLS])
-    b0 = int(e[TermCols.BSTART])
     nb = int(e[TermCols.NBLOCKS])
     df = int(e[TermCols.DF])
-    d = fp.deltas[c][b0 : b0 + nb].astype(np.uint64)
-    docs = fp.base[c][b0 : b0 + nb].astype(np.uint64)[:, None] + np.cumsum(d, axis=1)
-    freqs = fp.freqs[c][b0 : b0 + nb].astype(np.uint32)
+    dc = int(e[TermCols.DCLS])
+    d0 = int(e[TermCols.DSTART])
+    d = unpack_blocks(fp.doc_words[dc][d0 : d0 + nb], BITS[dc]).astype(np.uint64)
+    docs = fp.base[dc][d0 : d0 + nb].astype(np.uint64)[:, None] + np.cumsum(d, axis=1)
+    fc = int(e[TermCols.FCLS])
+    f0 = int(e[TermCols.FSTART])
+    freqs = unpack_blocks(fp.freq_words[fc][f0 : f0 + nb], BITS[fc])
     return docs.reshape(-1)[:df].astype(np.uint32), freqs.reshape(-1)[:df]
 
 

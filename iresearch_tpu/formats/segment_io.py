@@ -22,7 +22,7 @@ def write_segment(seg: "SegmentData") -> bytes:  # noqa: F821
 
     assert isinstance(seg, SegmentData)
     meta = {
-        "format": "iresearch_tpu/1",
+        "format": "iresearch_tpu/2",  # 2 = pow2-bit-packed split pools
         "num_docs": seg.num_docs,
         "fields": {},
         "columns": {},
@@ -43,8 +43,8 @@ def write_segment(seg: "SegmentData") -> bytes:  # noqa: F821
         if fp.pos_flat is not None:
             w.add(f"{key}.pos", fp.pos_flat)
         for c in range(NUM_CLASSES):
-            w.add(f"{key}.deltas{c}", fp.deltas[c])
-            w.add(f"{key}.freqs{c}", fp.freqs[c])
+            w.add(f"{key}.docw{c}", fp.doc_words[c])
+            w.add(f"{key}.freqw{c}", fp.freq_words[c])
             w.add(f"{key}.base{c}", fp.base[c])
             w.add(f"{key}.bmax{c}", fp.bmax[c])
             w.add(f"{key}.bmaxf{c}", fp.bmaxf[c])
@@ -75,8 +75,8 @@ def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
             base=tuple(r.array(f"{key}.base{c}") for c in range(NUM_CLASSES)),
             bmax=tuple(r.array(f"{key}.bmax{c}") for c in range(NUM_CLASSES)),
             bmaxf=tuple(r.array(f"{key}.bmaxf{c}") for c in range(NUM_CLASSES)),
-            deltas=tuple(r.array(f"{key}.deltas{c}") for c in range(NUM_CLASSES)),
-            freqs=tuple(r.array(f"{key}.freqs{c}") for c in range(NUM_CLASSES)),
+            doc_words=tuple(r.array(f"{key}.docw{c}") for c in range(NUM_CLASSES)),
+            freq_words=tuple(r.array(f"{key}.freqw{c}") for c in range(NUM_CLASSES)),
             norms=r.array(f"{key}.norms"),
             pos_flat=r.array(f"{key}.pos") if f"{key}.pos" in r else None,
             docs_with_field=fm["docs_with_field"],

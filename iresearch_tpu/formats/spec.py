@@ -3,20 +3,21 @@
 Reference format (core/formats/formats_10.cpp:90-333): 128-doc bit-packed
 delta blocks with embedded 9-level skip lists, bitwidth chosen per block.
 
-TPU-native format: a posting list is a run of rows in one of three
-*width-class pools* — ``[rows, 128]`` arrays of u8/u16/u32 — holding within-
-block doc-id deltas and term frequencies, plus a parallel u32 ``base`` array
-holding each block's absolute first doc id.  Consequences:
+TPU-native format: a posting list is a run of *bit-packed block rows* in
+one of six pow2-width classes (see formats/bitpack.py). Doc-delta blocks
+and frequency blocks are classed **independently** (a rare term has wide
+deltas but tiny freqs), mirroring the reference's separate .doc stream
+widths. Consequences:
 
-* every block decodes independently (``docs = base + cumsum(deltas)``) so
-  decode is embarrassingly parallel across the block axis — the role the
-  skip list played for seeks is served by ``base``/``max_doc`` metadata;
-* the bitwidth is class-quantized (8/16/32) instead of arbitrary: decode is
-  a dtype cast, no cross-word bit surgery, and gathers stay aligned;
-* the final partial block is padded with ``delta=0, freq=0``: a padded lane
-  repeats the previous doc id with zero frequency, which contributes
-  *exactly zero* score and zero match count — no masks needed anywhere in
-  the execution path.
+* every block decodes independently (``docs = base + cumsum(unpack(w))``)
+  so decode is embarrassingly parallel across the block axis — the role
+  the skip list played for seeks is served by ``base``/``bmax`` metadata;
+* pow2 widths make unpack repeat+shift+mask — pure VPU, no gathers;
+* the final partial block is padded with ``delta=0, freq=0``: a padded
+  lane repeats the previous doc id with zero frequency, contributing
+  *exactly zero* score and zero match count — no masks anywhere in the
+  execution path; row 0 of every pool is an all-zero sentinel block so
+  gather padding can point at row 0.
 """
 
 from __future__ import annotations
@@ -29,26 +30,26 @@ import numpy as np
 # formats_10.cpp:90). 128 is also the TPU lane count — a block is one vector.
 BLOCK = 128
 
-# Width classes for delta/freq pools.
-CLASS_DTYPES = (np.uint8, np.uint16, np.uint32)
-NUM_CLASSES = len(CLASS_DTYPES)
-CLASS_LIMITS = (1 << 8, 1 << 16, 1 << 32)
+# Width classes: pow2 bit widths (see formats/bitpack.py BITS).
+NUM_CLASSES = 6
 
 
 class TermCols(IntEnum):
-    """Column layout of the per-term entry table (u32 ``[num_terms, 8]``)."""
+    """Column layout of the per-term entry table (u32 ``[num_terms, 10]``)."""
 
     DF = 0         # document frequency
     TTF = 1        # total term frequency (sum of freqs)
-    CLS = 2        # width class of this list's delta/freq blocks
-    BSTART = 3     # first block row within the class pools
-    NBLOCKS = 4    # number of blocks
-    POS_BASE = 5   # offset of this list's positions in the flat position pool
-    MAX_FREQ = 6   # max in-doc frequency (block-max scoring upper bound)
-    MIN_NORM = 7   # min doc length among this term's docs (score upper bound)
+    DCLS = 2       # width class of this list's doc-delta blocks
+    FCLS = 3       # width class of this list's freq blocks
+    DSTART = 4     # first block row within the doc-class pool
+    FSTART = 5     # first block row within the freq-class pool
+    NBLOCKS = 6    # number of blocks
+    POS_BASE = 7   # offset of this list's positions in the flat position pool
+    MAX_FREQ = 8   # max in-doc frequency (block-max scoring upper bound)
+    MIN_NORM = 9   # min doc length among this term's docs (score upper bound)
 
 
-NUM_TERM_COLS = 8
+NUM_TERM_COLS = 10
 
 
 class IndexFeatures(IntFlag):
@@ -62,8 +63,3 @@ class IndexFeatures(IntFlag):
     POS = 2
     OFFS = 4
     PAY = 8
-
-
-def width_class(max_value: np.ndarray | int) -> np.ndarray | int:
-    """Smallest class whose dtype can hold ``max_value``."""
-    return np.digitize(max_value, (CLASS_LIMITS[0], CLASS_LIMITS[1]))

@@ -14,9 +14,10 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from iresearch_tpu.formats.bitpack import BITS, unpack_blocks
 from iresearch_tpu.formats.columnstore import ColumnBuilder
 from iresearch_tpu.formats.postings import FieldPostings, encode_field_postings
-from iresearch_tpu.formats.spec import BLOCK, TermCols
+from iresearch_tpu.formats.spec import BLOCK, NUM_CLASSES, TermCols
 from iresearch_tpu.index.segment import SegmentData, SegmentReader
 
 
@@ -38,34 +39,35 @@ def _decode_all_entries(fp: FieldPostings):
     # per-class vectorized block decode
     ptr = np.zeros(T + 1, np.int64)
     np.cumsum(df, out=ptr[1:])
-    for c in range(3):
-        sel = np.flatnonzero(fp.entries[:, TermCols.CLS] == c)
-        if len(sel) == 0:
-            continue
-        nb = fp.entries[sel, TermCols.NBLOCKS].astype(np.int64)
-        b0 = fp.entries[sel, TermCols.BSTART].astype(np.int64)
-        # rows of all blocks of all selected terms
-        rows = np.repeat(b0, nb) + (
-            np.arange(int(nb.sum())) - np.repeat(np.cumsum(nb) - nb, nb)
-        )
-        deltas = fp.deltas[c][rows].astype(np.uint64)
-        docs = fp.base[c][rows].astype(np.uint64)[:, None] + np.cumsum(deltas, axis=1)
-        freqs = fp.freqs[c][rows].astype(np.uint32)
-        # write back the valid prefix of each term's flattened blocks
-        term_df = df[sel]
-        flat_docs = docs.reshape(-1)
-        flat_freqs = freqs.reshape(-1)
-        # index of each valid entry within the flattened per-term blocks
-        blk_base = np.repeat(
-            (np.cumsum(nb) - nb) * BLOCK, term_df
-        )  # start of term's flat span
-        within = np.arange(int(term_df.sum())) - np.repeat(
-            np.cumsum(term_df) - term_df, term_df
-        )
-        src = blk_base + within
-        dst = np.repeat(ptr[sel], term_df) + within
-        e_doc[dst] = flat_docs[src].astype(np.uint32)
-        e_freq[dst] = flat_freqs[src]
+    def scatter_decoded(cls_col, start_col, decode_rows, out):
+        """Per-class vectorized decode of the valid prefix of each term."""
+        for c in range(NUM_CLASSES):
+            sel = np.flatnonzero(fp.entries[:, cls_col] == c)
+            if len(sel) == 0:
+                continue
+            nb = fp.entries[sel, TermCols.NBLOCKS].astype(np.int64)
+            b0 = fp.entries[sel, start_col].astype(np.int64)
+            rows = np.repeat(b0, nb) + (
+                np.arange(int(nb.sum())) - np.repeat(np.cumsum(nb) - nb, nb)
+            )
+            flat = decode_rows(c, rows).reshape(-1)
+            term_df = df[sel]
+            blk_base = np.repeat((np.cumsum(nb) - nb) * BLOCK, term_df)
+            within = np.arange(int(term_df.sum())) - np.repeat(
+                np.cumsum(term_df) - term_df, term_df
+            )
+            dst = np.repeat(ptr[sel], term_df) + within
+            out[dst] = flat[blk_base + within].astype(np.uint32)
+
+    def decode_docs(c, rows):
+        deltas = unpack_blocks(fp.doc_words[c][rows], BITS[c]).astype(np.uint64)
+        return fp.base[c][rows].astype(np.uint64)[:, None] + np.cumsum(deltas, axis=1)
+
+    def decode_freqs(c, rows):
+        return unpack_blocks(fp.freq_words[c][rows], BITS[c])
+
+    scatter_decoded(TermCols.DCLS, TermCols.DSTART, decode_docs, e_doc)
+    scatter_decoded(TermCols.FCLS, TermCols.FSTART, decode_freqs, e_freq)
     pos_off = np.zeros(E, np.int64)
     if E:
         np.cumsum(e_freq[:-1], out=pos_off[1:])

@@ -44,29 +44,30 @@ class DeviceField:
     def __init__(self, fp: FieldPostings) -> None:
         import jax.numpy as jnp
 
-        self.deltas = []
-        self.freqs = []
+        def pad_rows(arr, rp):
+            out = np.zeros((rp,) + arr.shape[1:], arr.dtype)
+            out[: arr.shape[0]] = arr
+            return out
+
+        self.doc_words = []
+        self.freq_words = []
         self.base = []
         self.bmax = []
         self.bmaxf = []
         for c in range(NUM_CLASSES):
-            rows = fp.deltas[c].shape[0]
-            rp = _pow2(rows)
-            d = np.zeros((rp, fp.deltas[c].shape[1]), fp.deltas[c].dtype)
-            d[:rows] = fp.deltas[c]
-            f = np.zeros((rp, fp.freqs[c].shape[1]), fp.freqs[c].dtype)
-            f[:rows] = fp.freqs[c]
-            b = np.zeros(rp, np.uint32)
-            b[:rows] = fp.base[c]
-            bm = np.zeros(rp, np.uint32)
-            bm[:rows] = fp.bmax[c]
-            bmf = np.zeros(rp, np.uint32)
-            bmf[:rows] = fp.bmaxf[c]
-            self.deltas.append(jnp.asarray(d))
-            self.freqs.append(jnp.asarray(f))
-            self.base.append(jnp.asarray(b.astype(np.int32)))
-            self.bmax.append(jnp.asarray(bm.astype(np.int32)))
-            self.bmaxf.append(jnp.asarray(bmf.astype(np.int32)))
+            rp = _pow2(fp.doc_words[c].shape[0])
+            self.doc_words.append(jnp.asarray(pad_rows(fp.doc_words[c], rp)))
+            self.base.append(
+                jnp.asarray(pad_rows(fp.base[c], rp).astype(np.int32))
+            )
+            self.bmax.append(
+                jnp.asarray(pad_rows(fp.bmax[c], rp).astype(np.int32))
+            )
+            rpf = _pow2(fp.freq_words[c].shape[0])
+            self.freq_words.append(jnp.asarray(pad_rows(fp.freq_words[c], rpf)))
+            self.bmaxf.append(
+                jnp.asarray(pad_rows(fp.bmaxf[c], rpf).astype(np.int32))
+            )
         nd_pad = _pow2(len(fp.norms))
         norms = np.ones(nd_pad, np.float32)
         norms[: len(fp.norms)] = np.maximum(fp.norms, 1).astype(np.float32)

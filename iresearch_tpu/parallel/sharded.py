@@ -22,7 +22,8 @@ import numpy as np
 
 from iresearch_tpu.exec.executor import _NEG_INF, segment_body
 from iresearch_tpu.exec.plan import PlanCompiler, SegmentPlan
-from iresearch_tpu.formats.spec import CLASS_DTYPES, NUM_CLASSES
+from iresearch_tpu.formats.bitpack import BITS, words_per_block
+from iresearch_tpu.formats.spec import NUM_CLASSES
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.host_eval import HostQuery
 from iresearch_tpu.search.scorers import BM25, Scorer
@@ -47,11 +48,13 @@ def _pow2(n: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "tree", "scorer", "num_leaves", "k", "nd", "per_shard"),
+    static_argnames=(
+        "mesh", "tree", "gbits", "scorer", "num_leaves", "k", "nd", "per_shard"
+    ),
 )
 def _sharded_topk(
-    pools_st,  # tuple per group: (deltas [S,R,128], freqs, base [S,R], norms [S,nd])
-    rowsets_st,  # tuple per group: (rows [S,R], w [S,R], leaf [S,R])
+    pools_st,  # per group: (doc_words [S,R,4b], freq_words [S,Rf,4b], base [S,R], norms [S,nd])
+    rowsets_st,  # per group: (rows_d [S,R], rows_f [S,R], w [S,R], leaf [S,R])
     avgdl,  # f32 [G] (replicated)
     leaf_min,  # i32 [L] (replicated)
     aux_match,  # bool [S, A, nd] or None
@@ -61,6 +64,7 @@ def _sharded_topk(
     *,
     mesh,
     tree,
+    gbits,
     scorer: Scorer,
     num_leaves: int,
     k: int,
@@ -83,7 +87,9 @@ def _sharded_topk(
             pools_s = tuple(
                 (d[s], f[s], b[s], n[s]) for (d, f, b, n) in pools_l
             )
-            rowsets_s = tuple((r[s], w[s], l[s]) for (r, w, l) in rowsets_l)
+            rowsets_s = tuple(
+                (rd[s], rf[s], w[s], l[s]) for (rd, rf, w, l) in rowsets_l
+            )
             am = None if aux_m_l is None else aux_m_l[s]
             asc = None if aux_s_l is None else aux_s_l[s]
             match, score = segment_body(
@@ -95,6 +101,7 @@ def _sharded_topk(
                 asc,
                 alive_l[s],
                 tree=tree,
+                gbits=gbits,
                 scorer=scorer,
                 num_leaves=num_leaves,
                 nd=nd,
@@ -115,7 +122,7 @@ def _sharded_topk(
     sh = P(AXIS)
     in_specs = (
         tuple((sh, sh, sh, sh) for _ in pools_st),
-        tuple((sh, sh, sh) for _ in rowsets_st),
+        tuple((sh, sh, sh, sh) for _ in rowsets_st),
         sh,
         sh,
         sh,
@@ -178,39 +185,48 @@ class ShardedSearcher:
         return self._put(alive, 2)
 
     def _field_pools(self, fname: str):
-        """Stacked (deltas, freqs, base, norms) per class for one field."""
+        """Stacked per-class pools for one field: ([(doc_words, base)],
+        [(freq_words,)], norms)."""
         cached = self._field_pool_cache.get(fname)
         if cached is not None:
             return cached
-        per_class = []
-        for c in range(NUM_CLASSES):
-            rmax = 1
-            for sr in self.segments:
-                fp = sr.field(fname)
-                if fp is not None:
-                    rmax = max(rmax, fp.deltas[c].shape[0])
-            rmax = _pow2(rmax)
-            dt = CLASS_DTYPES[c]
-            deltas = np.zeros((self.S, rmax, 128), dt)
-            freqs = np.zeros((self.S, rmax, 128), dt)
-            base = np.zeros((self.S, rmax), np.int32)
-            for i, sr in enumerate(self.segments):
-                fp = sr.field(fname)
-                if fp is None:
-                    continue
-                r = fp.deltas[c].shape[0]
-                deltas[i, :r] = fp.deltas[c]
-                freqs[i, :r] = fp.freqs[c]
-                base[i, :r] = fp.base[c].astype(np.int32)
-            per_class.append(
-                (self._put(deltas, 3), self._put(freqs, 3), self._put(base, 2))
-            )
+
+        def stack(attr, extra=None):
+            per_class = []
+            for c in range(NUM_CLASSES):
+                rmax = 1
+                for sr in self.segments:
+                    fp = sr.field(fname)
+                    if fp is not None:
+                        rmax = max(rmax, getattr(fp, attr)[c].shape[0])
+                rmax = _pow2(rmax)
+                words = np.zeros(
+                    (self.S, rmax, words_per_block(BITS[c])), np.uint32
+                )
+                extra_arr = np.zeros((self.S, rmax), np.int32)
+                for i, sr in enumerate(self.segments):
+                    fp = sr.field(fname)
+                    if fp is None:
+                        continue
+                    src = getattr(fp, attr)[c]
+                    words[i, : src.shape[0]] = src
+                    if extra is not None:
+                        e = getattr(fp, extra)[c]
+                        extra_arr[i, : len(e)] = e.astype(np.int32)
+                if extra is not None:
+                    per_class.append((self._put(words, 3), self._put(extra_arr, 2)))
+                else:
+                    per_class.append((self._put(words, 3),))
+            return per_class
+
+        doc_cls = stack("doc_words", "base")
+        freq_cls = stack("freq_words")
         norms = np.ones((self.S, self.nd_pad), np.float32)
         for i, sr in enumerate(self.segments):
             fp = sr.field(fname)
             if fp is not None:
                 norms[i, : len(fp.norms)] = np.maximum(fp.norms, 1)
-        out = (per_class, self._put(norms, 2))
+        out = (doc_cls, freq_cls, self._put(norms, 2))
         self._field_pool_cache[fname] = out
         return out
 
@@ -238,35 +254,46 @@ class ShardedSearcher:
         num_leaves = plans[0].num_leaves
         leaf_min = plans[0].leaf_min_match
 
-        # union of (field, cls) groups over all shards
-        keys = sorted({(g.field_name, g.cls) for p in plans for g in p.groups})
+        # union of (field, dcls, fcls) groups over all shards
+        keys = sorted(
+            {(g.field_name, g.dcls, g.fcls) for p in plans for g in p.groups}
+        )
         G = len(keys)
         rmax = {kk: 8 for kk in keys}
         for p in plans:
             for g in p.groups:
-                rmax[(g.field_name, g.cls)] = max(
-                    rmax[(g.field_name, g.cls)], len(g.rows)
-                )
+                kk = (g.field_name, g.dcls, g.fcls)
+                rmax[kk] = max(rmax[kk], len(g.rows_d))
         pools_st = []
         rowsets_st = []
+        gbits = []
         avgdl = np.ones(max(G, 1), np.float32)
-        for gi, (fname, cls) in enumerate(keys):
-            per_class, norms = self._field_pools(fname)
-            deltas, freqs, base = per_class[cls]
-            pools_st.append((deltas, freqs, base, norms))
-            R = _pow2(rmax[(fname, cls)])
-            rows = np.zeros((self.S, R), np.int32)
+        for gi, (fname, dcls, fcls) in enumerate(keys):
+            doc_cls, freq_cls, norms = self._field_pools(fname)
+            doc_words, base = doc_cls[dcls]
+            (freq_words,) = freq_cls[fcls]
+            pools_st.append((doc_words, freq_words, base, norms))
+            gbits.append((BITS[dcls], BITS[fcls]))
+            R = _pow2(rmax[(fname, dcls, fcls)])
+            rows_d = np.zeros((self.S, R), np.int32)
+            rows_f = np.zeros((self.S, R), np.int32)
             w = np.zeros((self.S, R), np.float32)
             leaf = np.zeros((self.S, R), np.int32)
             for i, p in enumerate(plans):
                 for gi2, g in enumerate(p.groups):
-                    if (g.field_name, g.cls) == (fname, cls):
-                        rows[i, : len(g.rows)] = g.rows
+                    if (g.field_name, g.dcls, g.fcls) == (fname, dcls, fcls):
+                        rows_d[i, : len(g.rows_d)] = g.rows_d
+                        rows_f[i, : len(g.rows_f)] = g.rows_f
                         w[i, : len(g.weight)] = g.weight
                         leaf[i, : len(g.leaf)] = g.leaf
                         avgdl[gi] = p.group_avgdl[gi2]
             rowsets_st.append(
-                (self._put(rows, 2), self._put(w, 2), self._put(leaf, 2))
+                (
+                    self._put(rows_d, 2),
+                    self._put(rows_f, 2),
+                    self._put(w, 2),
+                    self._put(leaf, 2),
+                )
             )
 
         # aux arrays are always materialized (A >= 1) so the shard_map
@@ -295,6 +322,7 @@ class ShardedSearcher:
             self._put(self._doc_base, 1),
             mesh=self.mesh,
             tree=tree,
+            gbits=tuple(gbits),
             scorer=scorer,
             num_leaves=num_leaves,
             k=min(k, self.nd_pad),

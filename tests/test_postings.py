@@ -110,33 +110,38 @@ class TestPostingsCodec:
                 assert list(got) == ps
 
     def test_sentinel_rows(self, rng):
+        from iresearch_tpu.formats.spec import NUM_CLASSES
+
         fp, _ = encode_corpus(rng)
-        for c in range(3):
-            assert fp.deltas[c][0].max() == 0
-            assert fp.freqs[c][0].max() == 0
+        for c in range(NUM_CLASSES):
+            assert fp.doc_words[c][0].max() == 0
+            assert fp.freq_words[c][0].max() == 0
             assert fp.base[c][0] == 0
             # every real list starts at row >= 1
-        assert (fp.entries[:, TermCols.BSTART] >= 1).all()
+        assert (fp.entries[:, TermCols.DSTART] >= 1).all()
+        assert (fp.entries[:, TermCols.FSTART] >= 1).all()
 
     def test_block_metadata(self, rng):
         fp, truth = encode_corpus(rng, num_docs=1000, vocab=5, avg_len=20)
         for t in range(fp.num_terms):
             e = fp.entries[t]
-            c, b0, nb = int(e[TermCols.CLS]), int(e[TermCols.BSTART]), int(e[TermCols.NBLOCKS])
+            dc, d0 = int(e[TermCols.DCLS]), int(e[TermCols.DSTART])
+            fc, f0 = int(e[TermCols.FCLS]), int(e[TermCols.FSTART])
+            nb = int(e[TermCols.NBLOCKS])
             docs, freqs = decode_term(fp, t)
             # per-block max doc / max freq are exact
             for bi in range(nb):
                 blk_docs = docs[bi * BLOCK : (bi + 1) * BLOCK]
                 blk_freqs = freqs[bi * BLOCK : (bi + 1) * BLOCK]
-                assert fp.bmax[c][b0 + bi] == blk_docs.max()
-                assert fp.bmaxf[c][b0 + bi] == blk_freqs.max()
-                assert fp.base[c][b0 + bi] == blk_docs[0]
+                assert fp.bmax[dc][d0 + bi] == blk_docs.max()
+                assert fp.bmaxf[fc][f0 + bi] == blk_freqs.max()
+                assert fp.base[dc][d0 + bi] == blk_docs[0]
             assert e[TermCols.MAX_FREQ] == freqs.max()
             assert e[TermCols.DF] == len(docs)
             assert e[TermCols.TTF] == freqs.sum()
 
     def test_width_classes(self):
-        # doc gaps force u16 and u32 classes
+        # doc gaps force 16- and 32-bit doc classes; freqs stay 1-bit
         e_doc = np.array([0, 1000, 2000, 5, 200000, 400000], np.uint32)
         e_freq = np.array([1, 1, 1, 1, 1, 1], np.uint32)
         term_ptr = np.array([0, 3, 6], np.int64)
@@ -144,8 +149,11 @@ class TestPostingsCodec:
         fp = encode_field_postings(
             e_doc, e_freq, term_ptr, b"ab", np.array([0, 1, 2], np.uint64), norms
         )
-        assert fp.entries[0, TermCols.CLS] == 1  # gaps of 1000 -> u16
-        assert fp.entries[1, TermCols.CLS] == 2  # gaps of 200000 -> u32
+        from iresearch_tpu.formats.bitpack import BITS
+
+        assert BITS[fp.entries[0, TermCols.DCLS]] == 16  # gaps of 1000
+        assert BITS[fp.entries[1, TermCols.DCLS]] == 32  # gaps of 200000
+        assert BITS[fp.entries[0, TermCols.FCLS]] == 1  # freq 1
         for t in [0, 1]:
             docs, freqs = decode_term(fp, t)
             np.testing.assert_array_equal(docs, e_doc[term_ptr[t] : term_ptr[t + 1]])
