@@ -7,5 +7,6 @@ registered by name and configured from JSON, mirroring ``analyzers::get``
 
 from iresearch_tpu.analysis.token import Token
 from iresearch_tpu.analysis.analyzers import Analyzer, get, register, registered
+from iresearch_tpu.analysis import numeric as _numeric  # registers "numeric"
 
 __all__ = ["Token", "Analyzer", "get", "register", "registered"]

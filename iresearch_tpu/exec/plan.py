@@ -33,9 +33,24 @@ from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.scorers import Scorer
 
 # Leaf filters whose expansion is a set of (term, boost) postings slices.
-TERM_LEAVES = (F.ByTerm, F.ByTerms, F.ByPrefix, F.ByRange, F.ByWildcard, F.ByEditDistance)
+TERM_LEAVES = (
+    F.ByTerm,
+    F.ByTerms,
+    F.ByPrefix,
+    F.ByRange,
+    F.ByGranularRange,
+    F.ByWildcard,
+    F.ByEditDistance,
+)
 # Leaves executed by the host oracle and injected as dense aux arrays.
-AUX_LEAVES = (F.ByPhrase, F.BySamePosition, F.ByNested, F.ByColumnExistence, F.Proxy)
+AUX_LEAVES = (
+    F.ByPhrase,
+    F.BySamePosition,
+    F.ByNgramSimilarity,
+    F.ByNested,
+    F.ByColumnExistence,
+    F.Proxy,
+)
 
 
 def _pow2(n: int) -> int:

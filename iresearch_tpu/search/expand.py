@@ -224,7 +224,7 @@ def expand_leaf(flt: F.Filter, segments: List[SegmentReader]) -> LeafExpansion:
         exp.finalize_stats()
         return exp
 
-    if isinstance(flt, (F.ByPrefix, F.ByRange, F.ByWildcard)):
+    if isinstance(flt, (F.ByPrefix, F.ByRange, F.ByWildcard, F.ByGranularRange)):
         hits: List[TermHit] = []
         for s, sr in enumerate(segments):
             fp = sr.field(getattr(flt, "field"))
@@ -307,6 +307,17 @@ def _iterate_matching(flt, sr: SegmentReader):
         terms = sr.terms(flt.field)
         for tid in range(lo, hi):
             yield tid, terms[tid]
+        return
+    if isinstance(flt, F.ByGranularRange):
+        from iresearch_tpu.analysis.numeric import granular_term_ranges
+
+        terms = sr.terms(flt.field)
+        for tlo, thi in granular_term_ranges(
+            flt.low, flt.high, flt.include_low, flt.include_high
+        ):
+            lo, hi = sr.term_range(flt.field, tlo, thi, True, True)
+            for tid in range(lo, hi):
+                yield tid, terms[tid]
         return
     if isinstance(flt, F.ByWildcard):
         kind = classify_wildcard(flt.pattern)

@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from iresearch_tpu.formats.postings import decode_positions, decode_term
+from iresearch_tpu.formats.spec import TermCols
 from iresearch_tpu.index.segment import SegmentReader
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.expand import (
@@ -75,7 +76,16 @@ class HostQuery:
 
     def _collect(self, flt: F.Filter) -> None:
         if isinstance(
-            flt, (F.ByTerm, F.ByTerms, F.ByPrefix, F.ByRange, F.ByWildcard, F.ByEditDistance)
+            flt,
+            (
+                F.ByTerm,
+                F.ByTerms,
+                F.ByPrefix,
+                F.ByRange,
+                F.ByGranularRange,
+                F.ByWildcard,
+                F.ByEditDistance,
+            ),
         ):
             self._expansions[id(flt)] = expand_leaf(flt, self.segments)
         elif isinstance(flt, (F.And, F.Or)):
@@ -137,11 +147,22 @@ class HostQuery:
             r = self._eval(flt.filter, s, boost * flt.boost)
             return HostResult(cached, r.score)
         if isinstance(
-            flt, (F.ByTerm, F.ByTerms, F.ByPrefix, F.ByRange, F.ByWildcard, F.ByEditDistance)
+            flt,
+            (
+                F.ByTerm,
+                F.ByTerms,
+                F.ByPrefix,
+                F.ByRange,
+                F.ByGranularRange,
+                F.ByWildcard,
+                F.ByEditDistance,
+            ),
         ):
             return self._eval_terms_leaf(flt, s, boost)
         if isinstance(flt, (F.ByPhrase, F.BySamePosition)):
             return self._eval_positional(flt, s, boost)
+        if isinstance(flt, F.ByNgramSimilarity):
+            return self._eval_ngram_similarity(flt, s, boost)
         if isinstance(flt, F.ByNested):
             return self._eval_nested(flt, s, boost)
         if isinstance(flt, F.And):
@@ -259,6 +280,99 @@ class HostQuery:
                     avgdl,
                 )[0, 0]
                 match[d] = True
+        return HostResult(match, score)
+
+    def _eval_ngram_similarity(self, flt, s: int, boost: float) -> HostResult:
+        """Longest ngram-subsequence matching (ngram_similarity_query.cpp).
+
+        A doc matches when the longest subsequence of the query ngrams that
+        appears at strictly increasing positions has length >= ceil(Q *
+        threshold); score = filter_boost (len/Q) * scorer(tf=count of
+        position-disjoint longest sequences). Difference from the
+        reference: disjoint repeats may use any longest pattern, not only
+        the first-found one.
+        """
+        import math as _math
+
+        sr = self.segments[s]
+        nd = sr.num_docs
+        score = np.zeros(nd, np.float32)
+        match = np.zeros(nd, bool)
+        fp = sr.field(flt.field)
+        if fp is None or fp.pos_flat is None or not flt.ngrams:
+            return HostResult(match, score)
+        Q = len(flt.ngrams)
+        mm = min(max(int(_math.ceil(Q * flt.threshold)), 1), Q)
+        # positions per query index per doc
+        doc_pos: Dict[int, List[List[int]]] = {}
+        idf_sum = 0.0
+        dwf, ttf = self._field(flt.field)
+        avgdl = (ttf / dwf) if dwf else 1.0
+        for qi, g in enumerate(flt.ngrams):
+            df_total = 0
+            for sr2 in self.segments:
+                fp2 = sr2.field(flt.field)
+                tid2 = sr2.lookup_term(flt.field, g)
+                if fp2 is not None and tid2 is not None:
+                    df_total += int(fp2.entries[tid2, TermCols.DF])
+            idf_sum += self.scorer.idf(max(df_total, 1), max(dwf, 1))
+            tid = sr.lookup_term(flt.field, g)
+            if tid is None:
+                continue
+            docs, _ = decode_term(fp, tid)
+            plists = decode_positions(fp, tid)
+            for d, ps in zip(docs, plists):
+                slots = doc_pos.setdefault(int(d), [[] for _ in range(Q)])
+                slots[qi].extend(int(p) for p in ps)
+
+        def longest_chain(slots, used):
+            """(best_len, positions of one best chain) via LIS-style DP."""
+            best_len = 0
+            best_chain: List[int] = []
+            # state per qi: list of (pos, length, chain)
+            prev: Dict[int, Tuple[int, List[int]]] = {}  # pos -> (len, chain)
+            for qi in range(len(slots)):
+                cur: Dict[int, Tuple[int, List[int]]] = {}
+                for p in slots[qi]:
+                    if p in used:
+                        continue
+                    bl, bc = 0, []
+                    for pp, (l2, c2) in prev.items():
+                        if pp < p and l2 > bl:
+                            bl, bc = l2, c2
+                    cur[p] = (bl + 1, bc + [p])
+                    if bl + 1 > best_len:
+                        best_len, best_chain = bl + 1, cur[p][1]
+                for p, v in cur.items():
+                    if p not in prev or v[0] > prev[p][0]:
+                        prev[p] = v
+            return best_len, best_chain
+
+        for d, slots in doc_pos.items():
+            if not sr.alive[d]:
+                continue
+            used: set = set()
+            L, chain = longest_chain(slots, used)
+            if L < mm:
+                continue
+            freq = 0
+            Lbest = L
+            while L == Lbest and chain:
+                freq += 1
+                used.update(chain)
+                L, chain = longest_chain(slots, used)
+            fb = Lbest / Q
+            w = self.scorer.term_weight(boost * flt.boost, idf_sum)
+            dl = np.float32(max(int(fp.norms[d]), 1))
+            sc = score_block(
+                self.scorer,
+                np.float32(w),
+                np.float32(freq).reshape(1, 1),
+                dl.reshape(1, 1),
+                avgdl,
+            )[0, 0]
+            score[d] = fb * sc
+            match[d] = True
         return HostResult(match, score)
 
     def _phrase_part_df(self, field_name: str, tids_in_sr, sr) -> int:
