@@ -278,6 +278,22 @@ class IndexWriter:
     def committed_meta(self) -> IndexMeta:
         return self._meta
 
+    def import_segments(self, datas: Sequence[SegmentData]) -> None:
+        """Add already-built segments (reference: IndexWriter::Import,
+        index_writer.cpp:1653). They are published at the next commit;
+        removes registered after this call apply to them."""
+        with self._mutex:
+            for seg in datas:
+                self._tick += 1
+                self._flushed.append(seg)
+                self._flushed_ticks.append([self._tick] * seg.num_docs)
+
+    def import_reader(self, reader) -> None:
+        """Import every live doc of another index (cross-index segment copy)."""
+        from iresearch_tpu.index.merge import merge_segments
+
+        self.import_segments([merge_segments([sr]) for sr in reader.segments])
+
     def begin(self) -> bool:
         """Prepare-commit (reference: IndexWriter::Begin). Combined into
         commit() here; provided for API parity."""
