@@ -80,6 +80,104 @@ def _fold_tree(tree, leaf_match, leaf_score, aux_match, aux_score, nd, jnp):
     raise ValueError(f"bad tree node {tree!r}")
 
 
+def _group_contrib(pool, rows_d, rows_f, w, bd: int, bf: int, avgdl, scorer):
+    """Decode one row group -> (docs i32 [R,128], scores f32, matched bool).
+
+    The reference's doc_iterator refill loop (formats_10.cpp:2089-2120) as
+    one fused vector pass: unpack, prefix-sum, norm gather, score.
+    """
+    import jax.numpy as jnp
+
+    from iresearch_tpu.formats.bitpack import unpack_jnp
+
+    doc_words, freq_words, base, norms = pool
+    d = unpack_jnp(doc_words[rows_d], bd).astype(jnp.int32)  # [R, 128]
+    docs = base[rows_d][:, None] + jnp.cumsum(d, axis=1)
+    f = unpack_jnp(freq_words[rows_f], bf).astype(jnp.float32)
+    dl = norms[docs]
+    sc = score_block(scorer, w[:, None], f, dl, avgdl, xp=jnp)
+    return docs, sc, f > 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("gbits", "scorer", "k", "nd", "sample"),
+)
+def _run_segment_wand(
+    pools,  # tuple per group: (doc_words, freq_words, base, norms)
+    rowsets,  # tuple per group: (rows_d, rows_f, w, ub, other) each [R]
+    avgdl,  # f32 [num_groups]
+    alive,  # bool [nd]
+    *,
+    gbits,
+    scorer: Scorer,
+    k: int,
+    nd: int,
+    sample: int,
+):
+    """Block-max WAND top-k for single-leaf min-match-1 plans.
+
+    Reference: the wanderator (formats_10.cpp:2426-2825) skips blocks whose
+    skip-list score bound is below the running threshold. Dense analog:
+    (1) sort blocks by upper bound, decode only the top `sample` blocks per
+    group, scatter partial scores, take the k-th partial score as a LOWER
+    bound θ of the true k-th score; (2) redirect every block with
+    ub + other_terms_max < θ to sentinel row 0 — its HBM reads collapse to
+    one cached row — and run the normal dense pass. Exact: a pruned
+    block's docs have total score ≤ ub + other < θ ≤ true k-th.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    sorted_sets = []
+    partial = jnp.zeros(nd, jnp.float32)
+    pmatch = jnp.zeros(nd, bool)
+    for gi, (pool, (rows_d, rows_f, w, ub, other)) in enumerate(zip(pools, rowsets)):
+        bd, bf = gbits[gi]
+        order = jnp.argsort(-ub)
+        rows_d = rows_d[order]
+        rows_f = rows_f[order]
+        w = w[order]
+        ub = ub[order]
+        other = other[order]
+        sorted_sets.append((rows_d, rows_f, w, ub, other))
+        s = min(sample, rows_d.shape[0])
+        docs, sc, m = _group_contrib(
+            pool, rows_d[:s], rows_f[:s], w[:s], bd, bf, avgdl[gi], scorer
+        )
+        partial = partial.at[docs].add(sc, mode="drop")
+        pmatch = pmatch.at[docs].max(m, mode="drop")
+    masked = jnp.where(pmatch & alive, partial, _NEG_INF)
+    theta = lax.top_k(masked, k)[0][k - 1]
+    # Safety margin: the sampled pass sums contributions in a different
+    # order than the full pass, so θ can sit a few ulp above the true
+    # k-th score; shave a relative epsilon so no true top-k block is
+    # pruned (the analog of the reference's nextafter dance,
+    # formats_10.cpp:2434-2441). -inf stays -inf.
+    theta = jnp.where(
+        jnp.isfinite(theta), theta - jnp.abs(theta) * 1e-5 - 1e-30, theta
+    )
+
+    score = jnp.zeros(nd, jnp.float32)
+    count = jnp.zeros(nd, bool)
+    for gi, (pool, (rows_d, rows_f, w, ub, other)) in enumerate(
+        zip(pools, sorted_sets)
+    ):
+        bd, bf = gbits[gi]
+        keep = (ub + other) >= theta
+        rows_d = jnp.where(keep, rows_d, 0)
+        rows_f = jnp.where(keep, rows_f, 0)
+        w = jnp.where(keep, w, 0.0)
+        docs, sc, m = _group_contrib(
+            pool, rows_d, rows_f, w, bd, bf, avgdl[gi], scorer
+        )
+        score = score.at[docs].add(sc, mode="drop")
+        count = count.at[docs].max(m, mode="drop")
+    match = count & alive
+    vals, docs = lax.top_k(jnp.where(match, score, _NEG_INF), k)
+    return vals, docs
+
+
 def segment_body(
     pools,  # tuple per group: (doc_words, freq_words, base, norms)
     rowsets,  # tuple per group: (rows_d i32[R], rows_f i32[R], w f32[R], leaf i32[R])
@@ -106,19 +204,16 @@ def segment_body(
 
     leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
     leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
-    for gi, ((doc_words, freq_words, base, norms), (rows_d, rows_f, w, leaf)) in (
-        enumerate(zip(pools, rowsets))
-    ):
+    for gi, (pool, (rows_d, rows_f, w, leaf)) in enumerate(zip(pools, rowsets)):
         bd, bf = gbits[gi]
-        d = unpack_jnp(doc_words[rows_d], bd).astype(jnp.int32)  # [R, 128]
-        docs = base[rows_d][:, None] + jnp.cumsum(d, axis=1)
-        f = unpack_jnp(freq_words[rows_f], bf).astype(jnp.float32)
-        dl = norms[docs]
-        sc = score_block(scorer, w[:, None], f, dl, avgdl[gi], xp=jnp)
-        matched = (f > 0).astype(jnp.int32)
+        docs, sc, matched = _group_contrib(
+            pool, rows_d, rows_f, w, bd, bf, avgdl[gi], scorer
+        )
         leaf_ix = leaf[:, None]
         leaf_score = leaf_score.at[leaf_ix, docs].add(sc, mode="drop")
-        leaf_count = leaf_count.at[leaf_ix, docs].add(matched, mode="drop")
+        leaf_count = leaf_count.at[leaf_ix, docs].add(
+            matched.astype(jnp.int32), mode="drop"
+        )
 
     leaf_match = leaf_count >= leaf_min[:, None]
     leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
@@ -184,9 +279,13 @@ class DeviceQuery:
         flt: F.Filter,
         segments: Sequence,
         scorer: Optional[Scorer] = None,
+        wand: bool = False,
+        wand_sample: int = 16,
     ) -> None:
         self.flt = flt
         self.scorer = scorer or BM25()
+        self.wand = wand
+        self.wand_sample = wand_sample
         self.prepared = HostQuery(flt, list(segments), self.scorer)
         self.compiler = PlanCompiler(self.prepared, self.scorer)
         self._plans: Dict[int, SegmentPlan] = {}
@@ -194,7 +293,7 @@ class DeviceQuery:
     def plan(self, seg_idx: int) -> SegmentPlan:
         p = self._plans.get(seg_idx)
         if p is None:
-            p = self.compiler.compile(self.flt, seg_idx)
+            p = self.compiler.compile(self.flt, seg_idx, wand=self.wand)
             self._plans[seg_idx] = p
         return p
 
@@ -239,6 +338,29 @@ class DeviceQuery:
         plan = self.plan(seg_idx)
         pools, rowsets, gbits, am, asc, alive = self._device_inputs(plan)
         kk = min(k, plan.nd_pad)
+        if plan.groups and plan.groups[0].ub is not None:
+            wand_rowsets = tuple(
+                (
+                    rs[0],
+                    rs[1],
+                    rs[2],
+                    jnp.asarray(g.ub),
+                    jnp.asarray(g.other),
+                )
+                for rs, g in zip(rowsets, plan.groups)
+            )
+            vals, docs = _run_segment_wand(
+                tuple(pools),
+                wand_rowsets,
+                jnp.asarray(plan.group_avgdl),
+                alive,
+                gbits=gbits,
+                scorer=self.scorer,
+                k=kk,
+                nd=plan.nd_pad,
+                sample=self.wand_sample,
+            )
+            return np.asarray(vals), np.asarray(docs)
         vals, docs = _run_segment(
             tuple(pools),
             tuple(rowsets),

@@ -73,6 +73,9 @@ class RowGroup:
     rows_f: np.ndarray  # i32 [R]
     weight: np.ndarray  # f32 [R]
     leaf: np.ndarray  # i32 [R]
+    # block-max WAND metadata (None unless compiled with wand=True):
+    ub: Optional[np.ndarray] = None  # f32 [R] per-block score upper bound
+    other: Optional[np.ndarray] = None  # f32 [R] sum of other terms' max ub
 
 
 @dataclass
@@ -116,39 +119,99 @@ class PlanCompiler:
         self.prepared = prepared
         self.scorer = scorer
 
-    def compile(self, flt: F.Filter, seg_idx: int) -> SegmentPlan:
+    def compile(self, flt: F.Filter, seg_idx: int, wand: bool = False) -> SegmentPlan:
         sr = self.prepared.segments[seg_idx]
         self._sr = sr
         self._seg = seg_idx
-        self._groups: Dict[Tuple[str, int], List[Tuple[int, int, float, int]]] = {}
+        self._groups: Dict[tuple, List[tuple]] = {}
         self._leaf_mm: List[int] = []
         self._aux: List[Tuple[np.ndarray, np.ndarray]] = []
         tree = self._walk(flt, 1.0)
         nd = sr.num_docs
         nd_pad = _pow2(max(1, nd))
 
+        # WAND applies to pure single-leaf min-match-1 plans with
+        # non-negative weights (reference: WandContext enables the
+        # wanderator for term/disjunction queries, index_reader_options
+        # .hpp:48-55).
+        wand = (
+            wand
+            and tree == ("leaf", 0)
+            and len(self._leaf_mm) == 1
+            and self._leaf_mm[0] <= 1
+            and not self._aux
+            and all(s[3] >= 0.0 for spans in self._groups.values() for s in spans)
+        )
+
+        # per-span block upper bounds (host precompute from block metadata)
+        span_ub: Dict[tuple, List[np.ndarray]] = {}
+        total_gmax = 0.0
+        if wand:
+            from iresearch_tpu.formats.bitpack import BITS as _B  # noqa: F401
+            from iresearch_tpu.search.scorers import max_score_blocks
+
+            for key, spans in self._groups.items():
+                fname = key[0]
+                fp = sr.field(fname)
+                dwf, ttf = self.prepared._field(fname)
+                avgdl = (ttf / dwf) if dwf else 1.0
+                ubs = []
+                for dstart, fstart, nblocks, w, leaf, tid in spans:
+                    fc = int(fp.entries[tid, TermCols.FCLS])
+                    bmaxf = fp.bmaxf[fc][fstart : fstart + nblocks].astype(np.float32)
+                    min_norm = max(float(fp.entries[tid, TermCols.MIN_NORM]), 1.0)
+                    ub = max_score_blocks(self.scorer, w, bmaxf, min_norm, avgdl)
+                    ubs.append(ub.astype(np.float32))
+                    total_gmax += float(ub.max(initial=0.0))
+                span_ub[key] = ubs
+
         groups: List[RowGroup] = []
         avgdls: List[float] = []
-        for (fname, dcls, fcls), spans in sorted(self._groups.items()):
+        for key, spans in sorted(self._groups.items()):
+            fname, dcls, fcls = key
             rd_l: List[np.ndarray] = []
             rf_l: List[np.ndarray] = []
             w_l: List[np.ndarray] = []
             leaf_l: List[np.ndarray] = []
-            for dstart, fstart, nblocks, w, leaf in spans:
+            ub_l: List[np.ndarray] = []
+            other_l: List[np.ndarray] = []
+            for si, (dstart, fstart, nblocks, w, leaf, tid) in enumerate(spans):
                 rd_l.append(np.arange(dstart, dstart + nblocks, dtype=np.int32))
                 rf_l.append(np.arange(fstart, fstart + nblocks, dtype=np.int32))
                 w_l.append(np.full(nblocks, w, np.float32))
                 leaf_l.append(np.full(nblocks, leaf, np.int32))
+                if wand:
+                    ub = span_ub[key][si]
+                    ub_l.append(ub)
+                    other_l.append(
+                        np.full(
+                            nblocks,
+                            total_gmax - float(ub.max(initial=0.0)),
+                            np.float32,
+                        )
+                    )
             rows_d = np.concatenate(rd_l) if rd_l else np.zeros(0, np.int32)
             rows_f = np.concatenate(rf_l) if rf_l else np.zeros(0, np.int32)
             w = np.concatenate(w_l) if w_l else np.zeros(0, np.float32)
             leaf = np.concatenate(leaf_l) if leaf_l else np.zeros(0, np.int32)
             rp = _pow2(max(8, len(rows_d)))
-            rows_d = np.pad(rows_d, (0, rp - len(rows_d)))
-            rows_f = np.pad(rows_f, (0, rp - len(rows_f)))
-            w = np.pad(w, (0, rp - len(w)))
-            leaf = np.pad(leaf, (0, rp - len(leaf)))
-            groups.append(RowGroup(fname, dcls, fcls, rows_d, rows_f, w, leaf))
+            pad = rp - len(rows_d)
+            rows_d = np.pad(rows_d, (0, pad))
+            rows_f = np.pad(rows_f, (0, pad))
+            w = np.pad(w, (0, pad))
+            leaf = np.pad(leaf, (0, pad))
+            ub = other = None
+            if wand:
+                ub = np.concatenate(ub_l) if ub_l else np.zeros(0, np.float32)
+                other = (
+                    np.concatenate(other_l) if other_l else np.zeros(0, np.float32)
+                )
+                # padding rows: ub -inf so they sort last and never survive
+                ub = np.pad(ub, (0, pad), constant_values=-np.inf)
+                other = np.pad(other, (0, pad))
+            groups.append(
+                RowGroup(fname, dcls, fcls, rows_d, rows_f, w, leaf, ub, other)
+            )
             dwf, ttf = self.prepared._field(fname)
             avgdls.append((ttf / dwf) if dwf else 1.0)
 
@@ -202,6 +265,23 @@ class PlanCompiler:
             return ("and", pos, neg)
         if isinstance(flt, F.Or):
             b = boost * flt.boost
+            # Or-of-term-leaves with min_match<=1 collapses into ONE merged
+            # leaf: match = any hit, score = sum of hits — identical
+            # semantics, one scatter pass, and WAND-eligible (the analog of
+            # the reference's boolean_filter disjunction optimization).
+            if (
+                flt.min_match == 1
+                and flt.filters
+                and all(
+                    isinstance(c, TERM_LEAVES)
+                    and getattr(c, "min_match", 1) <= 1
+                    for c in flt.filters
+                )
+            ):
+                leaf = self._new_leaf(1)
+                for c in flt.filters:
+                    self._emit_hits(c, b, leaf)
+                return ("leaf", leaf)
             pos = tuple(
                 self._walk(c, b) for c in flt.filters if not isinstance(c, F.Not)
             )
@@ -216,14 +296,22 @@ class PlanCompiler:
         # anything else: host fallback
         return ("aux", self._make_aux(flt, boost))
 
-    def _make_leaf(self, flt, boost: float) -> int:
+    def _new_leaf(self, min_match: int) -> int:
         leaf = len(self._leaf_mm)
-        self._leaf_mm.append(max(1, int(getattr(flt, "min_match", 1))))
+        self._leaf_mm.append(max(1, int(min_match)))
+        return leaf
+
+    def _make_leaf(self, flt, boost: float) -> int:
+        leaf = self._new_leaf(int(getattr(flt, "min_match", 1)))
+        self._emit_hits(flt, boost, leaf)
+        return leaf
+
+    def _emit_hits(self, flt, boost: float, leaf: int) -> None:
         exp = self.prepared._expansions[id(flt)]
         fname = flt.field
         fp = self._sr.field(fname)
         if fp is None:
-            return leaf
+            return
         dwf, _ = self.prepared._field(fname)
         leaf_boost = boost * flt.boost
         for h in exp.scored:
@@ -236,7 +324,6 @@ class PlanCompiler:
             if h.seg != self._seg:
                 continue
             self._add_span(fname, fp, h.tid, 0.0, leaf)
-        return leaf
 
     def _add_span(self, fname: str, fp, tid: int, w: float, leaf: int) -> None:
         e = fp.entries[tid]
@@ -248,6 +335,7 @@ class PlanCompiler:
                 int(e[TermCols.NBLOCKS]),
                 w,
                 leaf,
+                tid,
             )
         )
 

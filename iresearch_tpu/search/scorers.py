@@ -150,6 +150,27 @@ def score_block(
     return out
 
 
+def max_score_blocks(scorer: Scorer, weight: float, max_freq, min_dl: float, avgdl: float):
+    """Vectorized per-block score upper bound (WAND source; reference:
+    wand_writer.hpp producers). ``max_freq`` is an array of per-block max
+    frequencies; ``min_dl`` the term-level minimum doc length."""
+    f = np.asarray(max_freq, np.float32)
+    if isinstance(scorer, BM25):
+        kb = scorer.k * scorer.b
+        c0 = scorer.k - kb
+        c1 = kb / avgdl if avgdl > 0 else kb
+        denom = f + c0 + (c1 * min_dl if scorer.b != 0.0 else 0.0)
+        return weight * f / np.maximum(denom, 1e-9)
+    if isinstance(scorer, TFIDF):
+        tf = np.sqrt(f)
+        if scorer.with_norms:
+            return weight * tf / np.sqrt(max(min_dl, 1.0))
+        return weight * tf
+    if isinstance(scorer, BoostScore):
+        return np.where(f > 0, np.float32(weight), np.float32(0.0))
+    raise TypeError(f"unknown scorer {scorer!r}")
+
+
 _SCORERS = {
     "bm25": lambda a: BM25(
         k=float(a.get("k", 1.2)), b=float(a.get("b", 0.75))

@@ -1,0 +1,84 @@
+"""WAND (block-max pruning) vs exhaustive equivalence.
+
+Reference analog: tests/search/wand_test.cpp — the wanderator must return
+exactly the same top-k as exhaustive scoring.
+"""
+
+import numpy as np
+import pytest
+
+from iresearch_tpu.index.reader import DirectoryReader
+from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+from iresearch_tpu.search import filters as F
+from iresearch_tpu.search.scorers import BM25, TFIDF
+from iresearch_tpu.store.directory import MemoryDirectory
+
+WORDS = [f"w{i:02d}" for i in range(40)]
+
+
+@pytest.fixture(scope="module")
+def reader():
+    rng = np.random.default_rng(21)
+    d = MemoryDirectory()
+    with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
+        for i in range(3000):  # enough docs for multi-block lists
+            n = int(rng.integers(3, 40))
+            idx = np.minimum(rng.zipf(1.3, size=n) - 1, len(WORDS) - 1)
+            w.insert([Field("body", " ".join(WORDS[j] for j in idx), analyzer="segmentation")])
+        w.commit()
+    return DirectoryReader.open(d)
+
+
+QUERIES = [
+    F.ByTerm("body", "w00"),  # highest df — many blocks
+    F.ByTerm("body", "w05"),
+    F.ByTerms("body", [("w00", 1.0), ("w03", 2.0), ("w11", 1.0)]),
+    F.Or(F.ByTerm("body", "w00"), F.ByTerm("body", "w01"), F.ByTerm("body", "w07")),
+    F.ByPrefix("body", "w1", scored_terms_limit=4),  # has unscored terms
+]
+
+
+@pytest.mark.parametrize("flt", QUERIES, ids=lambda f: type(f).__name__ + repr(id(f))[-4:])
+@pytest.mark.parametrize("scorer", [BM25(), TFIDF()], ids=["bm25", "tfidf"])
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_wand_equals_exhaustive(reader, flt, scorer, k):
+    from iresearch_tpu.exec import DeviceQuery
+
+    segs = list(reader.segments)
+    exact = DeviceQuery(flt, segs, scorer, wand=False)
+    wand = DeviceQuery(flt, segs, scorer, wand=True, wand_sample=8)
+    p = wand.plan(0)
+    assert p.groups[0].ub is not None, "wand must be active for this plan"
+    ev, ed = exact.execute_segment(0, k)
+    wv, wd = wand.execute_segment(0, k)
+    finite = np.isfinite(ev)
+    np.testing.assert_array_equal(np.isfinite(wv), finite)
+    np.testing.assert_allclose(wv[finite], ev[finite], rtol=1e-6)
+    # doc ids must agree except where adjacent scores tie within float
+    # tolerance (scatter order differs between the two kernels)
+    from tests.topk_util import assert_topk_equiv
+
+    assert_topk_equiv(
+        [(int(d), float(v)) for d, v in zip(wd[finite], wv[finite])],
+        [(int(d), float(v)) for d, v in zip(ed[finite], ev[finite])],
+    )
+
+
+def test_wand_not_applied_to_boolean_trees(reader):
+    from iresearch_tpu.exec import DeviceQuery
+
+    flt = F.And(F.ByTerm("body", "w00"), F.ByTerm("body", "w01"))
+    dq = DeviceQuery(flt, list(reader.segments), wand=True)
+    assert dq.plan(0).groups[0].ub is None  # falls back to exhaustive
+
+
+def test_or_collapse_single_leaf(reader):
+    """Or of term leaves with min_match=1 compiles to ONE merged leaf."""
+    from iresearch_tpu.exec import DeviceQuery
+
+    flt = F.Or(F.ByTerm("body", "w00"), F.ByTerm("body", "w01"))
+    dq = DeviceQuery(flt, list(reader.segments))
+    assert dq.plan(0).tree == ("leaf", 0)
+    flt2 = F.Or(F.ByTerm("body", "w00"), F.ByTerm("body", "w01"), min_match=2)
+    dq2 = DeviceQuery(flt2, list(reader.segments))
+    assert dq2.plan(0).tree[0] == "or"
