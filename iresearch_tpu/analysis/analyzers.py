@@ -82,7 +82,23 @@ class SegmentationAnalyzer(Analyzer):
         self._case = case
         self._word_break = word_break
 
+    def bulk_tids(self, text: str, termdict):
+        """Whole tokenize+term-lookup loop in C++ (ASCII input), appending
+        into ``termdict``; None -> caller uses tokenize() per token."""
+        return termdict.tokenize_to_tids(text, self._case, self._word_break)
+
     def tokenize(self, text: str) -> List[Token]:
+        # native C++ fast path for pure-ASCII input (native/iresearch_native
+        # .cpp); identical output to the Unicode path below
+        from iresearch_tpu import native
+
+        nat = native.tokenize_ascii(text, self._case, self._word_break)
+        if nat is not None:
+            buf, spans = nat
+            return [
+                Token(buf[s:e], pos, int(s), int(e))
+                for pos, (s, e) in enumerate(spans)
+            ]
         out = []
         pos = 0
         for m in _WORD_RE.finditer(text):

@@ -72,14 +72,59 @@ class IndexWriterOptions:
 
 
 class _PendingField:
-    __slots__ = ("term_ids", "tok_tid", "tok_doc", "tok_pos", "doc_pos")
+    __slots__ = ("terms", "tok_tid", "tok_doc", "tok_pos", "doc_pos", "chunks")
 
     def __init__(self) -> None:
-        self.term_ids: Dict[bytes, int] = {}
+        from iresearch_tpu.native import TermDict
+
+        self.terms = TermDict()  # native C++ hash when available
+        # scalar fallback stream (non-bulk analyzers)
         self.tok_tid: List[int] = []
         self.tok_doc: List[int] = []
         self.tok_pos: List[int] = []
+        # bulk chunks: (tids i32 [n], doc, base_pos) from the native
+        # tokenize+lookup fast path
+        self.chunks: List = []
         self.doc_pos: Dict[int, int] = {}  # next position per doc
+
+    def streams(self):
+        """Concatenated (tid, doc, pos) arrays in arrival order.
+
+        Arrival order must be (doc asc, pos asc) for the inverter; chunks
+        and scalar appends both arrive in doc order, and within a doc the
+        scalar/bulk paths never interleave out of position order."""
+        parts_t = []
+        parts_d = []
+        parts_p = []
+        si = 0
+        scal_t = np.asarray(self.tok_tid, np.int64)
+        scal_d = np.asarray(self.tok_doc, np.int64)
+        scal_p = np.asarray(self.tok_pos, np.uint32)
+        for tids, doc, base_pos in self.chunks:
+            # emit any scalar tokens belonging to earlier docs first
+            cut = np.searchsorted(scal_d, doc, side="left")
+            if cut > si:
+                parts_t.append(scal_t[si:cut])
+                parts_d.append(scal_d[si:cut])
+                parts_p.append(scal_p[si:cut])
+                si = cut
+            parts_t.append(tids.astype(np.int64))
+            parts_d.append(np.full(len(tids), doc, np.int64))
+            parts_p.append(
+                (base_pos + np.arange(len(tids), dtype=np.uint32))
+            )
+        if si < len(scal_t):
+            parts_t.append(scal_t[si:])
+            parts_d.append(scal_d[si:])
+            parts_p.append(scal_p[si:])
+        if not parts_t:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.uint32)
+        return (
+            np.concatenate(parts_t),
+            np.concatenate(parts_d),
+            np.concatenate(parts_p),
+        )
 
 
 class _PendingSegment:
@@ -105,18 +150,24 @@ class _PendingSegment:
                 analyzer = analyzers(f.analyzer)
                 pos = pf.doc_pos.get(doc, 0)
                 base_pos = pos
-                for tok in analyzer.tokenize(
-                    f.value if isinstance(f.value, str) else str(f.value)
-                ):
-                    tid = pf.term_ids.get(tok.term)
-                    if tid is None:
-                        tid = len(pf.term_ids)
-                        pf.term_ids[tok.term] = tid
-                    pf.tok_tid.append(tid)
-                    pf.tok_doc.append(doc)
-                    pf.tok_pos.append(base_pos + tok.position)
-                    pos = base_pos + tok.position + 1
-                    self.approx_tokens += 1
+                text = f.value if isinstance(f.value, str) else str(f.value)
+                tids = None
+                bulk = getattr(analyzer, "bulk_tids", None)
+                if bulk is not None:
+                    tids = bulk(text, pf.terms)
+                if tids is not None:
+                    # native tokenize+termdict fast path (C++ inner loop)
+                    pf.chunks.append((tids, doc, base_pos))
+                    pos = base_pos + len(tids)
+                    self.approx_tokens += len(tids)
+                else:
+                    for tok in analyzer.tokenize(text):
+                        tid = pf.terms.add(tok.term)
+                        pf.tok_tid.append(tid)
+                        pf.tok_doc.append(doc)
+                        pf.tok_pos.append(base_pos + tok.position)
+                        pos = base_pos + tok.position + 1
+                        self.approx_tokens += 1
                 pf.doc_pos[doc] = pos
             if f.store:
                 cb = self.columns.get(f.name)
@@ -136,15 +187,17 @@ class _PendingSegment:
         for name, pf in self.fields.items():
             # sorted term dictionary + tid remap (reference sorts terms at
             # flush: fields_data::flush, field_data.cpp:1124)
-            terms_sorted = sorted(pf.term_ids)
-            remap = np.zeros(len(terms_sorted), np.int64)
-            for new_tid, term in enumerate(terms_sorted):
-                remap[pf.term_ids[term]] = new_tid
-            tok_tid = remap[np.asarray(pf.tok_tid, np.int64)]
+            terms_raw = pf.terms.terms()
+            order = sorted(range(len(terms_raw)), key=lambda i: terms_raw[i])
+            terms_sorted = [terms_raw[i] for i in order]
+            remap = np.zeros(len(terms_raw), np.int64)
+            remap[np.asarray(order, np.int64)] = np.arange(len(order))
+            raw_tid, tok_doc, tok_pos = pf.streams()
+            tok_tid = remap[raw_tid]
             inv = invert(
                 tok_tid,
-                np.asarray(pf.tok_doc, np.int64),
-                np.asarray(pf.tok_pos, np.uint32),
+                tok_doc,
+                tok_pos,
                 len(terms_sorted),
                 self.num_docs,
             )

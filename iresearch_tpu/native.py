@@ -1,0 +1,244 @@
+"""ctypes loader for the native host library (native/iresearch_native.cpp).
+
+The reference's host side is C++20 throughout; here the hot host paths
+(write-path tokenizer, fuzzy-expansion Levenshtein, checksums) are C++ with
+pure-Python fallbacks so the package works before `make -C native` runs.
+The library is also auto-built on first use when a compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libiresearch_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _try_build() -> bool:
+    try:
+        r = subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            capture_output=True,
+            timeout=120,
+        )
+        return r.returncode == 0 and os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The native library, building it on first use; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+            _try_build()
+        if not os.path.exists(_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.irs_tokenize_ascii.restype = ctypes.c_int32
+        lib.irs_tokenize_ascii.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.irs_levenshtein_batch.restype = None
+        lib.irs_levenshtein_batch.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib.irs_crc32c.restype = ctypes.c_uint32
+        lib.irs_crc32c.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_uint32,
+        ]
+        lib.irs_termdict_new.restype = ctypes.c_void_p
+        lib.irs_termdict_free.argtypes = [ctypes.c_void_p]
+        lib.irs_termdict_size.restype = ctypes.c_int32
+        lib.irs_termdict_size.argtypes = [ctypes.c_void_p]
+        lib.irs_termdict_add.restype = ctypes.c_int32
+        lib.irs_termdict_add.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+        ]
+        lib.irs_termdict_bytes.restype = ctypes.c_int64
+        lib.irs_termdict_bytes.argtypes = [ctypes.c_void_p]
+        lib.irs_termdict_dump.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        lib.irs_tokenize_to_tids.restype = ctypes.c_int32
+        lib.irs_tokenize_to_tids.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+_CASE = {"lower": 0, "none": 1, "upper": 2}
+_BREAK = {"alpha": 0, "all": 1, "graphic": 2}
+
+
+def tokenize_ascii(
+    text: str, case: str, word_break: str
+) -> Optional[Tuple[bytes, np.ndarray]]:
+    """(case-folded bytes, int32 [n,2] start/end offsets), or None when the
+    native path is unavailable or the text is not pure ASCII."""
+    lib = load()
+    if lib is None:
+        return None
+    try:
+        raw = text.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    buf = ctypes.create_string_buffer(raw, len(raw))
+    cap = max(8, len(raw) // 2 + 1)
+    out = (ctypes.c_int32 * (2 * cap))()
+    n = lib.irs_tokenize_ascii(
+        buf, len(raw), _CASE[case], _BREAK[word_break], out, cap
+    )
+    if n < 0:
+        return None
+    spans = np.frombuffer(out, dtype=np.int32)[: 2 * n].reshape(n, 2).copy()
+    return buf.raw[: len(raw)], spans
+
+
+def levenshtein_batch(
+    cands: np.ndarray,  # u32 [T, L] utf-32 code points, 0-padded
+    cand_len: np.ndarray,  # i32 [T]
+    query: np.ndarray,  # u32 [Q]
+    max_d: int,
+    with_transpositions: bool,
+) -> Optional[np.ndarray]:
+    """Distances i32 [T] (values > max_d reported as max_d+1), or None."""
+    lib = load()
+    if lib is None:
+        return None
+    T, L = cands.shape
+    out = np.empty(T, np.int32)
+    lib.irs_levenshtein_batch(
+        np.ascontiguousarray(query, np.uint32),
+        len(query),
+        np.ascontiguousarray(cands, np.uint32),
+        np.ascontiguousarray(cand_len, np.int32),
+        T,
+        L,
+        max_d,
+        1 if with_transpositions else 0,
+        out,
+    )
+    return out
+
+
+def crc32c(data: bytes, seed: int = 0) -> Optional[int]:
+    lib = load()
+    if lib is None:
+        return None
+    return int(lib.irs_crc32c(data, len(data), seed))
+
+
+class TermDict:
+    """Term bytes -> dense id map; native C++ when available.
+
+    The write-path twin of the reference's in-RAM postings hash
+    (core/index/postings.hpp:78-125). ``tokenize_to_tids`` runs the whole
+    segmentation+lookup inner loop natively for ASCII text.
+    """
+
+    def __init__(self) -> None:
+        self._lib = load()
+        self._h = self._lib.irs_termdict_new() if self._lib is not None else None
+        self._py: dict = {}
+        self._scratch = (ctypes.c_int32 * 4096)()
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.irs_termdict_free(self._h)
+            self._h = None
+
+    def __len__(self) -> int:
+        if self._h is not None:
+            return int(self._lib.irs_termdict_size(self._h))
+        return len(self._py)
+
+    def add(self, term: bytes) -> int:
+        if self._h is not None:
+            return int(self._lib.irs_termdict_add(self._h, term, len(term)))
+        tid = self._py.get(term)
+        if tid is None:
+            tid = len(self._py)
+            self._py[term] = tid
+        return tid
+
+    def tokenize_to_tids(
+        self, text: str, case: str, word_break: str
+    ) -> Optional[np.ndarray]:
+        """Token term-ids (i32) for ASCII text, or None -> caller falls
+        back to per-token add()."""
+        if self._h is None:
+            return None
+        try:
+            raw = text.encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        cap = max(8, len(raw) // 2 + 1)
+        if cap > len(self._scratch):
+            self._scratch = (ctypes.c_int32 * (2 * cap))()
+        buf = ctypes.create_string_buffer(raw, len(raw))
+        n = self._lib.irs_tokenize_to_tids(
+            self._h, buf, len(raw), _CASE[case], _BREAK[word_break],
+            self._scratch, cap,
+        )
+        if n < 0:
+            return None
+        return np.frombuffer(self._scratch, dtype=np.int32, count=n).copy()
+
+    def terms(self) -> list:
+        """All terms in id order."""
+        if self._h is not None:
+            size = int(self._lib.irs_termdict_size(self._h))
+            nbytes = int(self._lib.irs_termdict_bytes(self._h))
+            blob = ctypes.create_string_buffer(max(1, nbytes))
+            offsets = np.empty(size + 1, np.int64)
+            self._lib.irs_termdict_dump(self._h, blob, offsets)
+            raw = blob.raw[:nbytes]
+            return [raw[offsets[i] : offsets[i + 1]] for i in range(size)]
+        out = [b""] * len(self._py)
+        for t, i in self._py.items():
+            out[i] = t
+        return out

@@ -133,18 +133,22 @@ def _unescape(pattern: bytes) -> bytes:
 
 
 def levenshtein_distances(
-    candidates: Sequence[str], query: str, with_transpositions: bool
+    candidates: Sequence[str],
+    query: str,
+    with_transpositions: bool,
+    max_d: Optional[int] = None,
 ) -> np.ndarray:
     """Vectorized (Damerau-)Levenshtein distance of query vs candidates.
 
     Replaces the reference's parametric Levenshtein DFA
-    (core/utils/levenshtein_utils.cpp) with a dense DP across the whole
-    candidate set — the batch-friendly formulation.
+    (core/utils/levenshtein_utils.cpp) with a batch DP across the whole
+    candidate set. With ``max_d`` given, the native banded C++ kernel is
+    used when available (distances > max_d are reported as max_d + 1).
     """
     T = len(candidates)
     if T == 0:
         return np.zeros(0, np.int32)
-    L = max(len(c) for c in candidates)
+    L = max(max(len(c) for c in candidates), 1)
     Q = len(query)
     cand = np.full((T, L), -1, np.int32)
     for t, c in enumerate(candidates):
@@ -152,6 +156,22 @@ def levenshtein_distances(
             c.encode("utf-32-le"), dtype=np.uint32
         ).astype(np.int32)
     q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+
+    if max_d is not None and Q > 0:
+        from iresearch_tpu import native
+
+        lens32 = np.fromiter(
+            (len(c) for c in candidates), np.int32, count=T
+        )
+        got = native.levenshtein_batch(
+            np.where(cand < 0, 0, cand).astype(np.uint32),
+            lens32,
+            q.astype(np.uint32),
+            int(max_d),
+            with_transpositions,
+        )
+        if got is not None:
+            return got
 
     BIG = np.int32(10**6)
     prev = np.broadcast_to(np.arange(L + 1, dtype=np.int32), (T, L + 1)).copy()
@@ -262,7 +282,10 @@ def expand_leaf(flt: F.Filter, segments: List[SegmentReader]) -> LeafExpansion:
             if len(pre) == 0:
                 continue
             dists = levenshtein_distances(
-                [cands[i] for i in pre], target, flt.with_transpositions
+                [cands[i] for i in pre],
+                target,
+                flt.with_transpositions,
+                max_d=flt.max_distance,
             )
             ok = np.flatnonzero(dists <= flt.max_distance)
             for k in ok:

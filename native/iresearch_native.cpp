@@ -1,0 +1,272 @@
+// Native host components (reference parity: the reference implements its
+// whole host side in C++20 — analysis in core/analysis/, Levenshtein in
+// core/utils/levenshtein_utils.cpp). The TPU build keeps device work in
+// XLA/Pallas and uses this library for the hot host paths:
+//   * ASCII word segmentation + case folding (write-path tokenizer,
+//     reference: segmentation_token_stream.cpp)
+//   * banded batch Damerau-Levenshtein over UTF-32 candidates (fuzzy
+//     term expansion, reference: levenshtein_utils.cpp parametric DFA)
+//
+// Build: `make -C native` -> libiresearch_native.so, loaded via ctypes
+// (iresearch_tpu/native.py) with pure-Python fallbacks when absent.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// Term dictionary: term bytes -> dense id, insertion-ordered ids
+// (the in-RAM half of the reference's postings hash, core/index/postings
+// .hpp:78-125 — open addressing over block_pool slices; here a
+// std::unordered_map over an arena).
+struct TermDict {
+  std::unordered_map<std::string, int32_t> map;
+  std::vector<std::string> terms;  // id -> term
+
+  int32_t add(std::string_view term) {
+    auto it = map.find(std::string(term));
+    if (it != map.end()) return it->second;
+    int32_t id = static_cast<int32_t>(terms.size());
+    terms.emplace_back(term);
+    map.emplace(terms.back(), id);
+    return id;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* irs_termdict_new() { return new TermDict(); }
+
+void irs_termdict_free(void* h) { delete static_cast<TermDict*>(h); }
+
+int32_t irs_termdict_size(void* h) {
+  return static_cast<int32_t>(static_cast<TermDict*>(h)->terms.size());
+}
+
+int32_t irs_termdict_add(void* h, const char* term, int32_t len) {
+  return static_cast<TermDict*>(h)->add(std::string_view(term, len));
+}
+
+// total bytes of all terms (for dump buffer sizing)
+int64_t irs_termdict_bytes(void* h) {
+  int64_t total = 0;
+  for (const auto& t : static_cast<TermDict*>(h)->terms) total += t.size();
+  return total;
+}
+
+// dump terms in id order: blob gets concatenated bytes, offsets[i] is the
+// start of term i (offsets has size+1 entries)
+void irs_termdict_dump(void* h, char* blob, int64_t* offsets) {
+  auto* d = static_cast<TermDict*>(h);
+  int64_t off = 0;
+  int64_t i = 0;
+  for (const auto& t : d->terms) {
+    offsets[i++] = off;
+    std::memcpy(blob + off, t.data(), t.size());
+    off += t.size();
+  }
+  offsets[i] = off;
+}
+
+// Tokenize ASCII text AND map each token to its term id in one pass — the
+// whole write-path inner loop (analyzer::next + postings::emplace,
+// reference: field_data.cpp:985) without Python per-token overhead.
+// Returns token count, or -1 on non-ASCII input (caller falls back).
+int32_t irs_tokenize_to_tids(void* h, char* text, int32_t len,
+                             int32_t case_mode, int32_t word_break,
+                             int32_t* tids_out, int32_t cap);
+
+}  // extern "C"
+
+extern "C" {
+
+// Tokenize ASCII text: word chars are [A-Za-z0-9_'], tokens are maximal
+// runs with leading/trailing ASCII apostrophes stripped. Returns the token
+// count (clamped to cap). For each token i: out_se[2i]=start, out_se[2i+1]=
+// end (byte offsets). case_mode: 0=lower,1=none,2=upper — case folding is
+// applied IN PLACE on `text`. word_break: 0=alpha (keep tokens containing a
+// letter or digit), 1=all, 2=graphic. Returns -1 if any non-ASCII byte is
+// present (caller falls back to the Unicode path).
+int32_t irs_tokenize_ascii(char* text, int32_t len, int32_t case_mode,
+                           int32_t word_break, int32_t* out_se, int32_t cap) {
+  auto is_word = [](unsigned char c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+           (c >= '0' && c <= '9') || c == '_' || c == '\'';
+  };
+  for (int32_t i = 0; i < len; ++i) {
+    if (static_cast<unsigned char>(text[i]) >= 0x80) return -1;
+  }
+  if (case_mode == 0) {
+    for (int32_t i = 0; i < len; ++i) {
+      char c = text[i];
+      if (c >= 'A' && c <= 'Z') text[i] = c + 32;
+    }
+  } else if (case_mode == 2) {
+    for (int32_t i = 0; i < len; ++i) {
+      char c = text[i];
+      if (c >= 'a' && c <= 'z') text[i] = c - 32;
+    }
+  }
+  int32_t n = 0;
+  int32_t i = 0;
+  while (i < len && n < cap) {
+    while (i < len && !is_word(static_cast<unsigned char>(text[i]))) ++i;
+    if (i >= len) break;
+    int32_t start = i;
+    while (i < len && is_word(static_cast<unsigned char>(text[i]))) ++i;
+    int32_t end = i;
+    // strip apostrophes at both ends (python: w.strip("'"))
+    while (start < end && text[start] == '\'') ++start;
+    while (end > start && text[end - 1] == '\'') --end;
+    if (start >= end) continue;
+    if (word_break == 0) {  // alpha: need a letter or digit
+      bool ok = false;
+      for (int32_t j = start; j < end && !ok; ++j) {
+        unsigned char c = text[j];
+        ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+             (c >= '0' && c <= '9');
+      }
+      if (!ok) continue;
+    }
+    out_se[2 * n] = start;
+    out_se[2 * n + 1] = end;
+    ++n;
+  }
+  return n;
+}
+
+int32_t irs_tokenize_to_tids(void* h, char* text, int32_t len,
+                             int32_t case_mode, int32_t word_break,
+                             int32_t* tids_out, int32_t cap) {
+  auto* dict = static_cast<TermDict*>(h);
+  auto is_word = [](unsigned char c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+           (c >= '0' && c <= '9') || c == '_' || c == '\'';
+  };
+  for (int32_t i = 0; i < len; ++i) {
+    if (static_cast<unsigned char>(text[i]) >= 0x80) return -1;
+  }
+  if (case_mode == 0) {
+    for (int32_t i = 0; i < len; ++i) {
+      char c = text[i];
+      if (c >= 'A' && c <= 'Z') text[i] = c + 32;
+    }
+  } else if (case_mode == 2) {
+    for (int32_t i = 0; i < len; ++i) {
+      char c = text[i];
+      if (c >= 'a' && c <= 'z') text[i] = c - 32;
+    }
+  }
+  int32_t n = 0;
+  int32_t i = 0;
+  while (i < len && n < cap) {
+    while (i < len && !is_word(static_cast<unsigned char>(text[i]))) ++i;
+    if (i >= len) break;
+    int32_t start = i;
+    while (i < len && is_word(static_cast<unsigned char>(text[i]))) ++i;
+    int32_t end = i;
+    while (start < end && text[start] == '\'') ++start;
+    while (end > start && text[end - 1] == '\'') --end;
+    if (start >= end) continue;
+    if (word_break == 0) {
+      bool ok = false;
+      for (int32_t j = start; j < end && !ok; ++j) {
+        unsigned char c = text[j];
+        ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+             (c >= '0' && c <= '9');
+      }
+      if (!ok) continue;
+    }
+    tids_out[n++] = dict->add(std::string_view(text + start, end - start));
+  }
+  return n;
+}
+
+// Batch banded Damerau-Levenshtein. query/cands are UTF-32 code points.
+// cands is [num_cands * max_len], lengths in cand_len. Distances written
+// to out (values > max_d are reported as max_d + 1). with_transpositions
+// enables the Damerau transposition case (restricted edit distance, same
+// as the reference's parametric description with transpositions).
+void irs_levenshtein_batch(const uint32_t* query, int32_t qlen,
+                           const uint32_t* cands, const int32_t* cand_len,
+                           int32_t num_cands, int32_t max_len, int32_t max_d,
+                           int32_t with_transpositions, int32_t* out) {
+  const int32_t INF = max_d + 1;
+  // rows: DP over query (i) x candidate (j) with |i-j| <= max_d band
+  // three rolling rows of length (max_len + 1)
+  int32_t* prev2 = new int32_t[max_len + 1];
+  int32_t* prev = new int32_t[max_len + 1];
+  int32_t* cur = new int32_t[max_len + 1];
+  for (int32_t t = 0; t < num_cands; ++t) {
+    const uint32_t* c = cands + static_cast<int64_t>(t) * max_len;
+    const int32_t cl = cand_len[t];
+    if (std::abs(cl - qlen) > max_d) {
+      out[t] = INF;
+      continue;
+    }
+    for (int32_t j = 0; j <= cl; ++j) prev[j] = j <= max_d ? j : INF;
+    int32_t result = (qlen == 0) ? std::min(cl, INF) : INF;
+    for (int32_t i = 1; i <= qlen; ++i) {
+      const int32_t jlo = std::max(1, i - max_d);
+      const int32_t jhi = std::min(cl, i + max_d);
+      cur[0] = i <= max_d ? i : INF;
+      if (jlo > 1) cur[jlo - 1] = INF;
+      int32_t row_min = cur[0];
+      for (int32_t j = jlo; j <= jhi; ++j) {
+        const int32_t sub = prev[j - 1] + (c[j - 1] != query[i - 1] ? 1 : 0);
+        const int32_t del = (j <= i + max_d - 1 ? prev[j] : INF) + 1;
+        const int32_t ins = cur[j - 1] + 1;
+        int32_t best = std::min(sub, std::min(del, ins));
+        if (with_transpositions && i > 1 && j > 1 && c[j - 1] == query[i - 2] &&
+            c[j - 2] == query[i - 1]) {
+          best = std::min(best, prev2[j - 2] + 1);
+        }
+        cur[j] = std::min(best, INF);
+        row_min = std::min(row_min, cur[j]);
+      }
+      if (jhi < cl) cur[jhi + 1 <= cl ? jhi + 1 : cl] = INF;
+      std::swap(prev2, prev);
+      std::swap(prev, cur);
+      if (row_min > max_d) {  // band exhausted: early exit
+        result = INF;
+        goto done;
+      }
+    }
+    result = prev[cl];  // after final swap, prev holds the last row
+  done:
+    out[t] = std::min(result, INF);
+  }
+  delete[] prev2;
+  delete[] prev;
+  delete[] cur;
+}
+
+// crc32c (Castagnoli, software table) — blobpack checksum helper.
+static uint32_t crc32c_table[256];
+static bool crc32c_init_done = false;
+static void crc32c_init() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t crc = i;
+    for (int k = 0; k < 8; ++k)
+      crc = (crc >> 1) ^ (0x82F63B78u & (0u - (crc & 1)));
+    crc32c_table[i] = crc;
+  }
+  crc32c_init_done = true;
+}
+
+uint32_t irs_crc32c(const uint8_t* data, int64_t len, uint32_t seed) {
+  if (!crc32c_init_done) crc32c_init();
+  uint32_t crc = ~seed;
+  for (int64_t i = 0; i < len; ++i)
+    crc = (crc >> 8) ^ crc32c_table[(crc ^ data[i]) & 0xFF];
+  return ~crc;
+}
+
+}  // extern "C"
