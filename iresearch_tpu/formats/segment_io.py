@@ -17,10 +17,14 @@ from iresearch_tpu.formats.spec import NUM_CLASSES, IndexFeatures
 from iresearch_tpu.store.blobpack import BlobPackReader, BlobPackWriter
 
 
-def write_segment(seg: "SegmentData") -> bytes:  # noqa: F821
+def write_segment(
+    seg: "SegmentData", column_compression: str = "none"
+) -> bytes:  # noqa: F821
     from iresearch_tpu.index.segment import SegmentData
+    from iresearch_tpu.store.codecs import get_compressor
 
     assert isinstance(seg, SegmentData)
+    codec = get_compressor(column_compression)
     meta = {
         "format": "iresearch_tpu/2",  # 2 = pow2-bit-packed split pools
         "num_docs": seg.num_docs,
@@ -50,12 +54,17 @@ def write_segment(seg: "SegmentData") -> bytes:  # noqa: F821
             w.add(f"{key}.bmaxf{c}", fp.bmaxf[c])
     for cname, col in seg.columns.items():
         key = f"c.{cname}"
-        meta["columns"][cname] = {"kind": col.kind}
+        # stored-value payloads are compressed; postings pools are not
+        # (reference: lz4 on the columnstore only, columnstore2.cpp)
+        meta["columns"][cname] = {"kind": col.kind, "codec": codec.name}
         if col.docs is not None:
             w.add(f"{key}.docs", col.docs)
         if col.offsets is not None:
             w.add(f"{key}.offsets", col.offsets)
-        w.add(f"{key}.blob", np.frombuffer(col.blob, np.uint8))
+        w.add(
+            f"{key}.blob",
+            np.frombuffer(codec.compress(col.blob), np.uint8),
+        )
     w.set_meta("segment", meta)
     return w.tobytes()
 
@@ -83,14 +92,17 @@ def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
             total_term_freq=fm["total_term_freq"],
             features=IndexFeatures(fm["features"]),
         )
+    from iresearch_tpu.store.codecs import get_compressor
+
     columns: Dict[str, Column] = {}
     for cname, cm in meta["columns"].items():
         key = f"c.{cname}"
+        codec = get_compressor(cm.get("codec", "none"))
         columns[cname] = Column(
             kind=cm["kind"],
             docs=r.array(f"{key}.docs") if f"{key}.docs" in r else None,
             offsets=r.array(f"{key}.offsets") if f"{key}.offsets" in r else None,
-            blob=r.array(f"{key}.blob").tobytes(),
+            blob=codec.decompress(r.array(f"{key}.blob").tobytes()),
             num_docs=meta["num_docs"],
         )
     return SegmentData(num_docs=meta["num_docs"], fields=fields, columns=columns)

@@ -57,6 +57,56 @@ def consolidate_docs_fill(fill_threshold: float = 0.85):
     return policy
 
 
+def _segment_bytes(sr) -> int:
+    """Approximate on-disk byte size of a segment's live data."""
+    total = 0
+    for fname in sr.field_names():
+        fp = sr.field(fname)
+        total += sum(a.nbytes for a in fp.doc_words + fp.freq_words)
+        total += sum(a.nbytes for a in fp.base + fp.bmax + fp.bmaxf)
+        total += fp.entries.nbytes + fp.norms.nbytes + len(fp.term_blob)
+        if fp.pos_flat is not None:
+            total += fp.pos_flat.nbytes
+    for cname in sr.column_names():
+        total += len(sr.column(cname).blob)
+    live = sr.live_docs_count / sr.num_docs if sr.num_docs else 1.0
+    return max(1, int(total * live))
+
+
+def consolidate_bytes(threshold: float = 0.2):
+    """Merge segments smaller than ``threshold`` x total index bytes
+    (reference: ConsolidateBytes, index_utils.hpp:32-45)."""
+
+    def policy(reader) -> List[int]:
+        sizes = [_segment_bytes(sr) for sr in reader.segments]
+        total = sum(sizes) or 1
+        out = [i for i, s in enumerate(sizes) if s / total < threshold]
+        return out if len(out) > 1 else []
+
+    return policy
+
+
+def consolidate_bytes_accum(threshold: float = 0.5):
+    """Merge the smallest run of segments whose cumulative size stays under
+    ``threshold`` x total (reference: ConsolidateBytesAccum)."""
+
+    def policy(reader) -> List[int]:
+        sizes = sorted(
+            (_segment_bytes(sr), i) for i, sr in enumerate(reader.segments)
+        )
+        total = sum(s for s, _ in sizes) or 1
+        out = []
+        acc = 0
+        for s, i in sizes:
+            if (acc + s) / total > threshold:
+                break
+            acc += s
+            out.append(i)
+        return sorted(out) if len(out) > 1 else []
+
+    return policy
+
+
 def consolidate_tier(
     reader=None,
     *,

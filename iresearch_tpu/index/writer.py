@@ -69,6 +69,7 @@ class IndexWriterOptions:
     segment_memory_max: int = 1 << 31  # soft cap on pending token memory
     invert_backend: str = "auto"  # 'device' | 'numpy' | 'auto'
     keep_positions: bool = True
+    column_compression: str = "none"  # stored-values codec (none | zlib | lz4)
 
 
 class _PendingField:
@@ -426,7 +427,10 @@ class IndexWriter:
                     self._dir.write(info.del_file, w.tobytes())
                     new_files.append(info.del_file)
                 with scoped_timer("writer.write_segment"):
-                    self._dir.write(info.file, write_segment(seg_data))
+                    self._dir.write(
+                        info.file,
+                        write_segment(seg_data, self._opts.column_compression),
+                    )
                 new_files.append(info.file)
                 new_infos.append(info)
 

@@ -1,0 +1,217 @@
+"""Pluggable compression + encryption (reference: core/utils/compression
+.hpp:80-117 registry with none/lz4 codecs; core/utils/encryption.hpp:56-116
+cipher wrapper over streams).
+
+Compression is a named-codec registry applied to columnstore payloads
+(the reference compresses stored values, not postings). Encryption is a
+block-free byte-transform cipher applied at the directory boundary so every
+index artifact on disk is encrypted — the whole-blob analog of the
+reference's encrypted_output/input streams. Ships `none`, `zlib` (the
+in-image stand-in for lz4), and for ciphers an AES-free keyed XOR-CTR
+(and the reference test suite's rot13) — the interface is what matters:
+users plug real ciphers the same way the reference does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from typing import Callable, Dict, List, Optional
+
+from iresearch_tpu.store.directory import Directory, IndexLock
+
+# --- compression ---------------------------------------------------------
+
+
+class Compressor:
+    name = "none"
+
+    def compress(self, data: bytes) -> bytes:
+        return data
+
+    def decompress(self, data: bytes) -> bytes:
+        return data
+
+
+class ZlibCompressor(Compressor):
+    name = "zlib"
+
+    def __init__(self, level: int = 6) -> None:
+        self.level = level
+
+    def compress(self, data: bytes) -> bytes:
+        return zlib.compress(data, self.level)
+
+    def decompress(self, data: bytes) -> bytes:
+        return zlib.decompress(data)
+
+
+_COMPRESSORS: Dict[str, Callable[[dict], Compressor]] = {
+    "none": lambda a: Compressor(),
+    "zlib": lambda a: ZlibCompressor(level=int(a.get("level", 6))),
+    # alias matching the reference's registered name (iresearch::compression::lz4)
+    "lz4": lambda a: ZlibCompressor(level=int(a.get("level", 1))),
+}
+
+
+def get_compressor(name: str, args: Optional[dict] = None) -> Compressor:
+    """Named codec registry (reference: compression.cpp registry)."""
+    if name not in _COMPRESSORS:
+        raise KeyError(f"unknown compression: {name!r}")
+    return _COMPRESSORS[name](args or {})
+
+
+def register_compressor(name: str, factory: Callable[[dict], Compressor]) -> None:
+    _COMPRESSORS[name] = factory
+
+
+# --- encryption ----------------------------------------------------------
+
+
+class Cipher:
+    """Stateless byte-transform cipher. ``offset`` is the byte position in
+    the logical stream so random-access decrypt works (reference:
+    ctr_encryption)."""
+
+    def encrypt(self, name: str, data: bytes) -> bytes:
+        raise NotImplementedError
+
+    def decrypt(self, name: str, data: bytes) -> bytes:
+        raise NotImplementedError
+
+
+class Rot13Cipher(Cipher):
+    """The reference test suite's rot13 stand-in (tests_param.hpp:106-199)."""
+
+    def encrypt(self, name: str, data: bytes) -> bytes:
+        return bytes((b + 13) & 0xFF for b in data)
+
+    def decrypt(self, name: str, data: bytes) -> bytes:
+        return bytes((b - 13) & 0xFF for b in data)
+
+
+class XorCtrCipher(Cipher):
+    """Keyed XOR keystream derived per (file, counter) via sha256 — the
+    structural twin of AES-CTR without a crypto dependency; swap in a real
+    block cipher by subclassing Cipher."""
+
+    def __init__(self, key: bytes) -> None:
+        self.key = key
+
+    def _stream(self, name: str, n: int) -> bytes:
+        out = bytearray()
+        counter = 0
+        seed = hashlib.sha256(self.key + name.encode()).digest()
+        while len(out) < n:
+            out += hashlib.sha256(seed + struct.pack("<Q", counter)).digest()
+            counter += 1
+        return bytes(out[:n])
+
+    def encrypt(self, name: str, data: bytes) -> bytes:
+        ks = self._stream(name, len(data))
+        return bytes(a ^ b for a, b in zip(data, ks))
+
+    decrypt = encrypt
+
+
+class EncryptedDirectory(Directory):
+    """Encrypts every file with the attached cipher (reference: directory
+    encryption attribute, directory_attributes)."""
+
+    def __init__(self, inner: Directory, cipher: Cipher) -> None:
+        self.inner = inner
+        self.cipher = cipher
+
+    def write(self, name: str, data: bytes) -> None:
+        self.inner.write(name, self.cipher.encrypt(name, data))
+
+    def read(self, name: str) -> bytes:
+        return self.cipher.decrypt(name, self.inner.read(name))
+
+    def exists(self, name: str) -> bool:
+        return self.inner.exists(name)
+
+    def list(self) -> List[str]:
+        return self.inner.list()
+
+    def remove(self, name: str) -> bool:
+        return self.inner.remove(name)
+
+    def rename(self, src: str, dst: str) -> None:
+        # note: keystreams are keyed by file name; the manifest rename pair
+        # must therefore re-encrypt under the destination name
+        data = self.read(src)
+        self.inner.write(dst, self.cipher.encrypt(dst, data))
+        self.inner.sync([dst])
+        self.inner.remove(src)
+
+    def sync(self, names) -> None:
+        self.inner.sync(names)
+
+    def try_lock(self, name: str = "write.lock") -> Optional[IndexLock]:
+        return self.inner.try_lock(name)
+
+    def length(self, name: str) -> int:
+        return self.inner.length(name)
+
+
+class CachingDirectory(Directory):
+    """Bounded whole-blob read cache (reference: caching_directory.hpp:36-114
+    caches file handles/mmaps; blobs here)."""
+
+    def __init__(self, inner: Directory, max_bytes: int = 256 << 20) -> None:
+        self.inner = inner
+        self.max_bytes = max_bytes
+        self._cache: Dict[str, bytes] = {}
+        self._bytes = 0
+
+    def _evict(self) -> None:
+        while self._bytes > self.max_bytes and self._cache:
+            name, data = next(iter(self._cache.items()))
+            del self._cache[name]
+            self._bytes -= len(data)
+
+    def write(self, name: str, data: bytes) -> None:
+        self._cache.pop(name, None)
+        self.inner.write(name, data)
+
+    def read(self, name: str) -> bytes:
+        data = self._cache.get(name)
+        if data is None:
+            data = self.inner.read(name)
+            if len(data) <= self.max_bytes:
+                self._cache[name] = data
+                self._bytes += len(data)
+                self._evict()
+        return data
+
+    def exists(self, name: str) -> bool:
+        return name in self._cache or self.inner.exists(name)
+
+    def list(self) -> List[str]:
+        return self.inner.list()
+
+    def remove(self, name: str) -> bool:
+        data = self._cache.pop(name, None)
+        if data is not None:
+            self._bytes -= len(data)
+        return self.inner.remove(name)
+
+    def rename(self, src: str, dst: str) -> None:
+        data = self._cache.pop(src, None)
+        if data is not None:
+            self._bytes -= len(data)
+        self.inner.rename(src, dst)
+
+    def sync(self, names) -> None:
+        self.inner.sync(names)
+
+    def try_lock(self, name: str = "write.lock") -> Optional[IndexLock]:
+        return self.inner.try_lock(name)
+
+    def length(self, name: str) -> int:
+        data = self._cache.get(name)
+        if data is not None:
+            return len(data)
+        return self.inner.length(name)

@@ -1,0 +1,168 @@
+"""Store features: encryption/compression/caching wrappers + fault-injected
+commit atomicity.
+
+Reference analogs: the directory x encryption test matrix
+(tests/tests_param.hpp:106-199, rot13 cipher) and index_death_tests.cpp
+(failing_directory: io error at every chosen operation must leave the last
+committed generation intact).
+"""
+
+import numpy as np
+import pytest
+
+from iresearch_tpu.index.reader import DirectoryReader, find_last_generation
+from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+from iresearch_tpu.search import filters as F
+from iresearch_tpu.search.host_eval import search
+from iresearch_tpu.store.codecs import (
+    CachingDirectory,
+    EncryptedDirectory,
+    Rot13Cipher,
+    XorCtrCipher,
+    get_compressor,
+)
+from iresearch_tpu.store.directory import Directory, MemoryDirectory
+
+
+def build_index(d, compression="none", n=50):
+    with IndexWriter(
+        d, IndexWriterOptions(invert_backend="numpy", column_compression=compression)
+    ) as w:
+        for i in range(n):
+            w.insert([
+                Field("body", f"doc number {i} alpha beta", analyzer="segmentation"),
+                Field("id", str(i), index=True, store=True),
+            ])
+        w.commit()
+    return d
+
+
+PARAMS = [
+    ("plain", lambda: MemoryDirectory(), "none"),
+    ("rot13", lambda: EncryptedDirectory(MemoryDirectory(), Rot13Cipher()), "none"),
+    ("xorctr", lambda: EncryptedDirectory(MemoryDirectory(), XorCtrCipher(b"k" * 16)), "none"),
+    ("caching", lambda: CachingDirectory(MemoryDirectory()), "none"),
+    ("zlib", lambda: MemoryDirectory(), "zlib"),
+    ("rot13+zlib", lambda: EncryptedDirectory(MemoryDirectory(), Rot13Cipher()), "zlib"),
+]
+
+
+@pytest.mark.parametrize("name,mk,comp", PARAMS, ids=[p[0] for p in PARAMS])
+def test_directory_matrix(name, mk, comp):
+    """Full index+search cycle across directory x cipher x codec, the
+    reference's parametrized matrix style."""
+    d = build_index(mk(), comp)
+    r = DirectoryReader.open(d)
+    hits = search(r, F.ByTerm("body", "alpha"), k=60)
+    assert len(hits) == 50
+    assert r.stored(hits[0][0], "id") is not None
+
+
+def test_encrypted_bytes_differ():
+    plain = build_index(MemoryDirectory())
+    enc_inner = MemoryDirectory()
+    build_index(EncryptedDirectory(enc_inner, Rot13Cipher()))
+    f = [n for n in plain.list() if n.endswith(".seg")][0]
+    assert plain.read(f) != enc_inner.read(f)
+    # and the encrypted dir cannot be read without the cipher
+    with pytest.raises(Exception):
+        DirectoryReader.open(enc_inner)
+
+
+def test_compression_shrinks():
+    txt = "repeat " * 200
+    raw = get_compressor("zlib").compress(txt.encode())
+    assert len(raw) < len(txt)
+    assert get_compressor("zlib").decompress(raw) == txt.encode()
+
+
+class FailingDirectory(Directory):
+    """Throws OSError on the N-th call of a chosen operation
+    (reference: tests/index/index_death_tests.cpp failing_directory)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.fail_op = None
+        self.fail_at = -1
+        self._counts = {}
+
+    def arm(self, op, at=0):
+        self.fail_op = op
+        self.fail_at = at
+        self._counts[op] = 0
+
+    def _check(self, op):
+        if op == self.fail_op:
+            c = self._counts.get(op, 0)
+            self._counts[op] = c + 1
+            if c == self.fail_at:
+                raise OSError(f"injected failure: {op}[{c}]")
+
+    def write(self, name, data):
+        self._check("write")
+        self.inner.write(name, data)
+
+    def read(self, name):
+        self._check("read")
+        return self.inner.read(name)
+
+    def exists(self, name):
+        return self.inner.exists(name)
+
+    def list(self):
+        return self.inner.list()
+
+    def remove(self, name):
+        self._check("remove")
+        return self.inner.remove(name)
+
+    def rename(self, src, dst):
+        self._check("rename")
+        self.inner.rename(src, dst)
+
+    def sync(self, names):
+        self._check("sync")
+        self.inner.sync(names)
+
+    def try_lock(self, name="write.lock"):
+        return self.inner.try_lock(name)
+
+    def length(self, name):
+        return self.inner.length(name)
+
+
+@pytest.mark.parametrize("op,at", [
+    ("write", 0), ("write", 1), ("sync", 0), ("rename", 0),
+])
+def test_commit_atomicity_under_failure(op, at):
+    """A failure at ANY point of the second commit leaves generation 1
+    committed, consistent, and reopenable — two-phase commit atomicity
+    (reference: formats_10.cpp:2826-2981 + index_death_tests)."""
+    inner = MemoryDirectory()
+    d = FailingDirectory(inner)
+    w = IndexWriter(d, IndexWriterOptions(invert_backend="numpy"))
+    w.insert([Field("body", "first generation doc", analyzer="segmentation")])
+    assert w.commit()
+    gen1 = find_last_generation(inner)
+
+    w.insert([Field("body", "second generation doc", analyzer="segmentation")])
+    d.arm(op, at)
+    with pytest.raises(OSError):
+        w.commit()
+    d.fail_op = None
+
+    # previous generation survives and is consistent
+    assert find_last_generation(inner) == gen1
+    r = DirectoryReader.open(inner)
+    assert r.docs_count == 1
+    assert len(search(r, F.ByTerm("body", "first"), k=5)) == 1
+    assert len(search(r, F.ByTerm("body", "second"), k=5)) == 0
+    w.close()
+
+    # a fresh writer can clean up and commit on top
+    w2 = IndexWriter(inner, IndexWriterOptions(invert_backend="numpy"))
+    w2.insert([Field("body", "third generation doc", analyzer="segmentation")])
+    assert w2.commit()
+    w2.close()
+    r2 = DirectoryReader.open(inner)
+    assert len(search(r2, F.ByTerm("body", "third"), k=5)) == 1
