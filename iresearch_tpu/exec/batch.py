@@ -104,7 +104,11 @@ class QueryBatch:
     ) -> None:
         self.scorer = scorer or BM25()
         self.segments = list(segments)
-        self.queries = [DeviceQuery(f, self.segments, self.scorer) for f in filters]
+        # device_phrase off: batch stacking materializes aux arrays host-side
+        self.queries = [
+            DeviceQuery(f, self.segments, self.scorer, device_phrase=False)
+            for f in filters
+        ]
 
     def execute_segment(
         self, seg_idx: int, k: int

@@ -281,11 +281,13 @@ class DeviceQuery:
         scorer: Optional[Scorer] = None,
         wand: bool = False,
         wand_sample: int = 16,
+        device_phrase: bool = True,
     ) -> None:
         self.flt = flt
         self.scorer = scorer or BM25()
         self.wand = wand
         self.wand_sample = wand_sample
+        self.device_phrase = device_phrase
         self.prepared = HostQuery(flt, list(segments), self.scorer)
         self.compiler = PlanCompiler(self.prepared, self.scorer)
         self._plans: Dict[int, SegmentPlan] = {}
@@ -293,7 +295,12 @@ class DeviceQuery:
     def plan(self, seg_idx: int) -> SegmentPlan:
         p = self._plans.get(seg_idx)
         if p is None:
-            p = self.compiler.compile(self.flt, seg_idx, wand=self.wand)
+            p = self.compiler.compile(
+                self.flt,
+                seg_idx,
+                wand=self.wand,
+                device_phrase=self.device_phrase,
+            )
             self._plans[seg_idx] = p
         return p
 
@@ -326,6 +333,13 @@ class DeviceQuery:
             gbits.append((BITS[g.dcls], BITS[g.fcls]))
         am = None if plan.aux_match is None else jnp.asarray(plan.aux_match)
         asc = None if plan.aux_score is None else jnp.asarray(plan.aux_score)
+        if plan.device_aux:
+            from iresearch_tpu.exec.phrase import run_phrase_dense
+
+            for aux_idx, spec in plan.device_aux:
+                m, s = run_phrase_dense(spec, sr, self.scorer, plan.nd_pad)
+                am = am.at[aux_idx].set(m)
+                asc = asc.at[aux_idx].set(s)
         return pools, rowsets, tuple(gbits), am, asc, dseg.alive
 
     def execute_segment(self, seg_idx: int, k: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -93,6 +93,8 @@ class SegmentPlan:
     aux_score: Optional[np.ndarray]  # f32 [A, nd_pad]
     # per-group avgdl of its field (index-wide), traced scalar input
     group_avgdl: np.ndarray  # f32 [len(groups)]
+    # device-computed aux rows: (aux_idx, DevicePhraseSpec)
+    device_aux: tuple = ()
 
     def signature(self) -> tuple:
         """Hashable jit cache key component (shapes drive the rest)."""
@@ -119,13 +121,21 @@ class PlanCompiler:
         self.prepared = prepared
         self.scorer = scorer
 
-    def compile(self, flt: F.Filter, seg_idx: int, wand: bool = False) -> SegmentPlan:
+    def compile(
+        self,
+        flt: F.Filter,
+        seg_idx: int,
+        wand: bool = False,
+        device_phrase: bool = True,
+    ) -> SegmentPlan:
         sr = self.prepared.segments[seg_idx]
         self._sr = sr
         self._seg = seg_idx
+        self._device_phrase = device_phrase
         self._groups: Dict[tuple, List[tuple]] = {}
         self._leaf_mm: List[int] = []
         self._aux: List[Tuple[np.ndarray, np.ndarray]] = []
+        self._dev_aux: List[tuple] = []  # (aux_idx, DevicePhraseSpec)
         tree = self._walk(flt, 1.0)
         nd = sr.num_docs
         nd_pad = _pow2(max(1, nd))
@@ -239,6 +249,7 @@ class PlanCompiler:
             aux_match=am,
             aux_score=asc,
             group_avgdl=np.asarray(avgdls, np.float32),
+            device_aux=tuple(self._dev_aux),
         )
 
     # --- tree walk (mirrors host_eval._eval boost propagation) ----------
@@ -340,6 +351,20 @@ class PlanCompiler:
         )
 
     def _make_aux(self, flt, boost: float) -> int:
+        if isinstance(flt, F.ByPhrase) and getattr(self, "_device_phrase", True):
+            from iresearch_tpu.exec.phrase import compile_phrase
+
+            spec = compile_phrase(
+                flt, self._sr, self._seg, boost, self.prepared, self.scorer
+            )
+            if spec is not None:
+                idx = len(self._aux)
+                nd = self._sr.num_docs
+                self._aux.append(
+                    (np.zeros(nd, np.bool_), np.zeros(nd, np.float32))
+                )
+                self._dev_aux.append((idx, spec))
+                return idx
         r = self.prepared._eval(flt, self._seg, boost)
         self._aux.append((r.match, r.score))
         return len(self._aux) - 1

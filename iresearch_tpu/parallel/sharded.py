@@ -249,7 +249,10 @@ class ShardedSearcher:
         scorer = scorer or BM25()
         prepared = HostQuery(flt, self.segments, scorer)
         compiler = PlanCompiler(prepared, scorer)
-        plans = [compiler.compile(flt, s) for s in range(len(self.segments))]
+        plans = [
+            compiler.compile(flt, s, device_phrase=False)
+            for s in range(len(self.segments))
+        ]
         tree = plans[0].tree
         num_leaves = plans[0].num_leaves
         leaf_min = plans[0].leaf_min_match
