@@ -80,6 +80,19 @@ def _fold_tree(tree, leaf_match, leaf_score, aux_match, aux_score, nd, jnp):
     raise ValueError(f"bad tree node {tree!r}")
 
 
+_USE_PALLAS_DECODE = False  # flip via use_pallas_decode()
+
+
+def use_pallas_decode(enable: bool = True) -> None:
+    """Route block decode through the Pallas kernel (ops/decode.py).
+
+    Off by default: the XLA gather+tile+scan path and the Pallas kernel
+    are numerically identical (tested); pick whichever profiles faster on
+    the target generation."""
+    global _USE_PALLAS_DECODE
+    _USE_PALLAS_DECODE = enable
+
+
 def _group_contrib(pool, rows_d, rows_f, w, bd: int, bf: int, avgdl, scorer):
     """Decode one row group -> (docs i32 [R,128], scores f32, matched bool).
 
@@ -91,9 +104,17 @@ def _group_contrib(pool, rows_d, rows_f, w, bd: int, bf: int, avgdl, scorer):
     from iresearch_tpu.formats.bitpack import unpack_jnp
 
     doc_words, freq_words, base, norms = pool
-    d = unpack_jnp(doc_words[rows_d], bd).astype(jnp.int32)  # [R, 128]
-    docs = base[rows_d][:, None] + jnp.cumsum(d, axis=1)
-    f = unpack_jnp(freq_words[rows_f], bf).astype(jnp.float32)
+    if _USE_PALLAS_DECODE:
+        from iresearch_tpu.ops.decode import decode_rows_pallas
+
+        docs, f = decode_rows_pallas(
+            doc_words, freq_words, base, rows_d, rows_f, bd=bd, bf=bf,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        d = unpack_jnp(doc_words[rows_d], bd).astype(jnp.int32)  # [R, 128]
+        docs = base[rows_d][:, None] + jnp.cumsum(d, axis=1)
+        f = unpack_jnp(freq_words[rows_f], bf).astype(jnp.float32)
     dl = norms[docs]
     sc = score_block(scorer, w[:, None], f, dl, avgdl, xp=jnp)
     return docs, sc, f > 0

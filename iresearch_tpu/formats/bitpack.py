@@ -33,8 +33,9 @@ def words_per_block(b: int) -> int:
 
 
 def _lane_shifts(b: int) -> np.ndarray:
+    # planar layout: lane j lives in word j % (4*b) at bit (j // (4*b)) * b
     g = 32 // b
-    return np.tile(np.arange(g, dtype=np.uint32) * b, words_per_block(b))
+    return np.repeat(np.arange(g, dtype=np.uint32) * b, words_per_block(b))
 
 
 def _mask(b: int) -> int:
@@ -42,32 +43,33 @@ def _mask(b: int) -> int:
 
 
 def pack_blocks(vals: np.ndarray, b: int) -> np.ndarray:
-    """[n, 128] u32 (< 2^b) -> [n, 4*b] u32 words. Lane j lives in word
-    j // (32/b) at bit (j % (32/b)) * b."""
+    """[n, 128] u32 (< 2^b) -> [n, 4*b] u32 words, planar layout: lane j
+    lives in word ``j % (4*b)`` at bit ``(j // (4*b)) * b`` — so unpack is
+    tile(words) >> shift & mask, matching pltpu.repeat's tiling."""
     n = vals.shape[0]
     assert vals.shape == (n, BLOCK)
     g = 32 // b
-    v = vals.astype(np.uint64).reshape(n, words_per_block(b), g)
-    shifts = (np.arange(g, dtype=np.uint64) * b)[None, None, :]
-    words = (v << shifts).sum(axis=2)  # disjoint bit ranges: sum == OR
+    v = vals.astype(np.uint64).reshape(n, g, words_per_block(b))
+    shifts = (np.arange(g, dtype=np.uint64) * b)[None, :, None]
+    words = (v << shifts).sum(axis=1)  # disjoint bit ranges: sum == OR
     return words.astype(np.uint32)
 
 
 def unpack_blocks(words: np.ndarray, b: int) -> np.ndarray:
     """[n, 4*b] u32 words -> [n, 128] u32 (host/oracle path)."""
     g = 32 // b
-    rep = np.repeat(words, g, axis=1)
+    rep = np.tile(words, (1, g))
     return (rep >> _lane_shifts(b)[None, :]) & np.uint32(_mask(b))
 
 
 def unpack_jnp(words, b: int):
     """jnp twin of unpack_blocks: [R, 4*b] u32 -> [R, 128] u32.
 
-    repeat + shift + mask — all elementwise VPU work that XLA fuses into
+    tile + shift + mask — all elementwise VPU work that XLA fuses into
     the consumer (cumsum / score)."""
     import jax.numpy as jnp
 
     g = 32 // b
-    rep = jnp.repeat(words, g, axis=1)
+    rep = jnp.tile(words, (1, g))
     shifts = jnp.asarray(_lane_shifts(b))
     return (rep >> shifts[None, :]) & jnp.uint32(_mask(b))

@@ -26,7 +26,7 @@ def write_segment(
     assert isinstance(seg, SegmentData)
     codec = get_compressor(column_compression)
     meta = {
-        "format": "iresearch_tpu/2",  # 2 = pow2-bit-packed split pools
+        "format": "iresearch_tpu/3",  # 3 = planar pow2-bit-packed split pools
         "num_docs": seg.num_docs,
         "fields": {},
         "columns": {},
