@@ -74,8 +74,12 @@ def _decode_all_entries(fp: FieldPostings):
     return tid_of_entry, e_doc, e_freq, pos_off
 
 
-def merge_segments(readers: List[SegmentReader]) -> SegmentData:
-    """Merge segments into one, dropping masked docs and remapping ids."""
+def merge_segments(readers: List[SegmentReader], sort=None) -> SegmentData:
+    """Merge segments into one, dropping masked docs and remapping ids.
+
+    ``sort`` (an index.writer.SortSpec) re-applies the primary sort to the
+    merged doc ids (reference: merge_writer honors the comparator).
+    """
     # doc id remap: alive docs numbered sequentially across segments
     doc_maps = []
     new_num_docs = 0
@@ -86,6 +90,34 @@ def merge_segments(readers: List[SegmentReader]) -> SegmentData:
         m[idx] = new_num_docs + np.arange(len(idx))
         new_num_docs += len(idx)
         doc_maps.append(m)
+
+    if sort is not None and new_num_docs > 1:
+        # compose the alive-compaction maps with the sort permutation
+        values = {}
+        for sr, dmap in zip(readers, doc_maps):
+            col = sr.data.columns.get(sort.field)
+            if col is None:
+                continue
+            for doc, value in col.items():
+                nd = int(dmap[doc])
+                if nd >= 0:
+                    values[nd] = value
+        keyfn = sort.key or (lambda b: b)
+
+        def _key(nid):
+            v = values.get(nid)
+            return (v is None, keyfn(v) if v is not None else None)
+
+        order = sorted(range(new_num_docs), key=_key, reverse=sort.descending)
+        if sort.descending:  # missing-value docs always sort last
+            order = [d for d in order if d in values] + [
+                d for d in order if d not in values
+            ]
+        perm = np.empty(new_num_docs, np.int64)
+        perm[np.asarray(order)] = np.arange(new_num_docs)
+        doc_maps = [
+            np.where(m >= 0, perm[np.maximum(m, 0)], -1) for m in doc_maps
+        ]
 
     field_names = sorted({n for sr in readers for n in sr.data.fields})
     out_fields: Dict[str, FieldPostings] = {}
@@ -168,9 +200,10 @@ def _merge_field(
     tid = np.concatenate(all_tid)
     doc = np.concatenate(all_doc)
     freq = np.concatenate(all_freq)
-    # entries are (doc-ascending within tid per segment, disjoint ascending
-    # segment ranges) -> stable sort by tid restores (tid, doc) order
-    order = np.argsort(tid, kind="stable")
+    # (tid, doc) lexicographic order; doc ranges may interleave across
+    # segments once a sort permutation is applied, so a full lexsort is
+    # required (last lexsort key is primary)
+    order = np.lexsort((doc, tid))
     tid_s = tid[order]
     e_doc = doc[order]
     e_freq = freq[order]

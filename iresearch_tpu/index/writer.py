@@ -61,6 +61,21 @@ def _stored_bytes(value: Any) -> bytes:
     raise TypeError(f"cannot store value of type {type(value)}")
 
 
+@dataclass(frozen=True)
+class SortSpec:
+    """Primary sort: docs within each flushed segment are reordered by the
+    stored value of ``field`` (reference: Comparer + DocMap applied at
+    flush, core/index/comparer.hpp:30, segment_writer.hpp:237).
+
+    ``key`` maps the stored bytes to a sortable python value (default:
+    bytes-lexicographic); docs lacking the column sort last.
+    """
+
+    field: str
+    key: Optional[Any] = None  # Callable[[bytes], Any]
+    descending: bool = False
+
+
 @dataclass
 class IndexWriterOptions:
     """Reference: IndexWriterOptions (index_writer.hpp:114-170)."""
@@ -70,6 +85,7 @@ class IndexWriterOptions:
     invert_backend: str = "auto"  # 'device' | 'numpy' | 'auto'
     keep_positions: bool = True
     column_compression: str = "none"  # stored-values codec (none | zlib | lz4)
+    sort: Optional[SortSpec] = None  # primary sort (None = insertion order)
 
 
 class _PendingField:
@@ -177,6 +193,37 @@ class _PendingSegment:
                 cb.add(doc, _stored_bytes(f.value))
         return doc
 
+    def _sort_doc_map(self, spec: "SortSpec") -> Optional[np.ndarray]:
+        """old->new doc id map for the primary sort, or None (no-op)."""
+        if self.num_docs <= 1:
+            return None
+        from iresearch_tpu.formats.columnstore import Column
+
+        cb = self.columns.get(spec.field)
+        values: Dict[int, bytes] = {}
+        if cb is not None:
+            for doc, chunk in zip(cb._docs, cb._chunks):
+                values[doc] = chunk
+        keyfn = spec.key or (lambda b: b)
+
+        def key(doc: int):
+            v = values.get(doc)
+            # docs without the column sort last regardless of direction
+            # (reference: Comparer receives an empty value)
+            return (v is None, keyfn(v) if v is not None else None)
+
+        order = sorted(range(self.num_docs), key=key, reverse=spec.descending)
+        if spec.descending:
+            # keep missing-value docs last under reverse too
+            order = [d for d in order if values.get(d) is not None] + [
+                d for d in order if values.get(d) is None
+            ]
+        doc_map = np.empty(self.num_docs, np.int64)
+        doc_map[np.asarray(order)] = np.arange(self.num_docs)
+        if (doc_map == np.arange(self.num_docs)).all():
+            return None
+        return doc_map
+
     def flush(self, opts: IndexWriterOptions) -> SegmentData:
         """Invert + encode all fields into an immutable SegmentData."""
         invert = invert_numpy
@@ -184,6 +231,12 @@ class _PendingSegment:
             invert = invert_device
         elif opts.invert_backend == "auto" and self.approx_tokens >= 1 << 16:
             invert = invert_device
+
+        doc_map = self._sort_doc_map(opts.sort) if opts.sort else None
+        if doc_map is not None:
+            # primary sort: remap doc ids everywhere and reorder ticks
+            # (reference: DocMap applied at flush, segment_writer.cpp:230)
+            self.ticks = list(np.asarray(self.ticks)[np.argsort(doc_map)])
         out_fields = {}
         for name, pf in self.fields.items():
             # sorted term dictionary + tid remap (reference sorts terms at
@@ -195,6 +248,13 @@ class _PendingSegment:
             remap[np.asarray(order, np.int64)] = np.arange(len(order))
             raw_tid, tok_doc, tok_pos = pf.streams()
             tok_tid = remap[raw_tid]
+            if doc_map is not None:
+                tok_doc = doc_map[tok_doc]
+                # restore (doc asc, pos asc) arrival order for the inverter
+                order2 = np.argsort(tok_doc, kind="stable")
+                tok_tid = tok_tid[order2]
+                tok_doc = tok_doc[order2]
+                tok_pos = tok_pos[order2]
             inv = invert(
                 tok_tid,
                 tok_doc,
@@ -217,6 +277,13 @@ class _PendingSegment:
         columns = {
             name: cb.build(self.num_docs) for name, cb in self.columns.items()
         }
+        if doc_map is not None:
+            from iresearch_tpu.formats.columnstore import remap_column
+
+            columns = {
+                name: remap_column(col, doc_map, self.num_docs)
+                for name, col in columns.items()
+            }
         return SegmentData(self.num_docs, out_fields, columns)
 
 
@@ -481,7 +548,10 @@ class IndexWriter:
             if len(candidate_idx) <= 1:
                 return False
             keep = [i for i in range(len(reader.segments)) if i not in candidate_idx]
-            merged = merge_segments([reader.segments[i] for i in candidate_idx])
+            merged = merge_segments(
+                [reader.segments[i] for i in candidate_idx],
+                sort=self._opts.sort,
+            )
             new_gen = meta.gen + 1
             counter = meta.seg_counter + 1
             name = f"_{counter}"
