@@ -72,6 +72,16 @@ class DeviceField:
         norms = np.ones(nd_pad, np.float32)
         norms[: len(fp.norms)] = np.maximum(fp.norms, 1).astype(np.float32)
         self.norms = jnp.asarray(norms)
+        # device-memory accounting (reference: IResourceManager categories,
+        # core/resource_manager.hpp:61-70 + CountMappedMemory)
+        from iresearch_tpu.utils import resource
+
+        self.device_bytes = int(
+            sum(a.nbytes for a in self.doc_words + self.freq_words)
+            + sum(a.nbytes for a in self.base + self.bmax + self.bmaxf)
+            + self.norms.nbytes
+        )
+        resource.manager().increase(resource.CATEGORY_DEVICE, self.device_bytes)
         if fp.pos_flat is not None and len(fp.pos_flat):
             pp = _pow2(len(fp.pos_flat))
             pos = np.full(pp, np.iinfo(np.int32).max, np.int32)
@@ -213,4 +223,11 @@ class SegmentReader:
         return self.device().field(field_name, fp)
 
     def invalidate_device(self) -> None:
+        if self._device is not None:
+            from iresearch_tpu.utils import resource
+
+            for df in self._device._fields.values():
+                resource.manager().decrease(
+                    resource.CATEGORY_DEVICE, df.device_bytes
+                )
         self._device = None
