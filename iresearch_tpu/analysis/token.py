@@ -15,3 +15,4 @@ class Token:
     position: int
     start: int = 0  # byte/char offset of token start in source text
     end: int = 0    # one past the token end
+    payload: bytes = b""  # arbitrary per-position payload (reference: PAY)

@@ -57,6 +57,12 @@ class FieldPostings:
     docs_with_field: int
     total_term_freq: int
     features: IndexFeatures
+    # position-parallel auxiliary streams (reference: OFFS/PAY payloads in
+    # the .pos/.pay files, formats_10.cpp:325-333); all parallel to pos_flat
+    offs_start: Optional[np.ndarray] = None  # u32 [sum ttf]
+    offs_end: Optional[np.ndarray] = None  # u32 [sum ttf]
+    pay_len: Optional[np.ndarray] = None  # u32 [sum ttf]
+    pay_blob: bytes = b""  # concatenated payloads (offsets = cumsum(pay_len))
 
     @property
     def num_terms(self) -> int:
@@ -90,6 +96,8 @@ def encode_field_postings(
     norms: np.ndarray,
     pos_flat: Optional[np.ndarray] = None,
     features: IndexFeatures = IndexFeatures.FREQ | IndexFeatures.POS,
+    offs: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    pays: Optional[Tuple[np.ndarray, bytes]] = None,
 ) -> FieldPostings:
     """Encode one field's (term, doc, freq) entries into block pools.
 
@@ -99,6 +107,8 @@ def encode_field_postings(
       term_blob/term_offsets: the sorted term dictionary bytes.
       norms: u32 [num_docs] per-doc token counts for this field.
       pos_flat: flat positions grouped in entry order (len per entry == freq).
+      offs: optional (start u32, end u32) arrays parallel to pos_flat (OFFS).
+      pays: optional (pay_len u32 parallel to pos_flat, concatenated bytes).
     """
     e_doc = np.asarray(e_doc, dtype=np.uint32)
     e_freq = np.asarray(e_freq, dtype=np.uint32)
@@ -127,6 +137,10 @@ def encode_field_postings(
             docs_with_field=int(np.count_nonzero(norms_arr)),
             total_term_freq=0,
             features=features,
+            offs_start=None if offs is None else np.asarray(offs[0], np.uint32),
+            offs_end=None if offs is None else np.asarray(offs[1], np.uint32),
+            pay_len=None if pays is None else np.asarray(pays[0], np.uint32),
+            pay_blob=b"" if pays is None else bytes(pays[1]),
         )
 
     df = np.diff(term_ptr)  # [T]
@@ -224,6 +238,10 @@ def encode_field_postings(
         docs_with_field=int(np.count_nonzero(norms_arr)),
         total_term_freq=int(ttf.sum()),
         features=features,
+        offs_start=None if offs is None else np.asarray(offs[0], np.uint32),
+        offs_end=None if offs is None else np.asarray(offs[1], np.uint32),
+        pay_len=None if pays is None else np.asarray(pays[0], np.uint32),
+        pay_blob=b"" if pays is None else bytes(pays[1]),
     )
 
 
@@ -251,5 +269,41 @@ def decode_positions(fp: FieldPostings, tid: int) -> List[np.ndarray]:
     off = int(e[TermCols.POS_BASE])
     for f in freqs:
         out.append(fp.pos_flat[off : off + int(f)])
+        off += int(f)
+    return out
+
+
+def decode_offsets(fp: FieldPostings, tid: int) -> List[np.ndarray]:
+    """(start, end) offset pairs per posting entry, shape [freq, 2]."""
+    assert fp.offs_start is not None and fp.offs_end is not None
+    e = fp.entries[tid]
+    _, freqs = decode_term(fp, tid)
+    out = []
+    off = int(e[TermCols.POS_BASE])
+    for f in freqs:
+        out.append(
+            np.stack(
+                [fp.offs_start[off : off + int(f)], fp.offs_end[off : off + int(f)]],
+                axis=1,
+            )
+        )
+        off += int(f)
+    return out
+
+
+def decode_payloads(fp: FieldPostings, tid: int) -> List[List[bytes]]:
+    """Per-position payload bytes per posting entry of one term."""
+    assert fp.pay_len is not None
+    e = fp.entries[tid]
+    _, freqs = decode_term(fp, tid)
+    ptr = np.zeros(len(fp.pay_len) + 1, np.int64)
+    np.cumsum(fp.pay_len, out=ptr[1:])
+    out = []
+    off = int(e[TermCols.POS_BASE])
+    for f in freqs:
+        row = [
+            fp.pay_blob[ptr[i] : ptr[i + 1]] for i in range(off, off + int(f))
+        ]
+        out.append(row)
         off += int(f)
     return out

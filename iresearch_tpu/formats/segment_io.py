@@ -46,6 +46,12 @@ def write_segment(
         w.add(f"{key}.norms", fp.norms)
         if fp.pos_flat is not None:
             w.add(f"{key}.pos", fp.pos_flat)
+        if fp.offs_start is not None:
+            w.add(f"{key}.ostart", fp.offs_start)
+            w.add(f"{key}.oend", fp.offs_end)
+        if fp.pay_len is not None:
+            w.add(f"{key}.paylen", fp.pay_len)
+            w.add(f"{key}.payblob", np.frombuffer(fp.pay_blob, np.uint8))
         for c in range(NUM_CLASSES):
             w.add(f"{key}.docw{c}", fp.doc_words[c])
             w.add(f"{key}.freqw{c}", fp.freq_words[c])
@@ -91,6 +97,14 @@ def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
             docs_with_field=fm["docs_with_field"],
             total_term_freq=fm["total_term_freq"],
             features=IndexFeatures(fm["features"]),
+            offs_start=r.array(f"{key}.ostart") if f"{key}.ostart" in r else None,
+            offs_end=r.array(f"{key}.oend") if f"{key}.oend" in r else None,
+            pay_len=r.array(f"{key}.paylen") if f"{key}.paylen" in r else None,
+            pay_blob=(
+                r.array(f"{key}.payblob").tobytes()
+                if f"{key}.payblob" in r
+                else b""
+            ),
         )
     from iresearch_tpu.store.codecs import get_compressor
 

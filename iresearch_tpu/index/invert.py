@@ -26,6 +26,9 @@ class InvertedEntries:
     term_ptr: np.ndarray  # i64 [T+1]
     pos_flat: np.ndarray  # u32 [num_tokens] positions in entry order
     norms: np.ndarray  # u32 [num_docs] tokens per doc
+    order: np.ndarray = None  # i64 [num_tokens] arrival->flat permutation
+    # (pos_flat == tok_pos[order]; any position-parallel stream reorders
+    # the same way: offsets, payloads)
 
 
 def invert_numpy(
@@ -48,6 +51,7 @@ def invert_numpy(
             term_ptr=np.zeros(num_terms + 1, np.int64),
             pos_flat=np.zeros(0, np.uint32),
             norms=norms,
+            order=np.zeros(0, np.int64),
         )
     order = np.argsort(tok_tid, kind="stable")
     stid = tok_tid[order]
@@ -67,7 +71,7 @@ def invert_numpy(
     entry_tid = stid[entry_starts]
     np.add.at(term_ptr, entry_tid + 1, 1)
     np.cumsum(term_ptr, out=term_ptr)
-    return InvertedEntries(e_doc, e_freq, term_ptr, pos_flat, norms)
+    return InvertedEntries(e_doc, e_freq, term_ptr, pos_flat, norms, order)
 
 
 def invert_device(
@@ -97,6 +101,7 @@ def invert_device(
             term_ptr=np.zeros(num_terms + 1, np.int64),
             pos_flat=np.zeros(0, np.uint32),
             norms=norms,
+            order=np.zeros(0, np.int64),
         )
     cap = 1 << max(1, int(np.ceil(np.log2(n))))
     pad = cap - n
@@ -106,7 +111,7 @@ def invert_device(
     doc_p = np.concatenate([np.asarray(tok_doc, np.int32), np.zeros(pad, np.int32)])
     pos_p = np.concatenate([np.asarray(tok_pos, np.uint32), np.zeros(pad, np.uint32)])
 
-    sdoc, spos, stid, e_doc, e_freq, eidx, tid_first = _get_invert_kernel()(
+    sdoc, spos, stid, e_doc, e_freq, eidx, tid_first, korder = _get_invert_kernel()(
         jnp.asarray(tid_p), jnp.asarray(doc_p), jnp.asarray(pos_p)
     )
     e_doc = np.asarray(e_doc)
@@ -122,7 +127,14 @@ def invert_device(
     term_ptr = np.zeros(num_terms + 1, dtype=np.int64)
     np.add.at(term_ptr, entry_tid + 1, 1)
     np.cumsum(term_ptr, out=term_ptr)
-    return InvertedEntries(e_doc, e_freq, term_ptr, pos_flat, norms)
+    return InvertedEntries(
+        e_doc,
+        e_freq,
+        term_ptr,
+        pos_flat,
+        norms,
+        np.asarray(korder)[:n].astype(np.int64),
+    )
 
 
 def _make_invert_kernel():
@@ -145,7 +157,7 @@ def _make_invert_kernel():
         e_freq = jnp.zeros(n, jnp.int32).at[eidx].add(1)
         e_doc = jnp.zeros(n, jnp.int32).at[eidx].max(sdoc)
         tid_first = jnp.zeros(n, jnp.int32).at[eidx].max(stid)
-        return sdoc, spos, stid, e_doc, e_freq, eidx, tid_first
+        return sdoc, spos, stid, e_doc, e_freq, eidx, tid_first, order
 
     return kernel
 

@@ -168,6 +168,10 @@ def _merge_field(
     all_doc = []
     all_freq = []
     all_pos = []
+    all_ostart: List[np.ndarray] = []
+    all_oend: List[np.ndarray] = []
+    all_paylen: List[np.ndarray] = []
+    all_pay: List[bytes] = []
     new_norms = np.zeros(new_num_docs, np.uint32)
     features = None
     for sr, dmap, terms in zip(readers, doc_maps, term_lists):
@@ -191,7 +195,19 @@ def _merge_field(
             total = int(lens.sum())
             if total:
                 within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-                all_pos.append(fp.pos_flat[np.repeat(starts, lens) + within])
+                idx = np.repeat(starts, lens) + within
+                all_pos.append(fp.pos_flat[idx])
+                # position-parallel aux streams gather with the same index
+                if fp.offs_start is not None:
+                    all_ostart.append(fp.offs_start[idx])
+                    all_oend.append(fp.offs_end[idx])
+                if fp.pay_len is not None:
+                    all_paylen.append(fp.pay_len[idx])
+                    pptr = np.zeros(len(fp.pay_len) + 1, np.int64)
+                    np.cumsum(fp.pay_len, out=pptr[1:])
+                    all_pay.extend(
+                        fp.pay_blob[pptr[i] : pptr[i + 1]] for i in idx
+                    )
             else:
                 all_pos.append(np.zeros(0, np.uint32))
 
@@ -212,6 +228,7 @@ def _merge_field(
     np.cumsum(term_ptr, out=term_ptr)
 
     pos_flat = None
+    offs = pays = None
     if all_pos:
         pos_cat = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
         lens = freq.astype(np.int64)
@@ -223,7 +240,19 @@ def _merge_field(
         total = int(lens_o.sum())
         if total:
             within = np.arange(total) - np.repeat(np.cumsum(lens_o) - lens_o, lens_o)
-            pos_flat = pos_cat[np.repeat(starts_o, lens_o) + within]
+            fidx = np.repeat(starts_o, lens_o) + within
+            pos_flat = pos_cat[fidx]
+            if all_ostart:
+                offs = (
+                    np.concatenate(all_ostart)[fidx],
+                    np.concatenate(all_oend)[fidx],
+                )
+            if all_paylen:
+                pay_sorted = [all_pay[i] for i in fidx]
+                pays = (
+                    np.concatenate(all_paylen)[fidx],
+                    b"".join(pay_sorted),
+                )
         else:
             pos_flat = np.zeros(0, np.uint32)
 
@@ -251,4 +280,6 @@ def _merge_field(
         new_norms,
         pos_flat=pos_flat,
         features=features if features is not None else IndexFeatures.FREQ,
+        offs=offs,
+        pays=pays,
     )

@@ -22,6 +22,7 @@ import numpy as np
 from iresearch_tpu.analysis import Analyzer, get as get_analyzer
 from iresearch_tpu.formats.columnstore import ColumnBuilder
 from iresearch_tpu.formats.postings import encode_field_postings
+from iresearch_tpu.formats.spec import IndexFeatures
 from iresearch_tpu.formats.segment_io import write_segment
 from iresearch_tpu.index.invert import invert_device, invert_numpy
 from iresearch_tpu.index.reader import (
@@ -47,6 +48,10 @@ class Field:
     analyzer: Union[str, Analyzer] = "identity"
     index: bool = True
     store: bool = False
+    # which per-posting payloads to record (reference: IndexFeatures
+    # FREQ/POS/OFFS/PAY, index_features.hpp:40); OFFS stores token source
+    # offsets, PAY stores Token.payload bytes
+    features: IndexFeatures = IndexFeatures.FREQ | IndexFeatures.POS
 
 
 def _stored_bytes(value: Any) -> bytes:
@@ -89,7 +94,10 @@ class IndexWriterOptions:
 
 
 class _PendingField:
-    __slots__ = ("terms", "tok_tid", "tok_doc", "tok_pos", "doc_pos", "chunks")
+    __slots__ = (
+        "terms", "tok_tid", "tok_doc", "tok_pos", "doc_pos", "chunks",
+        "features", "tok_ostart", "tok_oend", "tok_pay",
+    )
 
     def __init__(self) -> None:
         from iresearch_tpu.native import TermDict
@@ -103,6 +111,11 @@ class _PendingField:
         # tokenize+lookup fast path
         self.chunks: List = []
         self.doc_pos: Dict[int, int] = {}  # next position per doc
+        self.features = IndexFeatures.FREQ | IndexFeatures.POS
+        # position-parallel aux (arrival order, scalar path only)
+        self.tok_ostart: List[int] = []
+        self.tok_oend: List[int] = []
+        self.tok_pay: List[bytes] = []
 
     def streams(self):
         """Concatenated (tid, doc, pos) arrays in arrival order.
@@ -165,12 +178,19 @@ class _PendingSegment:
                 if pf is None:
                     pf = self.fields[f.name] = _PendingField()
                 analyzer = analyzers(f.analyzer)
+                pf.features |= f.features
                 pos = pf.doc_pos.get(doc, 0)
                 base_pos = pos
                 text = f.value if isinstance(f.value, str) else str(f.value)
                 tids = None
+                # once OFFS/PAY is requested for a field it stays on so
+                # aux stays aligned with the token stream
+                needs_aux = bool(
+                    pf.features & (IndexFeatures.OFFS | IndexFeatures.PAY)
+                )
                 bulk = getattr(analyzer, "bulk_tids", None)
-                if bulk is not None:
+                if bulk is not None and not needs_aux:
+                    # the C++ bulk path carries no offsets/payloads
                     tids = bulk(text, pf.terms)
                 if tids is not None:
                     # native tokenize+termdict fast path (C++ inner loop)
@@ -183,6 +203,10 @@ class _PendingSegment:
                         pf.tok_tid.append(tid)
                         pf.tok_doc.append(doc)
                         pf.tok_pos.append(base_pos + tok.position)
+                        if needs_aux:
+                            pf.tok_ostart.append(tok.start)
+                            pf.tok_oend.append(tok.end)
+                            pf.tok_pay.append(tok.payload)
                         pos = base_pos + tok.position + 1
                         self.approx_tokens += 1
                 pf.doc_pos[doc] = pos
@@ -248,6 +272,17 @@ class _PendingSegment:
             remap[np.asarray(order, np.int64)] = np.arange(len(order))
             raw_tid, tok_doc, tok_pos = pf.streams()
             tok_tid = remap[raw_tid]
+            has_aux = bool(
+                pf.features & (IndexFeatures.OFFS | IndexFeatures.PAY)
+            )
+            if has_aux and pf.chunks:
+                raise ValueError(
+                    "OFFS/PAY must be requested from the field's first "
+                    "document (bulk chunks carry no offsets)"
+                )
+            ostart = np.asarray(pf.tok_ostart, np.uint32) if has_aux else None
+            oend = np.asarray(pf.tok_oend, np.uint32) if has_aux else None
+            pay = list(pf.tok_pay) if has_aux else None
             if doc_map is not None:
                 tok_doc = doc_map[tok_doc]
                 # restore (doc asc, pos asc) arrival order for the inverter
@@ -255,6 +290,10 @@ class _PendingSegment:
                 tok_tid = tok_tid[order2]
                 tok_doc = tok_doc[order2]
                 tok_pos = tok_pos[order2]
+                if has_aux:
+                    ostart = ostart[order2]
+                    oend = oend[order2]
+                    pay = [pay[i] for i in order2]
             inv = invert(
                 tok_tid,
                 tok_doc,
@@ -265,6 +304,20 @@ class _PendingSegment:
             blob = b"".join(terms_sorted)
             offsets = np.zeros(len(terms_sorted) + 1, np.uint64)
             np.cumsum([len(t) for t in terms_sorted], out=offsets[1:])
+            offs = pays = None
+            if has_aux and inv.order is not None and len(inv.order):
+                if pf.features & IndexFeatures.OFFS:
+                    offs = (ostart[inv.order], oend[inv.order])
+                if pf.features & IndexFeatures.PAY:
+                    pay_sorted = [pay[i] for i in inv.order]
+                    pays = (
+                        np.fromiter(
+                            (len(b) for b in pay_sorted),
+                            np.uint32,
+                            count=len(pay_sorted),
+                        ),
+                        b"".join(pay_sorted),
+                    )
             out_fields[name] = encode_field_postings(
                 inv.e_doc,
                 inv.e_freq,
@@ -273,6 +326,9 @@ class _PendingSegment:
                 offsets,
                 inv.norms,
                 pos_flat=inv.pos_flat if opts.keep_positions else None,
+                features=pf.features,
+                offs=offs,
+                pays=pays,
             )
         columns = {
             name: cb.build(self.num_docs) for name, cb in self.columns.items()
