@@ -52,27 +52,34 @@ def _fold_tree(tree, leaf_match, leaf_score, aux_match, aux_score, nd, jnp):
     if kind == "not":
         m, _ = _fold_tree(tree[1], leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
         return ~m, jnp.zeros(nd, jnp.float32)
-    if kind == "and":
-        _, pos, neg = tree
+    if kind in ("and", "or"):
+        if kind == "and":
+            _, pos, neg, merge = tree
+            min_match = None
+        else:
+            _, pos, neg, min_match, merge = tree
         match = jnp.ones(nd, bool)
-        score = jnp.zeros(nd, jnp.float32)
+        count = jnp.zeros(nd, jnp.int32)
+        # merge of matching children (ScoreMergeType, scorer.hpp:224-235)
+        if merge == "max":
+            score = jnp.full(nd, _NEG_INF, jnp.float32)
+        elif merge == "min":
+            score = jnp.full(nd, jnp.inf, jnp.float32)
+        else:
+            score = jnp.zeros(nd, jnp.float32)
         for c in pos:
             m, s = _fold_tree(c, leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
             match = match & m
-            score = score + s
-        for c in neg:
-            m, _ = _fold_tree(c, leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
-            match = match & ~m
-        return match, jnp.where(match, score, 0.0)
-    if kind == "or":
-        _, pos, neg, min_match = tree
-        count = jnp.zeros(nd, jnp.int32)
-        score = jnp.zeros(nd, jnp.float32)
-        for c in pos:
-            m, s = _fold_tree(c, leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
             count = count + m.astype(jnp.int32)
-            score = score + s
-        match = jnp.ones(nd, bool) if min_match <= 0 else count >= min_match
+            if merge == "max":
+                score = jnp.maximum(score, jnp.where(m, s, _NEG_INF))
+            elif merge == "min":
+                score = jnp.minimum(score, jnp.where(m, s, jnp.inf))
+            elif merge == "sum":
+                score = score + s
+        score = jnp.where(jnp.isfinite(score), score, 0.0)
+        if kind == "or":
+            match = jnp.ones(nd, bool) if min_match <= 0 else count >= min_match
         for c in neg:
             m, _ = _fold_tree(c, leaf_match, leaf_score, aux_match, aux_score, nd, jnp)
             match = match & ~m

@@ -273,7 +273,7 @@ class PlanCompiler:
                 for c in flt.filters
                 if isinstance(c, F.Not)
             )
-            return ("and", pos, neg)
+            return ("and", pos, neg, flt.merge)
         if isinstance(flt, F.Or):
             b = boost * flt.boost
             # Or-of-term-leaves with min_match<=1 collapses into ONE merged
@@ -282,6 +282,7 @@ class PlanCompiler:
             # the reference's boolean_filter disjunction optimization).
             if (
                 flt.min_match == 1
+                and flt.merge == "sum"
                 and flt.filters
                 and all(
                     isinstance(c, TERM_LEAVES)
@@ -301,7 +302,7 @@ class PlanCompiler:
                 for c in flt.filters
                 if isinstance(c, F.Not)
             )
-            return ("or", pos, neg, int(flt.min_match))
+            return ("or", pos, neg, int(flt.min_match), flt.merge)
         if isinstance(flt, F.Not):
             return ("not", self._walk(flt.filter, 1.0))
         # anything else: host fallback

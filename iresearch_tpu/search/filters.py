@@ -345,14 +345,20 @@ class ByNested(Filter):
 
 @dataclass(frozen=True)
 class And(Filter):
+    """Conjunction; ``merge`` picks the child-score merger
+    (reference: ScoreMergeType kSum/kMax/kMin/kNoop, scorer.hpp:224-235)."""
+
     filters: Tuple[Filter, ...]
     boost: float = 1.0
+    merge: str = "sum"  # sum | max | min | noop
 
-    def __init__(self, *filters: Filter, boost: float = 1.0):
+    def __init__(self, *filters: Filter, boost: float = 1.0, merge: str = "sum"):
         if len(filters) == 1 and isinstance(filters[0], (list, tuple)):
             filters = tuple(filters[0])
+        assert merge in ("sum", "max", "min", "noop")
         object.__setattr__(self, "filters", tuple(filters))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "merge", merge)
 
 
 @dataclass(frozen=True)
@@ -366,13 +372,22 @@ class Or(Filter):
     filters: Tuple[Filter, ...]
     min_match: int = 1
     boost: float = 1.0
+    merge: str = "sum"  # sum | max | min | noop (ScoreMergeType)
 
-    def __init__(self, *filters: Filter, min_match: int = 1, boost: float = 1.0):
+    def __init__(
+        self,
+        *filters: Filter,
+        min_match: int = 1,
+        boost: float = 1.0,
+        merge: str = "sum",
+    ):
         if len(filters) == 1 and isinstance(filters[0], (list, tuple)):
             filters = tuple(filters[0])
+        assert merge in ("sum", "max", "min", "noop")
         object.__setattr__(self, "filters", tuple(filters))
         object.__setattr__(self, "min_match", min_match)
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "merge", merge)
 
 
 @dataclass(frozen=True)

@@ -409,6 +409,21 @@ class HostQuery:
             prev = p
         return HostResult(match, score)
 
+    @staticmethod
+    def _merge_scores(scores, matches, merge, nd):
+        """Combine matching children's scores (ScoreMergeType semantics)."""
+        if merge == "noop" or not scores:
+            return np.zeros(nd, np.float32)
+        if merge == "sum":
+            return np.sum(scores, axis=0, dtype=np.float32)
+        stack = np.stack(scores)
+        mstack = np.stack(matches)
+        if merge == "max":
+            return np.max(np.where(mstack, stack, -np.inf), axis=0, initial=-np.inf).astype(np.float32)
+        # min over matching children only
+        out = np.min(np.where(mstack, stack, np.inf), axis=0, initial=np.inf)
+        return out.astype(np.float32)
+
     def _split_not(self, children):
         pos = [c for c in children if not isinstance(c, F.Not)]
         neg = [c.filter for c in children if isinstance(c, F.Not)]
@@ -419,19 +434,19 @@ class HostQuery:
         nd = sr.num_docs
         pos, neg = self._split_not(flt.filters)
         b = boost * flt.boost
-        if not pos:
-            match = np.ones(nd, bool)
-            score = np.zeros(nd, np.float32)
-        else:
-            match = np.ones(nd, bool)
-            score = np.zeros(nd, np.float32)
-            for c in pos:
-                r = self._eval(c, s, b)
-                match &= r.match
-                score += r.score
+        match = np.ones(nd, bool)
+        scores = []
+        matches = []
+        for c in pos:
+            r = self._eval(c, s, b)
+            match &= r.match
+            scores.append(r.score)
+            matches.append(r.match)
+        score = self._merge_scores(scores, matches, flt.merge, nd)
         for c in neg:
             r = self._eval(c, s, 1.0)
             match &= ~r.match
+        score = np.where(np.isfinite(score), score, 0.0).astype(np.float32)
         return HostResult(match, np.where(match, score, 0.0))
 
     def _eval_or(self, flt: F.Or, s: int, boost: float) -> HostResult:
@@ -440,11 +455,15 @@ class HostQuery:
         pos, neg = self._split_not(flt.filters)
         b = boost * flt.boost
         count = np.zeros(nd, np.int32)
-        score = np.zeros(nd, np.float32)
+        scores = []
+        matches = []
         for c in pos:
             r = self._eval(c, s, b)
             count += r.match.astype(np.int32)
-            score += r.score
+            scores.append(r.score)
+            matches.append(r.match)
+        score = self._merge_scores(scores, matches, flt.merge, nd)
+        score = np.where(np.isfinite(score), score, 0.0).astype(np.float32)
         if flt.min_match <= 0:
             match = np.ones(nd, bool)
         else:
