@@ -104,6 +104,50 @@ def main():
     scorer = BM25()
     from iresearch_tpu.exec.batch import QueryBatch
 
+    # Single-query latency (device-complete: dispatch + compute + block;
+    # results stay on device). Measured BEFORE the batched phase: loading
+    # many large batched executables evicts smaller ones from the
+    # dev-relay executable cache, inflating later single-query dispatches
+    # ~1000x (a tunnel artifact, not engine time).
+    lat_flt = F.ByTerm("body", high[0])
+    dq = DeviceQuery(lat_flt, [sr], scorer)
+    dq.execute_segment_async(0, K)[0].block_until_ready()  # compile
+    lats = []
+    for _ in range(100):
+        t2 = time.time()
+        v, _ = dq.execute_segment_async(0, K)
+        v.block_until_ready()
+        lats.append(time.time() - t2)
+    lats.sort()
+    log(
+        f"single-query latency (device-complete): "
+        f"p50 {lats[50]*1000:.3f}ms p99 {lats[98]*1000:.3f}ms (HighTerm)"
+    )
+
+    # breadth categories (sequential, stderr only): phrase on device,
+    # prefix/fuzzy expansions, wand
+    extras = [
+        ("Phrase", F.ByPhrase("body", [term_at(30), term_at(31)])),
+        ("Prefix", F.ByPrefix("body", term_at(40)[:3])),
+        ("Fuzzy1", F.ByEditDistance("body", term_at(50), max_distance=1)),
+    ]
+    for name, flt in extras:
+        dq = DeviceQuery(flt, [sr], scorer)
+        dq.execute_segment_async(0, K)[0].block_until_ready()
+        t2 = time.time()
+        for _ in range(10):
+            v, _ = dq.execute_segment_async(0, K)
+            v.block_until_ready()
+        log(f"{name}: {(time.time()-t2)/10*1000:.3f} ms/query (device-complete)")
+    wq = DeviceQuery(F.Or(*[F.ByTerm("body", t) for t in high[:4]]), [sr], scorer, wand=True)
+    wq.execute_segment_async(0, K)[0].block_until_ready()
+    t2 = time.time()
+    for _ in range(10):
+        v, _ = wq.execute_segment_async(0, K)
+        v.block_until_ready()
+    log(f"OrHigh4+WAND: {(time.time()-t2)/10*1000:.3f} ms/query (device-complete)")
+
+
     qb = QueryBatch([flt for _, flt in tasks], [sr], scorer)
     prep = qb.prepare(0, K)
 
