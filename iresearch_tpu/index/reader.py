@@ -109,6 +109,16 @@ def _read_mask(directory: Directory, info: SegmentInfo) -> Optional[np.ndarray]:
     return r.array("docs")
 
 
+@dataclass
+class ReaderOptions:
+    """Reference: IndexReaderOptions (core/index/index_reader_options.hpp):
+    doc-mask reading, columnstore warmup hooks, WAND context. The device
+    analog of columnstore warmup is eager pool upload."""
+
+    read_doc_masks: bool = True
+    preload_fields: tuple = ()  # field names to upload to device at open
+
+
 class DirectoryReader:
     """Point-in-time view over the committed index."""
 
@@ -117,23 +127,38 @@ class DirectoryReader:
         directory: Directory,
         meta: IndexMeta,
         segments: List[SegmentReader],
+        options: Optional[ReaderOptions] = None,
     ) -> None:
         self._dir = directory
         self.meta = meta
         self.segments = segments
+        self.options = options or ReaderOptions()
         self.doc_base = np.zeros(len(segments) + 1, np.int64)
         np.cumsum([s.num_docs for s in segments], out=self.doc_base[1:])
 
     @staticmethod
-    def open(directory: Directory) -> "DirectoryReader":
+    def open(
+        directory: Directory, options: Optional[ReaderOptions] = None
+    ) -> "DirectoryReader":
+        options = options or ReaderOptions()
         meta = read_meta(directory)
         segs = []
         for info in meta.segments:
             data = read_segment(directory.read(info.file))
-            segs.append(
-                SegmentReader(info.name, data, _read_mask(directory, info))
-            )
-        return DirectoryReader(directory, meta, segs)
+            mask = _read_mask(directory, info) if options.read_doc_masks else None
+            segs.append(SegmentReader(info.name, data, mask))
+        r = DirectoryReader(directory, meta, segs, options)
+        r.preload_device(options.preload_fields)
+        return r
+
+    def preload_device(self, fields=()) -> None:
+        """Eagerly upload the named fields' pools on every segment (the
+        mmap-warmup analog; reference: columnstore warmup hook,
+        segment_reader_impl.cpp:185-294)."""
+        for sr in self.segments:
+            for fname in fields:
+                if sr.field(fname) is not None:
+                    sr.device_field(fname)
 
     def reopen(self) -> "DirectoryReader":
         """Refresh to the latest commit, reusing unchanged segment readers."""

@@ -156,6 +156,94 @@ class EncryptedDirectory(Directory):
         return self.inner.length(name)
 
 
+class AsyncDirectory(Directory):
+    """Write-behind directory: writes are queued to a background worker
+    and made durable (or their errors surfaced) at sync() — the io_uring
+    AsyncDirectory analog (reference: core/store/async_directory.hpp:47).
+    Reads see queued writes immediately."""
+
+    def __init__(self, inner: Directory) -> None:
+        import queue
+        import threading
+
+        self.inner = inner
+        self._pending: dict = {}
+        self._q: "queue.Queue" = queue.Queue()
+        self._errors: list = []
+        self._mutex = threading.Lock()
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+
+    def _drain(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            name, data = item
+            try:
+                self.inner.write(name, data)
+            except Exception as e:  # surfaced at the next sync()
+                self._errors.append(e)
+            finally:
+                with self._mutex:
+                    if self._pending.get(name) is data:
+                        del self._pending[name]
+                self._q.task_done()
+
+    def write(self, name: str, data: bytes) -> None:
+        with self._mutex:
+            self._pending[name] = data
+        self._q.put((name, data))
+
+    def read(self, name: str) -> bytes:
+        with self._mutex:
+            data = self._pending.get(name)
+        if data is not None:
+            return data
+        return self.inner.read(name)
+
+    def exists(self, name: str) -> bool:
+        with self._mutex:
+            if name in self._pending:
+                return True
+        return self.inner.exists(name)
+
+    def list(self) -> List[str]:
+        with self._mutex:
+            pending = list(self._pending)
+        return sorted(set(self.inner.list()) | set(pending))
+
+    def remove(self, name: str) -> bool:
+        self._q.join()
+        return self.inner.remove(name)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._q.join()  # the commit rename must see durable sources
+        self.inner.rename(src, dst)
+
+    def sync(self, names) -> None:
+        self._q.join()
+        if self._errors:
+            err = self._errors[:]
+            self._errors.clear()
+            raise OSError(f"async writes failed: {err}")
+        self.inner.sync(names)
+
+    def try_lock(self, name: str = "write.lock") -> Optional[IndexLock]:
+        return self.inner.try_lock(name)
+
+    def length(self, name: str) -> int:
+        with self._mutex:
+            data = self._pending.get(name)
+        if data is not None:
+            return len(data)
+        return self.inner.length(name)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._worker.join()
+
+
 class CachingDirectory(Directory):
     """Bounded whole-blob read cache (reference: caching_directory.hpp:36-114
     caches file handles/mmaps; blobs here)."""

@@ -87,7 +87,13 @@ def random_tree(rng, depth=0):
     return F.Or(*children, min_match=mm, boost=boost, merge=merge)
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize(
+    "seed",
+    # every tree is a fresh jit signature, so each case costs a compile;
+    # 12 seeds in the default run, the full sweep behind --runslow
+    list(range(12))
+    + [pytest.param(s, marks=pytest.mark.slow) for s in range(12, 40)],
+)
 @pytest.mark.parametrize("scorer", [BM25(), TFIDF()], ids=["bm25", "tfidf"])
 def test_fuzz_device_equals_host(reader, seed, scorer):
     from iresearch_tpu.exec import DeviceQuery

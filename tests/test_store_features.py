@@ -15,6 +15,7 @@ from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.host_eval import search
 from iresearch_tpu.store.codecs import (
+    AsyncDirectory,
     CachingDirectory,
     EncryptedDirectory,
     Rot13Cipher,
@@ -42,6 +43,8 @@ PARAMS = [
     ("rot13", lambda: EncryptedDirectory(MemoryDirectory(), Rot13Cipher()), "none"),
     ("xorctr", lambda: EncryptedDirectory(MemoryDirectory(), XorCtrCipher(b"k" * 16)), "none"),
     ("caching", lambda: CachingDirectory(MemoryDirectory()), "none"),
+    ("async", lambda: AsyncDirectory(MemoryDirectory()), "none"),
+    ("async+rot13", lambda: AsyncDirectory(EncryptedDirectory(MemoryDirectory(), Rot13Cipher())), "none"),
     ("zlib", lambda: MemoryDirectory(), "zlib"),
     ("rot13+zlib", lambda: EncryptedDirectory(MemoryDirectory(), Rot13Cipher()), "zlib"),
 ]
@@ -67,6 +70,33 @@ def test_encrypted_bytes_differ():
     # and the encrypted dir cannot be read without the cipher
     with pytest.raises(Exception):
         DirectoryReader.open(enc_inner)
+
+
+def test_async_write_failure_surfaces_at_sync():
+    class FailWrite(MemoryDirectory):
+        def write(self, name, data):
+            if name.endswith(".seg"):
+                raise OSError("disk full")
+            super().write(name, data)
+
+    d = AsyncDirectory(FailWrite())
+    w = IndexWriter(d, IndexWriterOptions(invert_backend="numpy"))
+    w.insert([Field("body", "doc", analyzer="segmentation")])
+    with pytest.raises(OSError):
+        w.commit()
+    w.close()
+
+
+def test_reader_options_preload():
+    from iresearch_tpu.index.reader import ReaderOptions
+    from iresearch_tpu.utils import resource
+
+    d = build_index(MemoryDirectory())
+    before = resource.manager().used(resource.CATEGORY_DEVICE)
+    r = DirectoryReader.open(d, ReaderOptions(preload_fields=("body",)))
+    assert resource.manager().used(resource.CATEGORY_DEVICE) > before
+    for sr in r.segments:
+        sr.invalidate_device()
 
 
 def test_compression_shrinks():
