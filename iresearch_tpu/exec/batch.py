@@ -117,6 +117,25 @@ class QueryBatch:
         raw = self.prepare(seg_idx, k).run()
         return [(np.asarray(v), np.asarray(d)) for v, d in raw]
 
+    def search(self, k: int) -> List[List[Tuple[int, float]]]:
+        """Global top-k per query over all segments: one batched dispatch
+        set per segment, host merge of (global_doc, score) candidates
+        ordered by (-score, doc)."""
+        per_seg = [self.execute_segment(s, k) for s in range(len(self.segments))]
+        base = np.zeros(len(self.segments) + 1, np.int64)
+        np.cumsum([sr.num_docs for sr in self.segments], out=base[1:])
+        out: List[List[Tuple[int, float]]] = []
+        for qi in range(len(self.queries)):
+            cands: List[Tuple[int, float]] = []
+            for s, res in enumerate(per_seg):
+                vals, docs = res[qi]
+                for v, d in zip(vals, docs):
+                    if np.isfinite(v):
+                        cands.append((int(base[s] + d), float(v)))
+            cands.sort(key=lambda t: (-t[1], t[0]))
+            out.append(cands[:k])
+        return out
+
     def prepare(self, seg_idx: int, k: int) -> "PreparedBatch":
         """Stack plans into device arrays once; re-runnable cheaply."""
         import jax.numpy as jnp

@@ -21,8 +21,26 @@ def reader():
             n = int(rng.integers(2, 15))
             idx = np.minimum(rng.zipf(1.6, size=n) - 1, len(WORDS) - 1)
             w.insert([Field("body", " ".join(WORDS[j] for j in idx), analyzer="segmentation")])
+            if i == 120:
+                w.commit()  # two segments
         w.commit()
     return DirectoryReader.open(d)
+
+
+def test_batch_multisegment_search(reader):
+    """QueryBatch.search == per-query host search over the whole index."""
+    from iresearch_tpu.exec.batch import QueryBatch
+    from iresearch_tpu.search.host_eval import search as search_host
+    from tests.topk_util import assert_topk_equiv
+
+    filters = [F.ByTerm("body", w) for w in WORDS[:5]] + [
+        F.Or(F.ByTerm("body", "one"), F.ByTerm("body", "nine"))
+    ]
+    qb = QueryBatch(filters, list(reader.segments), BM25())
+    got = qb.search(7)
+    for flt, g in zip(filters, got):
+        want = search_host(reader, flt, BM25(), k=7)
+        assert_topk_equiv(g, want)
 
 
 def test_batch_equals_individual(reader):
