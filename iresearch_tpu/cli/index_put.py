@@ -37,6 +37,7 @@ def parse_args(argv):
         help="inversion backend (device = TPU segment sort)",
     )
     p.add_argument("--segment-docs-max", type=int, default=1 << 17)
+    p.add_argument("--metrics-out", default=None)
     return p.parse_args(argv)
 
 
@@ -119,6 +120,13 @@ def main(argv) -> int:
             w.commit()
     dt = time.time() - t0
     print(f"Indexed {total} docs in {dt:.2f}s ({total/max(dt,1e-9):.0f} docs/s)")
+    if args.metrics_out:
+        from iresearch_tpu.utils.metrics import registry
+
+        m = registry()
+        m.gauge("Wall_Clock", dt, {"mode": "put"}, help_="wall clock (s)")
+        m.gauge("Docs_Per_Second", total / max(dt, 1e-9), {"mode": "put"})
+        m.write(args.metrics_out)
     for name, (count, ns) in sorted(timer_registry().flush_stats().items()):
         print(f"  timer {name}: {count} calls, {ns/1e6:.1f} ms", file=sys.stderr)
     return 0

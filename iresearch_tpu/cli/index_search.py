@@ -121,6 +121,8 @@ def parse_args(argv):
     p.add_argument("--scored-terms-limit", type=int, default=16)
     p.add_argument("--engine", default="device", choices=["device", "host"])
     p.add_argument("--csv", action="store_true")
+    p.add_argument("--metrics-out", default=None,
+                   help="write Prometheus text metrics to this file")
     return p.parse_args(argv)
 
 
@@ -167,4 +169,15 @@ def main(argv) -> int:
             print(f"{cat}: {calls} calls, {secs*1e3:.2f} ms total")
         for (cat, text), hits in list(results.items())[:3]:
             print(f"  sample [{cat}] {text!r}: top={hits[:3]}")
+    if args.metrics_out:
+        from iresearch_tpu.utils.metrics import registry
+
+        m = registry()
+        for cat in stats:
+            calls, secs = stats[cat]
+            m.gauge("Time", secs * 1e6 / max(calls, 1),
+                    {"category": cat, "engine": args.engine},
+                    help_="query execution time (us)")
+            m.gauge("Calls", calls, {"category": cat, "engine": args.engine})
+        m.write(args.metrics_out)
     return 0

@@ -322,7 +322,12 @@ class ByNgramSimilarity(Filter):
 
 @dataclass(frozen=True)
 class ByColumnExistence(Filter):
+    """Docs carrying a column; ``prefix_match`` treats ``column`` as a
+    name prefix (reference: by_column_existence ColumnAcceptor,
+    column_existence_filter.hpp:32-38)."""
+
     column: str
+    prefix_match: bool = False
     boost: float = 1.0
 
 

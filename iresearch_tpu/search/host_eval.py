@@ -133,9 +133,16 @@ class HostQuery:
             )  # no freq -> score 0 (reference default boost_as_score=false)
         if isinstance(flt, F.ByColumnExistence):
             match = np.zeros(nd, bool)
-            col = sr.column(flt.column)
-            if col is not None:
-                match[col.doc_ids().astype(np.int64)] = True
+            if getattr(flt, "prefix_match", False):
+                names = [
+                    n for n in sr.column_names() if n.startswith(flt.column)
+                ]
+            else:
+                names = [flt.column] if sr.column(flt.column) is not None else []
+            for n in names:
+                col = sr.column(n)
+                if col is not None:
+                    match[col.doc_ids().astype(np.int64)] = True
             return HostResult(match, np.zeros(nd, np.float32))
         if isinstance(flt, F.Proxy):
             key = (id(flt), s)

@@ -1,0 +1,56 @@
+"""Prometheus text-exposition metrics (reference: scripts/Prometheus/
+PythonBenchmark.py pushes Time/Memory/CPU/Wall_Clock gauges to a push
+gateway; no gateway exists in-image, so metrics are written in the text
+exposition format for scraping or file collection)."""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, TextIO, Tuple
+
+
+class MetricsRegistry:
+    def __init__(self) -> None:
+        self._gauges: Dict[Tuple[str, tuple], float] = {}
+        self._help: Dict[str, str] = {}
+
+    def gauge(
+        self, name: str, value: float, labels: Optional[Dict[str, str]] = None,
+        help_: str = "",
+    ) -> None:
+        key = (name, tuple(sorted((labels or {}).items())))
+        self._gauges[key] = float(value)
+        if help_:
+            self._help[name] = help_
+
+    def render(self) -> str:
+        """Prometheus text exposition format."""
+        out = []
+        seen = set()
+        for (name, labels), value in sorted(self._gauges.items()):
+            if name not in seen:
+                seen.add(name)
+                if name in self._help:
+                    out.append(f"# HELP {name} {self._help[name]}")
+                out.append(f"# TYPE {name} gauge")
+            if labels:
+                lbl = ",".join(f'{k}="{v}"' for k, v in labels)
+                out.append(f"{name}{{{lbl}}} {value}")
+            else:
+                out.append(f"{name} {value}")
+        return "\n".join(out) + "\n"
+
+    def write(self, fh_or_path) -> None:
+        text = self.render()
+        if hasattr(fh_or_path, "write"):
+            fh_or_path.write(text)
+        else:
+            with open(fh_or_path, "w") as fh:
+                fh.write(text)
+
+
+_registry = MetricsRegistry()
+
+
+def registry() -> MetricsRegistry:
+    return _registry
