@@ -68,14 +68,11 @@ def main():
     # vocab: term id t spelled as zero-padded decimal so order is stable
     inv = invert_numpy(tids, doc_of_tok, pos_of_tok, VOCAB, NUM_DOCS)
     present = np.flatnonzero(np.diff(inv.term_ptr) > 0)
-    remap = -np.ones(VOCAB, np.int64)
-    remap[present] = np.arange(len(present))
     terms = [b"t%06d" % t for t in present]
     blob = b"".join(terms)
     offs = np.zeros(len(terms) + 1, np.uint64)
     offs[1:] = np.cumsum([len(t) for t in terms])
     # compact term_ptr to present terms only
-    tp = inv.term_ptr[np.append(present, present[-1] + 1)] if len(present) else inv.term_ptr
     tp = np.concatenate([inv.term_ptr[present], [inv.term_ptr[-1]]])
     fp = encode_field_postings(
         inv.e_doc, inv.e_freq, tp, blob, offs, inv.norms, inv.pos_flat,

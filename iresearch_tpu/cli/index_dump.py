@@ -4,7 +4,6 @@ columns per segment)."""
 from __future__ import annotations
 
 import argparse
-import sys
 
 from iresearch_tpu.formats.postings import decode_positions, decode_term
 from iresearch_tpu.index.reader import DirectoryReader

@@ -20,7 +20,6 @@ import jax
 import numpy as np
 
 from iresearch_tpu.exec.executor import _NEG_INF, DeviceQuery, segment_body
-from iresearch_tpu.exec.plan import SegmentPlan
 from iresearch_tpu.formats.bitpack import BITS
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.scorers import BM25, Scorer

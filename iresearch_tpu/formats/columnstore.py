@@ -16,7 +16,7 @@ Values are raw bytes; typed helpers pack/unpack numerics.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ provided; they produce identical entry arrays.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -15,7 +15,6 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from iresearch_tpu.formats.postings import decode_term
-from iresearch_tpu.formats.spec import TermCols
 from iresearch_tpu.index.reader import DirectoryReader
 from iresearch_tpu.store.directory import FSDirectory
 

@@ -5,7 +5,6 @@ exposition format for scraping or file collection)."""
 
 from __future__ import annotations
 
-import time
 from typing import Dict, Optional, TextIO, Tuple
 
 
