@@ -173,7 +173,9 @@ def main():
     # complete ON DEVICE. Host fetch is excluded — through the dev-relay
     # tunnel a D2H round trip has a fixed ~180ms latency that a real v5e
     # host (PCIe-local, microseconds for 800B of top-k) does not have.
-    reps = 30
+    # scale reps down for big corpora: the large batched executables can
+    # thrash the dev-relay executable cache, making each dispatch a reload
+    reps = max(3, 30 * 50_000 // NUM_DOCS)
     t1 = time.time()
     nq = 0
     for _ in range(reps):
