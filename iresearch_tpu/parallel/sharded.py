@@ -244,6 +244,11 @@ class ShardedSearcher:
         return out
 
     def search_arrays(self, flt: F.Filter, scorer: Optional[Scorer], k: int):
+        return self.prepare(flt, scorer).run(k)
+
+    def prepare(self, flt: F.Filter, scorer: Optional[Scorer] = None):
+        """Compile + upload once; the returned query re-runs dispatch-only
+        (reference analog: filter::prepare caching per-segment state)."""
         import jax.numpy as jnp
 
         scorer = scorer or BM25()
@@ -314,21 +319,49 @@ class ShardedSearcher:
         am = self._put(am, 3)
         asc = self._put(asc, 3)
 
-        return _sharded_topk(
-            tuple(pools_st),
-            tuple(rowsets_st),
-            jnp.asarray(avgdl),
-            jnp.asarray(leaf_min),
-            am,
-            asc,
-            self._alive,
-            self._put(self._doc_base, 1),
-            mesh=self.mesh,
-            tree=tree,
-            gbits=tuple(gbits),
-            scorer=scorer,
-            num_leaves=num_leaves,
-            k=min(k, self.nd_pad),
-            nd=self.nd_pad,
-            per_shard=self.per_shard,
+        return PreparedShardedQuery(
+            self,
+            args=(
+                tuple(pools_st),
+                tuple(rowsets_st),
+                jnp.asarray(avgdl),
+                jnp.asarray(leaf_min),
+                am,
+                asc,
+                self._alive,
+                self._put(self._doc_base, 1),
+            ),
+            statics=dict(
+                mesh=self.mesh,
+                tree=tree,
+                gbits=tuple(gbits),
+                scorer=scorer,
+                num_leaves=num_leaves,
+                nd=self.nd_pad,
+                per_shard=self.per_shard,
+            ),
         )
+
+
+class PreparedShardedQuery:
+    """Device-resident sharded query: run(k) is dispatch-only."""
+
+    def __init__(self, searcher: "ShardedSearcher", args, statics) -> None:
+        self.searcher = searcher
+        self._args = args
+        self._statics = statics
+
+    def run(self, k: int):
+        """(scores f32[k], global docs i32[k]) jax arrays, replicated."""
+        return _sharded_topk(
+            *self._args, k=min(k, self.searcher.nd_pad), **self._statics
+        )
+
+    def top_k(self, k: int) -> List[Tuple[int, float]]:
+        vals, docs = self.run(k)
+        out = []
+        for v, d in zip(np.asarray(vals), np.asarray(docs)):
+            if math.isinf(v) and v < 0:
+                continue
+            out.append((int(d), float(v)))
+        return out

@@ -73,6 +73,19 @@ def test_sharded_equals_host(reader, searcher, flt, scorer):
     assert_topk_equiv(got, want)
 
 
+def test_prepared_sharded_query(reader, searcher):
+    """prepare() uploads once; repeated run() returns identical results."""
+    from tests.topk_util import assert_topk_equiv
+
+    flt = F.Or(F.ByTerm("body", "fox"), F.ByTerm("body", "hen"))
+    pq = searcher.prepare(flt, BM25())
+    a = pq.top_k(6)
+    b = pq.top_k(6)
+    assert a == b
+    want = search_host(reader, flt, BM25(), k=6)
+    assert_topk_equiv(a, want)
+
+
 def test_more_segments_than_devices(reader):
     """S > D exercises the per_shard loop."""
     from iresearch_tpu.parallel import ShardedSearcher, make_mesh

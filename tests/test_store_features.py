@@ -99,6 +99,18 @@ def test_reader_options_preload():
         sr.invalidate_device()
 
 
+def test_corruption_detected():
+    """Flipped bytes in a segment file fail the blobpack checksum
+    (reference: buffered_index_input checksum validation)."""
+    d = build_index(MemoryDirectory(), n=10)
+    name = [n for n in d.list() if n.endswith(".seg")][0]
+    blob = bytearray(d.read(name))
+    blob[len(blob) // 2] ^= 0xFF
+    d.write(name, bytes(blob))
+    with pytest.raises(Exception, match="checksum|corrupt"):
+        DirectoryReader.open(d)
+
+
 def test_compression_shrinks():
     txt = "repeat " * 200
     raw = get_compressor("zlib").compress(txt.encode())
