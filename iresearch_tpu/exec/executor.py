@@ -129,54 +129,80 @@ def _group_contrib(pool, rows_d, rows_f, w, bd: int, bf: int, avgdl, scorer):
 
 @partial(
     jax.jit,
-    static_argnames=("gbits", "scorer", "k", "nd", "sample"),
+    static_argnames=("tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample"),
 )
 def _run_segment_wand(
     pools,  # tuple per group: (doc_words, freq_words, base, norms)
-    rowsets,  # tuple per group: (rows_d, rows_f, w, ub, other) each [R]
+    rowsets,  # tuple per group: (rows_d, rows_f, w, leaf, ub, other) each [R]
     avgdl,  # f32 [num_groups]
+    leaf_min,  # i32 [L]
     alive,  # bool [nd]
     *,
+    tree,
     gbits,
     scorer: Scorer,
+    num_leaves: int,
     k: int,
     nd: int,
     sample: int,
 ):
-    """Block-max WAND top-k for single-leaf min-match-1 plans.
+    """Block-max WAND top-k for sum-merged positive boolean trees.
 
     Reference: the wanderator (formats_10.cpp:2426-2825) skips blocks whose
-    skip-list score bound is below the running threshold. Dense analog:
+    skip-list score bound is below the running threshold; BlockConjunction
+    carries bounds through ANDs (conjunction.hpp:231). Dense analog:
     (1) sort blocks by upper bound, decode only the top `sample` blocks per
-    group, scatter partial scores, take the k-th partial score as a LOWER
-    bound θ of the true k-th score; (2) redirect every block with
-    ub + other_terms_max < θ to sentinel row 0 — its HBM reads collapse to
-    one cached row — and run the normal dense pass. Exact: a pruned
-    block's docs have total score ≤ ub + other < θ ≤ true k-th.
+    group, run the full tree fold on the partial arrays, take the k-th
+    partial score as a LOWER bound θ of the true k-th (partial decode can
+    only shrink matches/scores); (2) redirect every block with
+    ub + other_spans_max < θ to sentinel row 0 — its HBM reads collapse to
+    one cached row — and run the normal dense pass. Exact: any doc in a
+    block has total score ≤ ub + other, so every block containing a true
+    top-k doc survives, and survivors keep ALL their contributions.
     """
     import jax.numpy as jnp
     from jax import lax
 
-    sorted_sets = []
-    partial = jnp.zeros(nd, jnp.float32)
-    pmatch = jnp.zeros(nd, bool)
-    for gi, (pool, (rows_d, rows_f, w, ub, other)) in enumerate(zip(pools, rowsets)):
-        bd, bf = gbits[gi]
-        order = jnp.argsort(-ub)
-        rows_d = rows_d[order]
-        rows_f = rows_f[order]
-        w = w[order]
-        ub = ub[order]
-        other = other[order]
-        sorted_sets.append((rows_d, rows_f, w, ub, other))
-        s = min(sample, rows_d.shape[0])
-        docs, sc, m = _group_contrib(
-            pool, rows_d[:s], rows_f[:s], w[:s], bd, bf, avgdl[gi], scorer
+    def fold_pass(sets, slicer):
+        leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
+        leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
+        for gi, (pool, rs) in enumerate(zip(pools, sets)):
+            bd, bf = gbits[gi]
+            rows_d, rows_f, w, leaf = slicer(rs)
+            docs, sc, m = _group_contrib(
+                pool, rows_d, rows_f, w, bd, bf, avgdl[gi], scorer
+            )
+            leaf_ix = leaf[:, None]
+            leaf_score = leaf_score.at[leaf_ix, docs].add(sc, mode="drop")
+            leaf_count = leaf_count.at[leaf_ix, docs].add(
+                m.astype(jnp.int32), mode="drop"
+            )
+        leaf_match = leaf_count >= leaf_min[:, None]
+        leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
+        match, score = _fold_tree(
+            tree, leaf_match, leaf_score, None, None, nd, jnp
         )
-        partial = partial.at[docs].add(sc, mode="drop")
-        pmatch = pmatch.at[docs].max(m, mode="drop")
-    masked = jnp.where(pmatch & alive, partial, _NEG_INF)
-    theta = lax.top_k(masked, k)[0][k - 1]
+        return match & alive, score
+
+    sorted_sets = []
+    for rows_d, rows_f, w, leaf, ub, other in rowsets:
+        order = jnp.argsort(-ub)
+        sorted_sets.append(
+            (rows_d[order], rows_f[order], w[order], leaf[order],
+             ub[order], other[order])
+        )
+
+    # phase 1: θ from the highest-bound `sample` blocks of each group
+    pm, ps = fold_pass(
+        sorted_sets,
+        lambda rs: (
+            rs[0][: min(sample, rs[0].shape[0])],
+            rs[1][: min(sample, rs[1].shape[0])],
+            rs[2][: min(sample, rs[2].shape[0])],
+            rs[3][: min(sample, rs[3].shape[0])],
+        ),
+    )
+    theta = lax.top_k(jnp.where(pm, ps, _NEG_INF), k)[0][k - 1]
     # Safety margin: the sampled pass sums contributions in a different
     # order than the full pass, so θ can sit a few ulp above the true
     # k-th score; shave a relative epsilon so no true top-k block is
@@ -186,22 +212,18 @@ def _run_segment_wand(
         jnp.isfinite(theta), theta - jnp.abs(theta) * 1e-5 - 1e-30, theta
     )
 
-    score = jnp.zeros(nd, jnp.float32)
-    count = jnp.zeros(nd, bool)
-    for gi, (pool, (rows_d, rows_f, w, ub, other)) in enumerate(
-        zip(pools, sorted_sets)
-    ):
-        bd, bf = gbits[gi]
+    # phase 2: full pass with sub-threshold blocks parked on the sentinel
+    def prune(rs):
+        rows_d, rows_f, w, leaf, ub, other = rs
         keep = (ub + other) >= theta
-        rows_d = jnp.where(keep, rows_d, 0)
-        rows_f = jnp.where(keep, rows_f, 0)
-        w = jnp.where(keep, w, 0.0)
-        docs, sc, m = _group_contrib(
-            pool, rows_d, rows_f, w, bd, bf, avgdl[gi], scorer
+        return (
+            jnp.where(keep, rows_d, 0),
+            jnp.where(keep, rows_f, 0),
+            jnp.where(keep, w, 0.0),
+            leaf,
         )
-        score = score.at[docs].add(sc, mode="drop")
-        count = count.at[docs].max(m, mode="drop")
-    match = count & alive
+
+    match, score = fold_pass(sorted_sets, prune)
     vals, docs = lax.top_k(jnp.where(match, score, _NEG_INF), k)
     return vals, docs
 
@@ -381,7 +403,7 @@ class DeviceQuery:
         # through a relay costs tens of ms — the dominant serving latency)
         if plan.groups and plan.groups[0].ub is not None:
             rowsets = [
-                (rs[0], rs[1], rs[2], jnp.asarray(g.ub), jnp.asarray(g.other))
+                rs + (jnp.asarray(g.ub), jnp.asarray(g.other))
                 for rs, g in zip(rowsets, plan.groups)
             ]
         avgdl_j = jnp.asarray(plan.group_avgdl)
@@ -426,9 +448,12 @@ class DeviceQuery:
                 pools,
                 rowsets,
                 avgdl_j,
+                leafmin_j,
                 alive,
+                tree=plan.tree,
                 gbits=gbits,
                 scorer=self.scorer,
+                num_leaves=plan.num_leaves,
                 k=kk,
                 nd=plan.nd_pad,
                 sample=self.wand_sample,

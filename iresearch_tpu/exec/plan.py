@@ -60,6 +60,21 @@ def _pow2(n: int) -> int:
     return p
 
 
+def _wand_tree_ok(tree) -> bool:
+    """True when block-max pruning is exact for this tree: only term
+    leaves combined by sum-merged And/Or without negations."""
+    kind = tree[0]
+    if kind == "leaf":
+        return True
+    if kind == "and":
+        _, pos, neg, merge = tree
+        return merge == "sum" and not neg and all(_wand_tree_ok(c) for c in pos)
+    if kind == "or":
+        _, pos, neg, _mm, merge = tree
+        return merge == "sum" and not neg and all(_wand_tree_ok(c) for c in pos)
+    return False
+
+
 @dataclass
 class RowGroup:
     """Rows of one (field, doc-class, freq-class) pool pair feeding the
@@ -140,15 +155,15 @@ class PlanCompiler:
         nd = sr.num_docs
         nd_pad = _pow2(max(1, nd))
 
-        # WAND applies to pure single-leaf min-match-1 plans with
-        # non-negative weights (reference: WandContext enables the
-        # wanderator for term/disjunction queries, index_reader_options
-        # .hpp:48-55).
+        # WAND applies to sum-merged positive trees of term leaves — no
+        # Not, no aux, no max/min mergers (reference: WandContext +
+        # BlockConjunction, index_reader_options.hpp:48-55,
+        # conjunction.hpp:231). Exactness: for any doc in block b,
+        # total score <= ub(b) + sum of other spans' max ub, so every
+        # block holding a true top-k doc survives the θ filter.
         wand = (
             wand
-            and tree == ("leaf", 0)
-            and len(self._leaf_mm) == 1
-            and self._leaf_mm[0] <= 1
+            and _wand_tree_ok(tree)
             and not self._aux
             and all(s[3] >= 0.0 for spans in self._groups.values() for s in spans)
         )

@@ -64,12 +64,53 @@ def test_wand_equals_exhaustive(reader, flt, scorer, k):
     )
 
 
-def test_wand_not_applied_to_boolean_trees(reader):
+TREE_QUERIES = [
+    F.And(F.ByTerm("body", "w00"), F.ByTerm("body", "w01")),
+    F.And(F.ByTerm("body", "w00"), F.ByTerm("body", "w03"), F.ByTerm("body", "w05")),
+    F.Or(
+        F.ByTerm("body", "w00"), F.ByTerm("body", "w01"),
+        F.ByTerm("body", "w02"), min_match=2,
+    ),
+    F.And(
+        F.Or(F.ByTerm("body", "w00"), F.ByTerm("body", "w04")),
+        F.ByTerms("body", [("w01", 1.0), ("w06", 2.0)]),
+    ),
+]
+
+
+@pytest.mark.parametrize("flt", TREE_QUERIES, ids=lambda f: repr(id(f))[-5:])
+@pytest.mark.parametrize("k", [1, 10, 50])
+def test_tree_wand_equals_exhaustive(reader, flt, k):
+    """WAND generalizes to sum-merged AND/OR trees (BlockConjunction
+    analog) and must stay exact."""
+    from iresearch_tpu.exec import DeviceQuery
+    from tests.topk_util import assert_topk_equiv
+
+    segs = list(reader.segments)
+    exact = DeviceQuery(flt, segs, BM25(), wand=False)
+    wand = DeviceQuery(flt, segs, BM25(), wand=True, wand_sample=8)
+    assert wand.plan(0).groups[0].ub is not None, "tree-wand must engage"
+    ev, ed = exact.execute_segment(0, k)
+    wv, wd = wand.execute_segment(0, k)
+    finite = np.isfinite(ev)
+    np.testing.assert_array_equal(np.isfinite(wv), finite)
+    assert_topk_equiv(
+        [(int(d), float(v)) for d, v in zip(wd[finite], wv[finite])],
+        [(int(d), float(v)) for d, v in zip(ed[finite], ev[finite])],
+    )
+
+
+def test_wand_not_applied_to_unsafe_trees(reader):
     from iresearch_tpu.exec import DeviceQuery
 
-    flt = F.And(F.ByTerm("body", "w00"), F.ByTerm("body", "w01"))
-    dq = DeviceQuery(flt, list(reader.segments), wand=True)
-    assert dq.plan(0).groups[0].ub is None  # falls back to exhaustive
+    for flt in [
+        F.And(F.ByTerm("body", "w00"), F.Not(F.ByTerm("body", "w01"))),
+        F.Or(F.ByTerm("body", "w00"), F.ByTerm("body", "w01"), merge="max"),
+        F.And(F.ByTerm("body", "w00"), F.ByPhrase("body", ["w01", "w02"])),
+    ]:
+        dq = DeviceQuery(flt, list(reader.segments), wand=True)
+        p = dq.plan(0)
+        assert not p.groups or p.groups[0].ub is None, flt
 
 
 def test_or_collapse_single_leaf(reader):
