@@ -120,6 +120,8 @@ def parse_args(argv):
     p.add_argument("--scorer-arg", default="{}")
     p.add_argument("--scored-terms-limit", type=int, default=16)
     p.add_argument("--engine", default="device", choices=["device", "host"])
+    p.add_argument("--wand", action="store_true",
+                   help="block-max pruning for eligible queries (exact)")
     p.add_argument("--csv", action="store_true")
     p.add_argument("--metrics-out", default=None,
                    help="write Prometheus text metrics to this file")
@@ -146,9 +148,12 @@ def main(argv) -> int:
                 continue
             t0 = time.time()
             if args.engine == "device":
-                from iresearch_tpu.exec import search_device
+                from iresearch_tpu.exec import DeviceQuery
 
-                hits = search_device(reader, flt, scorer, k=args.topN)
+                dq = DeviceQuery(
+                    flt, list(reader.segments), scorer, wand=args.wand
+                )
+                hits = dq.top_k(args.topN)
             else:
                 from iresearch_tpu.search.host_eval import search as search_host
 
