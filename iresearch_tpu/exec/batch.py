@@ -19,7 +19,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from iresearch_tpu.exec.executor import _NEG_INF, DeviceQuery, segment_body
+from iresearch_tpu.exec.executor import (
+    _NEG_INF,
+    DeviceQuery,
+    segment_body,
+    wand_body,
+)
 from iresearch_tpu.formats.bitpack import BITS
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.scorers import BM25, Scorer
@@ -87,6 +92,48 @@ def _run_batch(
     return vals, docs
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample"
+    ),
+)
+def _run_batch_wand(
+    pools,  # shared per group
+    rowsets_b,  # per group: (rows_d, rows_f, w, leaf, ub, other) each [Q, R]
+    avgdl,  # f32 [G]
+    leaf_min_b,  # i32 [Q, L]
+    alive,  # bool [nd]
+    *,
+    tree,
+    gbits,
+    scorer: Scorer,
+    num_leaves: int,
+    k: int,
+    nd: int,
+    sample: int,
+):
+    """Vmapped block-max WAND: per-query θ and pruning in one dispatch."""
+
+    def one(rowsets, leaf_min):
+        return wand_body(
+            pools,
+            rowsets,
+            avgdl,
+            leaf_min,
+            alive,
+            tree=tree,
+            gbits=gbits,
+            scorer=scorer,
+            num_leaves=num_leaves,
+            k=k,
+            nd=nd,
+            sample=sample,
+        )
+
+    return jax.vmap(one)(rowsets_b, leaf_min_b)
+
+
 class QueryBatch:
     """Executes many prepared queries per segment in few dispatches.
 
@@ -100,12 +147,17 @@ class QueryBatch:
         filters: Sequence[F.Filter],
         segments: Sequence,
         scorer: Optional[Scorer] = None,
+        wand: bool = False,
+        wand_sample: int = 16,
     ) -> None:
         self.scorer = scorer or BM25()
         self.segments = list(segments)
+        self.wand_sample = wand_sample
         # device_phrase off: batch stacking materializes aux arrays host-side
         self.queries = [
-            DeviceQuery(f, self.segments, self.scorer, device_phrase=False)
+            DeviceQuery(
+                f, self.segments, self.scorer, wand=wand, device_phrase=False
+            )
             for f in filters
         ]
 
@@ -149,12 +201,13 @@ class QueryBatch:
                 p.num_leaves,
                 tuple((g.field_name, g.dcls, g.fcls) for g in p.groups),
                 0 if p.aux_match is None else p.aux_match.shape[0],
+                bool(p.groups) and p.groups[0].ub is not None,
             )
             groups_by_sig[sig].append(qi)
 
         calls = []
         for sig, qis in groups_by_sig.items():
-            tree, num_leaves, gkeys, A = sig
+            tree, num_leaves, gkeys, A, use_wand = sig
             reps = [plans[qi] for qi in qis]
             Q = len(qis)
             nd = reps[0].nd_pad
@@ -182,20 +235,26 @@ class QueryBatch:
                 rows_f = np.zeros((Q, R), np.int32)
                 w = np.zeros((Q, R), np.float32)
                 leaf = np.zeros((Q, R), np.int32)
+                ub = np.full((Q, R), -np.inf, np.float32) if use_wand else None
+                other = np.zeros((Q, R), np.float32) if use_wand else None
                 for j, p in enumerate(reps):
                     g = p.groups[gi]
                     rows_d[j, : len(g.rows_d)] = g.rows_d
                     rows_f[j, : len(g.rows_f)] = g.rows_f
                     w[j, : len(g.weight)] = g.weight
                     leaf[j, : len(g.leaf)] = g.leaf
-                rowsets_b.append(
-                    (
-                        jnp.asarray(rows_d),
-                        jnp.asarray(rows_f),
-                        jnp.asarray(w),
-                        jnp.asarray(leaf),
-                    )
+                    if use_wand:
+                        ub[j, : len(g.ub)] = g.ub
+                        other[j, : len(g.other)] = g.other
+                rowset = (
+                    jnp.asarray(rows_d),
+                    jnp.asarray(rows_f),
+                    jnp.asarray(w),
+                    jnp.asarray(leaf),
                 )
+                if use_wand:
+                    rowset = rowset + (jnp.asarray(ub), jnp.asarray(other))
+                rowsets_b.append(rowset)
             if A:
                 am = np.zeros((Q, A, nd), np.bool_)
                 asc = np.zeros((Q, A, nd), np.float32)
@@ -206,6 +265,25 @@ class QueryBatch:
                 asc = jnp.asarray(asc)
             else:
                 am = asc = None
+            if use_wand:
+                args = (
+                    tuple(pools),
+                    tuple(rowsets_b),
+                    jnp.asarray(reps[0].group_avgdl),
+                    jnp.asarray(np.stack([p.leaf_min_match for p in reps])),
+                    sr.device().alive,
+                )
+                kwargs = dict(
+                    tree=tree,
+                    gbits=tuple(gbits),
+                    scorer=self.scorer,
+                    num_leaves=num_leaves,
+                    k=min(k, nd),
+                    nd=nd,
+                    sample=self.wand_sample,
+                )
+                calls.append((qis, args, kwargs, _run_batch_wand))
+                continue
             args = (
                 tuple(pools),
                 tuple(rowsets_b),
@@ -224,7 +302,7 @@ class QueryBatch:
                 nd=nd,
                 has_aux=bool(A),
             )
-            calls.append((qis, args, kwargs))
+            calls.append((qis, args, kwargs, _run_batch))
         return PreparedBatch(len(plans), calls)
 
 
@@ -247,5 +325,5 @@ class PreparedBatch:
         """[(  (vals [Q,k], docs [Q,k]), query_indices ), ...] — one entry
         per dispatch, no per-query slicing (throughput path)."""
         return [
-            (_run_batch(*args, **kwargs), qis) for qis, args, kwargs in self._calls
+            (fn(*args, **kwargs), qis) for qis, args, kwargs, fn in self._calls
         ]

@@ -127,11 +127,7 @@ def _group_contrib(pool, rows_d, rows_f, w, bd: int, bf: int, avgdl, scorer):
     return docs, sc, f > 0
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample"),
-)
-def _run_segment_wand(
+def wand_body(
     pools,  # tuple per group: (doc_words, freq_words, base, norms)
     rowsets,  # tuple per group: (rows_d, rows_f, w, leaf, ub, other) each [R]
     avgdl,  # f32 [num_groups]
@@ -226,6 +222,41 @@ def _run_segment_wand(
     match, score = fold_pass(sorted_sets, prune)
     vals, docs = lax.top_k(jnp.where(match, score, _NEG_INF), k)
     return vals, docs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample"),
+)
+def _run_segment_wand(
+    pools,
+    rowsets,
+    avgdl,
+    leaf_min,
+    alive,
+    *,
+    tree,
+    gbits,
+    scorer: Scorer,
+    num_leaves: int,
+    k: int,
+    nd: int,
+    sample: int,
+):
+    return wand_body(
+        pools,
+        rowsets,
+        avgdl,
+        leaf_min,
+        alive,
+        tree=tree,
+        gbits=gbits,
+        scorer=scorer,
+        num_leaves=num_leaves,
+        k=k,
+        nd=nd,
+        sample=sample,
+    )
 
 
 def segment_body(

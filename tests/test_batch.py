@@ -27,6 +27,23 @@ def reader():
     return DirectoryReader.open(d)
 
 
+def test_batch_wand_equals_exact(reader):
+    """Batched WAND (vmapped per-query θ) == exact batched execution."""
+    from iresearch_tpu.exec.batch import QueryBatch
+    from tests.topk_util import assert_topk_equiv
+
+    filters = (
+        [F.ByTerm("body", w) for w in WORDS[:4]]
+        + [F.Or(F.ByTerm("body", "one"), F.ByTerm("body", "two"))]
+        + [F.And(F.ByTerm("body", "one"), F.ByTerm("body", "three"))]
+    )
+    segs = list(reader.segments)
+    exact = QueryBatch(filters, segs, BM25()).search(8)
+    wand = QueryBatch(filters, segs, BM25(), wand=True, wand_sample=4).search(8)
+    for e, g in zip(exact, wand):
+        assert_topk_equiv(g, e)
+
+
 def test_batch_multisegment_search(reader):
     """QueryBatch.search == per-query host search over the whole index."""
     from iresearch_tpu.exec.batch import QueryBatch
