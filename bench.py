@@ -158,7 +158,7 @@ def main():
     log(f"OrHigh4+WAND: {(time.time()-t2)/10*1000:.3f} ms/query (device-complete)")
 
 
-    qb = QueryBatch([flt for _, flt in tasks], [sr], scorer)
+    qb = QueryBatch([flt for _, flt in tasks], [sr], scorer, wand=True)
     prep = qb.prepare(0, K)
 
     # warmup: compile every batch signature
