@@ -95,6 +95,57 @@ def _run_batch(
 @partial(
     jax.jit,
     static_argnames=(
+        "tree", "gbits", "scorer", "num_leaves", "k", "mode",
+        "driver_gi", "driver_leaf", "wand", "sample",
+    ),
+)
+def _run_batch_candidates(
+    pools,  # shared per group
+    rowsets_b,  # per group: row arrays stacked [Q, R]
+    avgdl,  # f32 [G]
+    leaf_min_b,  # i32 [Q, L]
+    alive,  # bool [nd]
+    *,
+    tree,
+    gbits,
+    scorer: Scorer,
+    num_leaves: int,
+    k: int,
+    mode: str,
+    driver_gi: int,
+    driver_leaf: int,
+    wand: bool,
+    sample: int,
+):
+    """Vmapped scale-proportional tiers (exec/candidates.py): per-batch
+    work ∝ Q × postings, independent of corpus size."""
+    from iresearch_tpu.exec.candidates import candidate_body
+
+    def one(rowsets, leaf_min):
+        return candidate_body(
+            pools,
+            rowsets,
+            avgdl,
+            leaf_min,
+            alive,
+            tree=tree,
+            gbits=gbits,
+            scorer=scorer,
+            num_leaves=num_leaves,
+            k=k,
+            mode=mode,
+            driver_gi=driver_gi,
+            driver_leaf=driver_leaf,
+            wand=wand,
+            sample=sample,
+        )
+
+    return jax.vmap(one)(rowsets_b, leaf_min_b)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample"
     ),
 )
@@ -202,20 +253,23 @@ class QueryBatch:
                 tuple((g.field_name, g.dcls, g.fcls) for g in p.groups),
                 0 if p.aux_match is None else p.aux_match.shape[0],
                 bool(p.groups) and p.groups[0].ub is not None,
+                p.exec_mode,
+                p.driver_gi,
+                p.driver_leaf,
+                # exact padded row counts join the signature: queries only
+                # batch with same-size peers, so a LowTerm query is never
+                # inflated to a HighTerm query's row count
+                tuple(len(g.rows_d) for g in p.groups),
             )
             groups_by_sig[sig].append(qi)
 
         calls = []
         for sig, qis in groups_by_sig.items():
-            tree, num_leaves, gkeys, A, use_wand = sig
+            tree, num_leaves, gkeys, A, use_wand, exec_mode, driver_gi, \
+                driver_leaf, Rs = sig
             reps = [plans[qi] for qi in qis]
             Q = len(qis)
             nd = reps[0].nd_pad
-            # common padded R per group position
-            Rs = [
-                _pow2(max(len(p.groups[gi].rows_d) for p in reps))
-                for gi in range(len(gkeys))
-            ]
             pools = []
             rowsets_b = []
             gbits = []
@@ -255,6 +309,33 @@ class QueryBatch:
                 if use_wand:
                     rowset = rowset + (jnp.asarray(ub), jnp.asarray(other))
                 rowsets_b.append(rowset)
+            if exec_mode != "dense":
+                lanes = (
+                    Rs[driver_gi] if exec_mode == "join" else sum(Rs)
+                ) * 128
+                args = (
+                    tuple(pools),
+                    tuple(rowsets_b),
+                    jnp.asarray(reps[0].group_avgdl),
+                    jnp.asarray(np.stack([p.leaf_min_match for p in reps])),
+                    sr.device().alive,
+                )
+                kwargs = dict(
+                    tree=tree,
+                    gbits=tuple(gbits),
+                    scorer=self.scorer,
+                    num_leaves=num_leaves,
+                    k=min(k, nd, lanes),
+                    mode=exec_mode,
+                    driver_gi=driver_gi,
+                    driver_leaf=driver_leaf,
+                    # θ pruning is useless when the sampled phase would
+                    # already decode every row
+                    wand=use_wand and max(Rs) > self.wand_sample,
+                    sample=self.wand_sample,
+                )
+                calls.append((qis, args, kwargs, _run_batch_candidates))
+                continue
             if A:
                 am = np.zeros((Q, A, nd), np.bool_)
                 asc = np.zeros((Q, A, nd), np.float32)

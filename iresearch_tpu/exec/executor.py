@@ -259,6 +259,53 @@ def _run_segment_wand(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tree", "gbits", "scorer", "num_leaves", "k", "mode",
+        "driver_gi", "driver_leaf", "wand", "sample",
+    ),
+)
+def _run_segment_candidates(
+    pools,
+    rowsets,
+    avgdl,
+    leaf_min,
+    alive,
+    *,
+    tree,
+    gbits,
+    scorer: Scorer,
+    num_leaves: int,
+    k: int,
+    mode: str,
+    driver_gi: int,
+    driver_leaf: int,
+    wand: bool,
+    sample: int,
+):
+    """Scale-proportional tiers (exec/candidates.py): work ∝ postings."""
+    from iresearch_tpu.exec.candidates import candidate_body
+
+    return candidate_body(
+        pools,
+        rowsets,
+        avgdl,
+        leaf_min,
+        alive,
+        tree=tree,
+        gbits=gbits,
+        scorer=scorer,
+        num_leaves=num_leaves,
+        k=k,
+        mode=mode,
+        driver_gi=driver_gi,
+        driver_leaf=driver_leaf,
+        wand=wand,
+        sample=sample,
+    )
+
+
 def segment_body(
     pools,  # tuple per group: (doc_words, freq_words, base, norms)
     rowsets,  # tuple per group: (rows_d i32[R], rows_f i32[R], w f32[R], leaf i32[R])
@@ -474,7 +521,35 @@ class DeviceQuery:
             leafmin_j,
         ) = self._device_inputs(plan)
         kk = min(k, plan.nd_pad)
-        if plan.groups and plan.groups[0].ub is not None:
+        wand_on = bool(plan.groups) and plan.groups[0].ub is not None
+        if plan.exec_mode != "dense":
+            if plan.exec_mode == "join":
+                lanes = len(plan.groups[plan.driver_gi].rows_d) * 128
+            else:
+                lanes = sum(len(g.rows_d) for g in plan.groups) * 128
+            max_rows = max(len(g.rows_d) for g in plan.groups)
+            # pruning cannot skip anything the sampled pass would not
+            # already decode — drop the redundant θ phase for short lists
+            wand_eff = wand_on and max_rows > self.wand_sample
+            vals, docs = _run_segment_candidates(
+                pools,
+                rowsets,
+                avgdl_j,
+                leafmin_j,
+                alive,
+                tree=plan.tree,
+                gbits=gbits,
+                scorer=self.scorer,
+                num_leaves=plan.num_leaves,
+                k=min(kk, lanes),
+                mode=plan.exec_mode,
+                driver_gi=plan.driver_gi,
+                driver_leaf=plan.driver_leaf,
+                wand=wand_eff,
+                sample=self.wand_sample,
+            )
+            return vals, docs
+        if wand_on:
             vals, docs = _run_segment_wand(
                 pools,
                 rowsets,

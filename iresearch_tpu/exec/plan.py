@@ -23,12 +23,13 @@ set and the executor needs no masks.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field as dfield
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from iresearch_tpu.formats.spec import TermCols
+from iresearch_tpu.formats.spec import BLOCK, TermCols, pad_docs
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.scorers import Scorer
 
@@ -60,6 +61,14 @@ def _pow2(n: int) -> int:
     return p
 
 
+# Tier-selection thresholds (see exec/candidates.py). The sort tier pays
+# an O(P log P) device sort, so it only beats the dense fold when total
+# decoded lanes P are well under the padded doc count; the join tier's
+# searchsorted is cheap enough to win almost always. Tunable for profiling.
+SORT_MAX_RATIO = float(os.environ.get("IRS_SORT_MAX_RATIO", "0.25"))
+JOIN_MAX_RATIO = float(os.environ.get("IRS_JOIN_MAX_RATIO", "1.0"))
+
+
 def _wand_tree_ok(tree) -> bool:
     """True when block-max pruning is exact for this tree: only term
     leaves combined by sum-merged And/Or without negations."""
@@ -72,6 +81,26 @@ def _wand_tree_ok(tree) -> bool:
     if kind == "or":
         _, pos, neg, _mm, merge = tree
         return merge == "sum" and not neg and all(_wand_tree_ok(c) for c in pos)
+    return False
+
+
+def _covering_tree(tree) -> bool:
+    """True when every match of the tree must carry >=1 postings entry of
+    some leaf — the safety condition for candidate-space execution
+    (exec/candidates.py): docs absent from the decoded lanes cannot match.
+    Not/All/aux nodes (and min_match<=0 Ors) can match entry-less docs."""
+    kind = tree[0]
+    if kind == "leaf":
+        return True
+    if kind == "and":
+        _, pos, neg, _merge = tree
+        # the conjunction requires every pos child; one covering child
+        # suffices, but all children must still be aux-free (checked by
+        # the caller via self._aux)
+        return bool(pos) and any(_covering_tree(c) for c in pos)
+    if kind == "or":
+        _, pos, neg, mm, _merge = tree
+        return mm >= 1 and bool(pos) and all(_covering_tree(c) for c in pos)
     return False
 
 
@@ -110,6 +139,14 @@ class SegmentPlan:
     group_avgdl: np.ndarray  # f32 [len(groups)]
     # device-computed aux rows: (aux_idx, DevicePhraseSpec)
     device_aux: tuple = ()
+    # scale-proportional execution tier (exec/candidates.py):
+    #   "dense"  — per-leaf [L, nd_pad] fold (Not/All/aux trees)
+    #   "direct" — single-span top-k over decoded lanes
+    #   "join"   — conjunction join into a single-span driver's docs
+    #   "sort"   — sort-compacted candidate grid
+    exec_mode: str = "dense"
+    driver_gi: int = -1  # group index of the join driver (mode == "join")
+    driver_leaf: int = -1
 
     def signature(self) -> tuple:
         """Hashable jit cache key component (shapes drive the rest)."""
@@ -120,6 +157,9 @@ class SegmentPlan:
                 (g.field_name, g.dcls, g.fcls, len(g.rows_d)) for g in self.groups
             ),
             0 if self.aux_match is None else self.aux_match.shape[0],
+            self.exec_mode,
+            self.driver_gi,
+            self.driver_leaf,
         )
 
 
@@ -142,6 +182,7 @@ class PlanCompiler:
         seg_idx: int,
         wand: bool = False,
         device_phrase: bool = True,
+        modes: bool = True,  # False: force the dense tier (exec_mode="dense")
     ) -> SegmentPlan:
         sr = self.prepared.segments[seg_idx]
         self._sr = sr
@@ -153,7 +194,22 @@ class PlanCompiler:
         self._dev_aux: List[tuple] = []  # (aux_idx, DevicePhraseSpec)
         tree = self._walk(flt, 1.0)
         nd = sr.num_docs
-        nd_pad = _pow2(max(1, nd))
+        nd_pad = pad_docs(nd)
+
+        # scale-proportional tier selection (exec/candidates.py): pick the
+        # cheapest exact executor for this tree/postings shape
+        exec_mode, driver = (
+            self._select_mode(tree, nd_pad) if modes else ("dense", None)
+        )
+        driver_gi = driver_leaf = -1
+        if exec_mode == "join":
+            key, si, _nb, driver_leaf = driver
+            span = self._groups[key].pop(si)
+            if not self._groups[key]:
+                del self._groups[key]
+            # dedicated group, tag 1: the executor needs the driver's rows
+            # contiguous and alone (its decode is the candidate array)
+            self._groups[(key[0], key[1], key[2], 1)] = [span]
 
         # WAND applies to sum-merged positive trees of term leaves — no
         # Not, no aux, no max/min mergers (reference: WandContext +
@@ -161,8 +217,11 @@ class PlanCompiler:
         # conjunction.hpp:231). Exactness: for any doc in block b,
         # total score <= ub(b) + sum of other spans' max ub, so every
         # block holding a true top-k doc survives the θ filter.
+        # The join tier keeps its driver rows in doc order, which pruning
+        # would break — join is already ∝ postings, so WAND is off there.
         wand = (
             wand
+            and exec_mode != "join"
             and _wand_tree_ok(tree)
             and not self._aux
             and all(s[3] >= 0.0 for spans in self._groups.values() for s in spans)
@@ -193,7 +252,10 @@ class PlanCompiler:
         groups: List[RowGroup] = []
         avgdls: List[float] = []
         for key, spans in sorted(self._groups.items()):
-            fname, dcls, fcls = key
+            fname, dcls, fcls = key[0], key[1], key[2]
+            is_driver = len(key) > 3 and key[3] == 1
+            if is_driver:
+                driver_gi = len(groups)
             rd_l: List[np.ndarray] = []
             rf_l: List[np.ndarray] = []
             w_l: List[np.ndarray] = []
@@ -265,7 +327,58 @@ class PlanCompiler:
             aux_score=asc,
             group_avgdl=np.asarray(avgdls, np.float32),
             device_aux=tuple(self._dev_aux),
+            exec_mode=exec_mode,
+            driver_gi=driver_gi,
+            driver_leaf=driver_leaf,
         )
+
+    def _select_mode(self, tree, nd_pad: int):
+        """Pick the cheapest exact executor tier for this query.
+
+        Non-dense tiers require a *covering* tree (every match carries a
+        postings entry) and no host-aux leaves. Returns (mode, driver)
+        where driver = (group_key, span_idx, nblocks, leaf) for "join".
+        """
+        if self._aux or self._dev_aux or not _covering_tree(tree):
+            return "dense", None
+        spans_per_leaf: Dict[int, List[tuple]] = {}
+        total_blocks = 0
+        for key, spans in self._groups.items():
+            for si, s in enumerate(spans):
+                spans_per_leaf.setdefault(s[4], []).append((key, si, s[2]))
+                total_blocks += s[2]
+        nspans = sum(len(v) for v in spans_per_leaf.values())
+        if nspans == 0:
+            return "dense", None  # no postings at all: trivial either way
+        lanes = total_blocks * BLOCK
+        if (
+            nspans == 1
+            and tree == ("leaf", 0)
+            and self._leaf_mm
+            and self._leaf_mm[0] <= 1
+        ):
+            return "direct", None
+        if tree[0] == "and":
+            # the leapfrog analog: smallest single-span required leaf
+            # drives; its df bounds the candidate count
+            best = None
+            for c in tree[1]:
+                if c[0] != "leaf":
+                    continue
+                li = c[1]
+                sl = spans_per_leaf.get(li)
+                if sl is None or len(sl) != 1 or self._leaf_mm[li] > 1:
+                    continue
+                key, si, nb = sl[0]
+                if best is None or nb < best[2]:
+                    best = (key, si, nb, li)
+            if best is not None and lanes <= JOIN_MAX_RATIO * nd_pad * max(
+                1, len(self._leaf_mm)
+            ):
+                return "join", best
+        if lanes <= SORT_MAX_RATIO * nd_pad:
+            return "sort", None
+        return "dense", None
 
     # --- tree walk (mirrors host_eval._eval boost propagation) ----------
 
@@ -354,7 +467,7 @@ class PlanCompiler:
 
     def _add_span(self, fname: str, fp, tid: int, w: float, leaf: int) -> None:
         e = fp.entries[tid]
-        key = (fname, int(e[TermCols.DCLS]), int(e[TermCols.FCLS]))
+        key = (fname, int(e[TermCols.DCLS]), int(e[TermCols.FCLS]), 0)
         self._groups.setdefault(key, []).append(
             (
                 int(e[TermCols.DSTART]),

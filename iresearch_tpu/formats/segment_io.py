@@ -16,6 +16,11 @@ from iresearch_tpu.formats.postings import FieldPostings
 from iresearch_tpu.formats.spec import NUM_CLASSES, IndexFeatures
 from iresearch_tpu.store.blobpack import BlobPackReader, BlobPackWriter
 
+# formats this build can open (reference: multi-version format registry,
+# formats.hpp:429-480; readers stay backward compatible, writers emit the
+# newest version)
+READABLE_FORMATS = {"iresearch_tpu/3"}
+
 
 def write_segment(
     seg: "SegmentData", column_compression: str = "none"
@@ -80,6 +85,13 @@ def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
 
     r = BlobPackReader(data)
     meta = r.meta["segment"]
+    found = meta.get("format")
+    if found not in READABLE_FORMATS:
+        raise ValueError(
+            f"unsupported segment format {found!r}; this build reads "
+            f"{sorted(READABLE_FORMATS)} (reference analog: format "
+            f"registry versions, formats.hpp:429-480)"
+        )
     fields: Dict[str, FieldPostings] = {}
     for fname, fm in meta["fields"].items():
         key = f"f.{fname}"

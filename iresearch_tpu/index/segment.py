@@ -11,13 +11,13 @@ from __future__ import annotations
 
 import bisect
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from iresearch_tpu.formats.columnstore import Column
 from iresearch_tpu.formats.postings import FieldPostings
-from iresearch_tpu.formats.spec import NUM_CLASSES
+from iresearch_tpu.formats.spec import NUM_CLASSES, pad_docs
 
 
 @dataclass
@@ -27,6 +27,67 @@ class SegmentData:
     num_docs: int
     fields: Dict[str, FieldPostings]
     columns: Dict[str, Column]
+
+
+class TermDictView(Sequence):
+    """Zero-copy sorted term dictionary over (blob, offsets).
+
+    Replaces the round-1 ``List[bytes]`` materialization: a dictionary of
+    T terms costs only the byte blob plus one u64 offset array (a Python
+    list of 10M small bytes objects is GBs; this is tens of MB). The
+    reference holds millions of terms in an FST index + prefix blocks
+    (formats_burst_trie.cpp:951,1457); here the sorted blob IS the
+    dictionary and ``bisect`` over this view is the seek.
+    """
+
+    __slots__ = ("_blob", "_off")
+
+    def __init__(self, blob: bytes, offsets: np.ndarray) -> None:
+        self._blob = blob
+        self._off = offsets
+
+    def __len__(self) -> int:
+        return len(self._off) - 1
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            lo, hi, step = i.indices(len(self))
+            return [self[j] for j in range(lo, hi, step)]
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        return self._blob[int(self._off[i]) : int(self._off[i + 1])]
+
+    def __eq__(self, other) -> bool:
+        if self is other:
+            return True
+        try:
+            if len(other) != len(self):
+                return False
+        except TypeError:
+            return NotImplemented
+        return all(a == b for a, b in zip(self, other))
+
+    def __hash__(self):  # pragma: no cover - views are not dict keys
+        return object.__hash__(self)
+
+    @property
+    def nbytes(self) -> int:
+        return len(self._blob) + self._off.nbytes
+
+
+def _prefix_successor(prefix: bytes) -> Optional[bytes]:
+    """Smallest byte string greater than every string with this prefix
+    (increment-with-carry; None when the prefix is all 0xff)."""
+    p = bytearray(prefix)
+    while p and p[-1] == 0xFF:
+        p.pop()
+    if not p:
+        return None
+    p[-1] += 1
+    return bytes(p)
 
 
 def _pow2(n: int) -> int:
@@ -68,7 +129,7 @@ class DeviceField:
             self.bmaxf.append(
                 jnp.asarray(pad_rows(fp.bmaxf[c], rpf).astype(np.int32))
             )
-        nd_pad = _pow2(len(fp.norms))
+        nd_pad = pad_docs(len(fp.norms))
         norms = np.ones(nd_pad, np.float32)
         norms[: len(fp.norms)] = np.maximum(fp.norms, 1).astype(np.float32)
         self.norms = jnp.asarray(norms)
@@ -102,7 +163,7 @@ class DeviceSegment:
         import jax.numpy as jnp
 
         self.num_docs = num_docs
-        self.nd_pad = _pow2(num_docs)
+        self.nd_pad = pad_docs(num_docs)
         padded = np.zeros(self.nd_pad, np.bool_)
         padded[:num_docs] = alive
         self.alive = jnp.asarray(padded)
@@ -131,7 +192,7 @@ class SegmentReader:
         self._alive = np.ones(data.num_docs, np.bool_)
         if masked_docs is not None and len(masked_docs):
             self._alive[np.asarray(masked_docs, np.int64)] = False
-        self._term_lists: Dict[str, List[bytes]] = {}
+        self._term_lists: Dict[str, TermDictView] = {}
         self._device: Optional[DeviceSegment] = None
 
     # --- stats ---------------------------------------------------------
@@ -162,11 +223,14 @@ class SegmentReader:
 
     # --- term dictionary ----------------------------------------------
 
-    def terms(self, field_name: str) -> List[bytes]:
+    def terms(self, field_name: str) -> TermDictView:
         tl = self._term_lists.get(field_name)
         if tl is None:
             fp = self.data.fields.get(field_name)
-            tl = fp.terms() if fp is not None else []
+            if fp is not None:
+                tl = TermDictView(fp.term_blob, fp.term_offsets)
+            else:
+                tl = TermDictView(b"", np.zeros(1, np.uint64))
             self._term_lists[field_name] = tl
         return tl
 
@@ -205,10 +269,8 @@ class SegmentReader:
     def term_prefix_range(self, field_name: str, prefix: bytes) -> Tuple[int, int]:
         tl = self.terms(field_name)
         lo = bisect.bisect_left(tl, prefix)
-        hi = bisect.bisect_left(tl, prefix + b"\xff" * 8)
-        # exact: advance hi while prefix matches
-        while hi < len(tl) and tl[hi].startswith(prefix):
-            hi += 1
+        succ = _prefix_successor(prefix)
+        hi = len(tl) if succ is None else bisect.bisect_left(tl, succ)
         return lo, max(lo, hi)
 
     # --- device --------------------------------------------------------

@@ -118,11 +118,14 @@ class _PendingField:
         self.tok_pay: List[bytes] = []
 
     def streams(self):
-        """Concatenated (tid, doc, pos) arrays in arrival order.
+        """Concatenated (tid, doc, pos) arrays in (doc asc, pos asc) order.
 
-        Arrival order must be (doc asc, pos asc) for the inverter; chunks
-        and scalar appends both arrive in doc order, and within a doc the
-        scalar/bulk paths never interleave out of position order."""
+        Chunks and scalar appends both arrive in doc order, but one
+        document may mix the two paths (e.g. a non-ASCII value tokenized
+        scalar before an ASCII value handled by the bulk path), in which
+        case concatenation alone would leave positions non-ascending
+        within the doc; a final stable (doc, pos) sort restores the
+        contract the inverter and delta codecs rely on."""
         parts_t = []
         parts_d = []
         parts_p = []
@@ -150,11 +153,14 @@ class _PendingField:
         if not parts_t:
             z = np.zeros(0, np.int64)
             return z, z, np.zeros(0, np.uint32)
-        return (
-            np.concatenate(parts_t),
-            np.concatenate(parts_d),
-            np.concatenate(parts_p),
-        )
+        out_t = np.concatenate(parts_t)
+        out_d = np.concatenate(parts_d)
+        out_p = np.concatenate(parts_p)
+        if self.chunks and len(scal_t):
+            # mixed scalar/bulk within a doc can interleave positions
+            order = np.lexsort((out_p, out_d))
+            out_t, out_d, out_p = out_t[order], out_d[order], out_p[order]
+        return out_t, out_d, out_p
 
 
 class _PendingSegment:
@@ -277,10 +283,13 @@ class _PendingSegment:
             has_aux = bool(
                 pf.features & (IndexFeatures.OFFS | IndexFeatures.PAY)
             )
-            if has_aux and pf.chunks:
+            if has_aux and (pf.chunks or len(pf.tok_ostart) != len(raw_tid)):
+                # covers both bulk chunks (which carry no offsets) and the
+                # scalar path when earlier docs were indexed before
+                # OFFS/PAY was first requested on this field
                 raise ValueError(
                     "OFFS/PAY must be requested from the field's first "
-                    "document (bulk chunks carry no offsets)"
+                    "document (earlier tokens carry no offsets/payloads)"
                 )
             ostart = np.asarray(pf.tok_ostart, np.uint32) if has_aux else None
             oend = np.asarray(pf.tok_oend, np.uint32) if has_aux else None

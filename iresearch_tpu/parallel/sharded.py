@@ -255,7 +255,7 @@ class ShardedSearcher:
         prepared = HostQuery(flt, self.segments, scorer)
         compiler = PlanCompiler(prepared, scorer)
         plans = [
-            compiler.compile(flt, s, device_phrase=False)
+            compiler.compile(flt, s, device_phrase=False, modes=False)
             for s in range(len(self.segments))
         ]
         tree = plans[0].tree

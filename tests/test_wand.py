@@ -80,16 +80,27 @@ TREE_QUERIES = [
 
 @pytest.mark.parametrize("flt", TREE_QUERIES, ids=lambda f: repr(id(f))[-5:])
 @pytest.mark.parametrize("k", [1, 10, 50])
-def test_tree_wand_equals_exhaustive(reader, flt, k):
+@pytest.mark.parametrize("force_wand", [False, True], ids=["auto", "treewand"])
+def test_tree_wand_equals_exhaustive(reader, flt, k, force_wand, monkeypatch):
     """WAND generalizes to sum-merged AND/OR trees (BlockConjunction
-    analog) and must stay exact."""
+    analog) and must stay exact. Conjunctions normally take the join tier
+    (which supersedes WAND there); force_wand disables join to exercise
+    tree-WAND itself."""
+    import iresearch_tpu.exec.plan as planmod
     from iresearch_tpu.exec import DeviceQuery
     from tests.topk_util import assert_topk_equiv
 
+    if force_wand:
+        monkeypatch.setattr(planmod, "JOIN_MAX_RATIO", 0.0)
     segs = list(reader.segments)
     exact = DeviceQuery(flt, segs, BM25(), wand=False)
     wand = DeviceQuery(flt, segs, BM25(), wand=True, wand_sample=8)
-    assert wand.plan(0).groups[0].ub is not None, "tree-wand must engage"
+    p = wand.plan(0)
+    assert p.groups[0].ub is not None or p.exec_mode == "join", (
+        "an accelerated tier (tree-wand or join) must engage"
+    )
+    if force_wand:
+        assert p.groups[0].ub is not None, "tree-wand must engage"
     ev, ed = exact.execute_segment(0, k)
     wv, wd = wand.execute_segment(0, k)
     finite = np.isfinite(ev)
