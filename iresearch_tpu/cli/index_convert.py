@@ -1,15 +1,17 @@
 """Index transcoder (reference: utils/index-convert.cpp).
 
-The reference converts between format versions; here there is one current
-format, so convert = read any committed generation and rewrite it (optionally
-consolidating all segments into one) into a fresh directory — the same
-re-encode path the reference exercises.
+Reads any committed generation (any READABLE format version) and rewrites
+it into a fresh directory in the requested target version (default: the
+current format), optionally consolidating all segments into one — the same
+re-encode path the reference's convert mode exercises across its 10
+format versions.
 """
 
 from __future__ import annotations
 
 import argparse
 
+from iresearch_tpu.formats.segment_io import CURRENT_FORMAT, WRITABLE_FORMATS
 from iresearch_tpu.index.merge import merge_segments
 from iresearch_tpu.index.reader import DirectoryReader
 from iresearch_tpu.index.writer import IndexWriter, IndexWriterOptions
@@ -23,6 +25,12 @@ def parse_args(argv):
     p.add_argument(
         "--consolidate", action="store_true", help="merge all segments into one"
     )
+    p.add_argument(
+        "--format",
+        default=CURRENT_FORMAT,
+        choices=sorted(WRITABLE_FORMATS),
+        help="target on-disk segment format version",
+    )
     return p.parse_args(argv)
 
 
@@ -30,7 +38,7 @@ def main(argv) -> int:
     args = parse_args(argv)
     reader = DirectoryReader.open(FSDirectory(args.input))
     out = FSDirectory(args.out)
-    with IndexWriter(out, IndexWriterOptions()) as w:
+    with IndexWriter(out, IndexWriterOptions(format_version=args.format)) as w:
         segs = list(reader.segments)
         if args.consolidate:
             datas = [merge_segments(segs)] if segs else []

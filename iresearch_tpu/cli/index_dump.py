@@ -43,7 +43,7 @@ def main(argv) -> int:
                 if args.postings:
                     docs, freqs = decode_term(fp, tid)
                     line += f" docs={docs[:16].tolist()} freqs={freqs[:16].tolist()}"
-                if args.positions and fp.pos_flat is not None:
+                if args.positions and fp.has_positions:
                     pos = decode_positions(fp, tid)[:4]
                     line += f" pos={[p.tolist() for p in pos]}"
                 print(line)

@@ -37,6 +37,16 @@ def _pow2(n: int) -> int:
     return p
 
 
+def _bucket4(n: int) -> int:
+    """Row-count bucket at 4x granularity: queries within one bucket batch
+    into one dispatch (row padding <=4x, dwarfed by per-dispatch cost),
+    while a LowTerm query never inflates to a HighTerm query's rows."""
+    b = 8
+    while b < n:
+        b <<= 2
+    return b
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -96,7 +106,7 @@ def _run_batch(
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "mode",
-        "driver_gi", "driver_leaf", "wand", "sample",
+        "driver_gi", "group_leaf", "wand", "sample",
     ),
 )
 def _run_batch_candidates(
@@ -105,6 +115,7 @@ def _run_batch_candidates(
     avgdl,  # f32 [G]
     leaf_min_b,  # i32 [Q, L]
     alive,  # bool [nd]
+    nreal_b,  # i32 [Q, G]
     *,
     tree,
     gbits,
@@ -113,7 +124,7 @@ def _run_batch_candidates(
     k: int,
     mode: str,
     driver_gi: int,
-    driver_leaf: int,
+    group_leaf: tuple,
     wand: bool,
     sample: int,
 ):
@@ -121,13 +132,14 @@ def _run_batch_candidates(
     work ∝ Q × postings, independent of corpus size."""
     from iresearch_tpu.exec.candidates import candidate_body
 
-    def one(rowsets, leaf_min):
+    def one(rowsets, leaf_min, nreal):
         return candidate_body(
             pools,
             rowsets,
             avgdl,
             leaf_min,
             alive,
+            nreal,
             tree=tree,
             gbits=gbits,
             scorer=scorer,
@@ -135,12 +147,12 @@ def _run_batch_candidates(
             k=k,
             mode=mode,
             driver_gi=driver_gi,
-            driver_leaf=driver_leaf,
+            group_leaf=group_leaf,
             wand=wand,
             sample=sample,
         )
 
-    return jax.vmap(one)(rowsets_b, leaf_min_b)
+    return jax.vmap(one)(rowsets_b, leaf_min_b, nreal_b)
 
 
 @partial(
@@ -256,20 +268,23 @@ class QueryBatch:
                 p.exec_mode,
                 p.driver_gi,
                 p.driver_leaf,
-                # exact padded row counts join the signature: queries only
-                # batch with same-size peers, so a LowTerm query is never
-                # inflated to a HighTerm query's row count
-                tuple(len(g.rows_d) for g in p.groups),
+                # bucketed row counts join the signature (see _bucket4)
+                tuple(_bucket4(len(g.rows_d)) for g in p.groups),
             )
             groups_by_sig[sig].append(qi)
 
         calls = []
         for sig, qis in groups_by_sig.items():
             tree, num_leaves, gkeys, A, use_wand, exec_mode, driver_gi, \
-                driver_leaf, Rs = sig
+                driver_leaf, _buckets = sig
             reps = [plans[qi] for qi in qis]
             Q = len(qis)
             nd = reps[0].nd_pad
+            # pad each group to the max row count within this bucket
+            Rs = [
+                _pow2(max(len(p.groups[gi].rows_d) for p in reps))
+                for gi in range(len(gkeys))
+            ]
             pools = []
             rowsets_b = []
             gbits = []
@@ -313,12 +328,22 @@ class QueryBatch:
                 lanes = (
                     Rs[driver_gi] if exec_mode == "join" else sum(Rs)
                 ) * 128
+                nreal_b = np.stack(
+                    [
+                        np.asarray(
+                            [g.real_rows * 128 for g in p.groups], np.int32
+                        )
+                        for p in reps
+                    ]
+                )
                 args = (
                     tuple(pools),
                     tuple(rowsets_b),
                     jnp.asarray(reps[0].group_avgdl),
                     jnp.asarray(np.stack([p.leaf_min_match for p in reps])),
-                    sr.device().alive,
+                    # skip the per-lane alive gather when nothing is deleted
+                    sr.device().alive if sr.has_deletes else None,
+                    jnp.asarray(nreal_b),
                 )
                 kwargs = dict(
                     tree=tree,
@@ -328,7 +353,9 @@ class QueryBatch:
                     k=min(k, nd, lanes),
                     mode=exec_mode,
                     driver_gi=driver_gi,
-                    driver_leaf=driver_leaf,
+                    group_leaf=tuple(
+                        int(g.leaf[0]) for g in reps[0].groups
+                    ),
                     # θ pruning is useless when the sampled phase would
                     # already decode every row
                     wand=use_wand and max(Rs) > self.wand_sample,
@@ -388,11 +415,18 @@ class QueryBatch:
 
 
 class PreparedBatch:
-    """Device-resident stacked batch; run() is pure dispatch."""
+    """Device-resident stacked batch; run() is pure dispatch.
+
+    All signature groups FUSE into one jitted program: the whole batch —
+    every tree shape, every row-count bucket — is a single device dispatch
+    (one executable, one launch). Launch overhead is paid once per batch
+    instead of once per group, and XLA can overlap the groups' gathers.
+    """
 
     def __init__(self, num_queries: int, calls) -> None:
         self.num_queries = num_queries
         self._calls = calls
+        self._fused = None
 
     def run(self):
         """Per-query (scores [k], local docs [k]) as jax arrays (async)."""
@@ -402,9 +436,24 @@ class PreparedBatch:
                 out[qi] = (vals[j], docs[j])
         return out
 
-    def run_grouped(self):
+    def run_grouped(self, fused: bool = True):
         """[(  (vals [Q,k], docs [Q,k]), query_indices ), ...] — one entry
-        per dispatch, no per-query slicing (throughput path)."""
-        return [
-            (fn(*args, **kwargs), qis) for qis, args, kwargs, fn in self._calls
-        ]
+        per signature group, computed in ONE device dispatch."""
+        if not fused or len(self._calls) <= 1:
+            return [
+                (fn(*args, **kwargs), qis) for qis, args, kwargs, fn in self._calls
+            ]
+        if self._fused is None:
+            calls = self._calls
+
+            def _all(arg_list):
+                # inner jitted fns trace through inline: one XLA program
+                return tuple(
+                    fn(*a, **kw)
+                    for (_qis, _a, kw, fn), a in zip(calls, arg_list)
+                )
+
+            self._fused = jax.jit(_all)
+        arg_list = tuple(args for _, args, _, _ in self._calls)
+        outs = self._fused(arg_list)
+        return [(out, qis) for out, (qis, *_rest) in zip(outs, self._calls)]

@@ -4,30 +4,31 @@ The reference's hot path touches only postings — leapfrog conjunction
 (core/search/conjunction.hpp:155-230), heap/block disjunction
 (core/search/disjunction.hpp:860-1100), skip lists
 (core/formats/formats_10.cpp:320-323). The round-1 dense executor folded
-per-leaf [L, nd_pad] arrays instead: exact, but O(corpus) per query — a
-LowTerm query over 5M docs did ~1000x the reference's work.
+per-leaf [L, nd_pad] arrays instead: exact, but O(corpus) per query — and
+its scatter-adds serialize on TPU (~tens of ns per element), which is the
+real cost at any corpus size.
 
-This module is the TPU-native answer, three tiers picked at plan time
-(exec/plan.py chooses per query; exactness is identical by construction):
+This module is the TPU-native answer: three scatter-free tiers picked at
+plan time (exec/plan.py). Only gathers, sorts, segmented scans and top-k —
+all full-speed vector ops on the VPU:
 
 * ``direct`` — single-span leaf (one term): decoded docs are unique, so
   contributions ARE final scores; top-k straight over the [P] decoded
-  lanes. No doc-space array is ever built.
+  lanes.
 * ``join`` — conjunction with a single-span driver leaf: candidates are
-  the driver's decoded docs (sorted, ∝ its df); every other span joins by
-  ``searchsorted`` into the candidate array and scatter-adds its
-  contribution (the dense-dataflow analog of the leapfrog AND).
-* ``sort`` — general positive trees: all decoded (doc, score, leaf|match)
-  lanes are sorted by doc, runs are compacted to candidate slots
-  (cumsum over run starts), and per-leaf score/count land in a compact
-  [L, P] grid; the boolean tree folds over candidates only.
+  the driver's decoded docs (ascending by construction); every other span
+  binary-searches each candidate into its own decoded doc array and
+  GATHERS its contribution (the dense-dataflow leapfrog AND).
+* ``sort`` — general positive trees: decoded (doc, score, leaf|match)
+  lanes sort by doc; per-(doc, leaf) sums come from a segmented
+  Hillis-Steele scan over the doc-runs (log2(P) masked-add sweeps), and
+  each run's last lane is its doc's candidate.
 
 All tiers compose with block-max WAND: rows pruned by θ redirect to the
-sentinel row 0 and decode to zero contributions, exactly as in the dense
-path. Safety: a tier other than dense is only used for *covering* trees —
-every match is guaranteed to carry at least one postings entry
-(plan.candidate_tree_ok) — so docs absent from the candidate set cannot
-match.
+sentinel row 0 and decode to zero contributions. Safety: a tier other
+than dense is only used for *covering* trees — every match carries at
+least one postings entry (plan._covering_tree) — so docs absent from the
+decoded lanes cannot match.
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ from typing import Sequence
 from iresearch_tpu.search.scorers import Scorer
 
 _NEG_INF = float("-inf")
+_IMAX32 = 2**31 - 1
 
 
 def topk_docs(masked, doc_arr, k: int):
@@ -55,11 +57,11 @@ def topk_docs(masked, doc_arr, k: int):
     docs0 = doc_arr[idx]
     if k == 1:
         # single winner: smallest doc among max-score ties
-        tie_key = jnp.where(masked == vals[0], doc_arr, jnp.int32(2**31 - 1))
+        tie_key = jnp.where(masked == vals[0], doc_arr, jnp.int32(_IMAX32))
         return vals, jnp.min(tie_key)[None]
     thetak = vals[k - 1]
     tie_out = vals == thetak  # trailing run of the sorted top-k values
-    tie_key = jnp.where(masked == thetak, doc_arr, jnp.int32(2**31 - 1))
+    tie_key = jnp.where(masked == thetak, doc_arr, jnp.int32(_IMAX32))
     # k smallest tie docs, ascending
     small_ties = -lax.top_k(-tie_key, k)[0]
     tie_rank = jnp.cumsum(tie_out.astype(jnp.int32)) - 1
@@ -109,10 +111,9 @@ def direct_topk(pools, rowsets, avgdl, alive, *, gbits, scorer, k):
     sentinel decodes to doc 0 with freq 0 — both carry matched=False.
     """
     import jax.numpy as jnp
-    from jax import lax
 
     docs, sc, m, _ = decode_flat(pools, rowsets, avgdl, gbits, scorer)
-    match = m & alive[docs]
+    match = m if alive is None else m & alive[docs]
     return topk_docs(jnp.where(match, sc, _NEG_INF), docs, k)
 
 
@@ -120,13 +121,13 @@ def sorted_topk(
     pools, rowsets, avgdl, leaf_min, alive,
     *, tree, gbits, scorer, num_leaves, k, slicer=None,
 ):
-    """Sort-compact candidate top-k for covering trees.
+    """Sort + segmented-scan candidate top-k for covering trees.
 
     Sorting by doc makes duplicate docs (same doc hit by several terms)
-    contiguous; run starts become compact candidate slots; per-leaf
-    score/count scatter-add into [L, P] — P lanes, not nd docs. The tree
-    then folds elementwise over candidates exactly as the dense executor
-    folds over docs.
+    contiguous; a segmented inclusive scan (Hillis-Steele doubling with a
+    run-connection flag — pure shifted masked adds, NO scatter) leaves
+    each run's total at its last lane, which becomes the doc's candidate
+    slot. The boolean tree folds elementwise over those lanes.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -138,88 +139,161 @@ def sorted_topk(
     # pack (leaf, matched) into one payload so the sort carries 3 operands
     pay = leaf * 2 + m.astype(jnp.int32)
     sdocs, ssc, spay = lax.sort((docs, sc, pay), num_keys=1)
-    start = jnp.concatenate(
-        [jnp.ones(1, bool), sdocs[1:] != sdocs[:-1]]
-    )
-    slot = jnp.cumsum(start.astype(jnp.int32)) - 1  # [P], values < P
     sleaf = spay >> 1
-    scnt = spay & 1
-    leaf_score = jnp.zeros((num_leaves, P), jnp.float32)
-    leaf_score = leaf_score.at[sleaf, slot].add(ssc, mode="drop")
-    leaf_count = jnp.zeros((num_leaves, P), jnp.int32)
-    leaf_count = leaf_count.at[sleaf, slot].add(scnt, mode="drop")
-    cand_doc = jnp.zeros(P, jnp.int32)
-    cand_doc = cand_doc.at[jnp.where(start, slot, P)].set(sdocs, mode="drop")
+    scnt = (spay & 1).astype(jnp.float32)
+    # channels: per-leaf score + per-leaf count (floats; counts are small
+    # integers so f32 addition is exact)
+    chans = []
+    for l in range(num_leaves):
+        on = sleaf == l
+        chans.append(jnp.where(on, ssc, 0.0))
+        chans.append(jnp.where(on, scnt, 0.0))
+    # segmented inclusive scan over doc-runs
+    conn = jnp.concatenate(
+        [jnp.zeros(1, bool), sdocs[1:] == sdocs[:-1]]
+    )  # lane connected to previous lane's run
+    shift = 1
+    while shift < P:
+        c_prev = jnp.concatenate([jnp.zeros(shift, bool), conn[:-shift]])
+        chans = [
+            c + jnp.where(conn, jnp.concatenate([jnp.zeros(shift, c.dtype), c[:-shift]]), 0)
+            for c in chans
+        ]
+        conn = conn & c_prev
+        shift <<= 1
+    is_end = jnp.concatenate([sdocs[:-1] != sdocs[1:], jnp.ones(1, bool)])
+    leaf_score = jnp.stack([jnp.where(is_end, chans[2 * l], 0.0) for l in range(num_leaves)])
+    leaf_count = jnp.stack(
+        [jnp.where(is_end, chans[2 * l + 1], 0.0).astype(jnp.int32) for l in range(num_leaves)]
+    )
     leaf_match = leaf_count >= leaf_min[:, None]
     leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
     match, score = _fold_tree(tree, leaf_match, leaf_score, None, None, P, jnp)
-    # untouched slots have zero counts -> covering trees cannot match them
-    match = match & alive[cand_doc]
-    return topk_docs(jnp.where(match, score, _NEG_INF), cand_doc, k)
+    # only run-ends are candidates; covering trees cannot match elsewhere
+    # (their counts were zeroed above)
+    match = match & is_end
+    if alive is not None:
+        match = match & alive[sdocs]
+    return topk_docs(jnp.where(match, score, _NEG_INF), sdocs, k)
 
 
 def join_topk(
-    pools, rowsets, avgdl, leaf_min, alive,
-    *, tree, gbits, scorer, num_leaves, k, driver_gi, driver_leaf,
+    pools, rowsets, avgdl, leaf_min, alive, nreal,
+    *, tree, gbits, scorer, num_leaves, k, driver_gi, group_leaf,
 ):
-    """Conjunction top-k with a single-span driver (leapfrog AND analog).
+    """Block-probe conjunction join: the leapfrog AND at full VPU speed
+    (reference: conjunction.hpp:155-230).
 
-    Candidates are the driver leaf's decoded docs. Pad rows and partial
-    block lanes carry freq 0, so mapping non-matching lanes to INT32_MAX
-    and sorting yields a strictly ascending unique candidate array (its
-    sort is cheap: the driver is the *smallest* leaf by construction).
-    Every other group's lanes binary-search into the candidate array and
-    scatter-add where the doc actually matches; entries outside the
-    candidate set are dropped, which is exact because the root conjunction
-    requires the driver leaf. Work ∝ total postings of the query,
-    independent of corpus size (reference: conjunction.hpp:155-230
-    leapfrog).
+    Candidates are the driver span's decoded docs (the smallest required
+    leaf, so P_d is small). Every other span is NEVER fully decoded:
+    each candidate binary-searches the span's per-block ``base`` doc ids
+    (sort-based searchsorted — TPU's fast path) to find the one 128-doc
+    block that could contain it, gathers just that block's packed words,
+    and probes all 128 lanes with a compare+masked-sum. Work per span is
+    P_d × 128 vector lanes + P_d tiny gathers — independent of the span's
+    own length, so AndHighLow costs the Low side, like the reference.
     """
     import jax.numpy as jnp
-    from jax import lax
 
     from iresearch_tpu.exec.executor import _fold_tree, _group_contrib
+    from iresearch_tpu.formats.bitpack import unpack_jnp
+    from iresearch_tpu.search.scorers import score_block
 
-    _IMAX = jnp.int32(2**31 - 1)
-    bd, bf = gbits[driver_gi]
-    rows_d, rows_f, w, leaf = rowsets[driver_gi][:4]
-    ddocs, dsc, dm = _group_contrib(
-        pools[driver_gi], rows_d, rows_f, w, bd, bf, avgdl[driver_gi], scorer
-    )
-    P = ddocs.shape[0] * ddocs.shape[1]
-    key = jnp.where(dm, ddocs, _IMAX).reshape(-1)
-    cdocs, csc = lax.sort((key, dsc.reshape(-1)), num_keys=1)
-    cvalid = cdocs != _IMAX
-    leaf_score = jnp.zeros((num_leaves, P), jnp.float32)
-    leaf_score = leaf_score.at[driver_leaf].set(jnp.where(cvalid, csc, 0.0))
-    leaf_count = jnp.zeros((num_leaves, P), jnp.int32)
-    leaf_count = leaf_count.at[driver_leaf].set(cvalid.astype(jnp.int32))
+    IMAX = jnp.int32(_IMAX32)
+    G = len(pools)
 
-    for gi, (pool, rs) in enumerate(zip(pools, rowsets)):
-        if gi == driver_gi:
-            continue
+    def probe(gi, cdocs):
+        """(freq f32 [P], weight f32 [P]) of span ``gi`` at each candidate
+        doc: block-probe without decoding the span."""
         bdg, bfg = gbits[gi]
-        rows_d, rows_f, w, lf = rs[:4]
-        docs, sc, m = _group_contrib(pool, rows_d, rows_f, w, bdg, bfg, avgdl[gi], scorer)
-        R, B = docs.shape
-        docs_f = docs.reshape(-1)
-        # first occurrence of each doc in cdocs is the real driver entry
-        # (trailing repeats come after it); misses scatter to index P=drop
-        pos = jnp.searchsorted(cdocs, docs_f).astype(jnp.int32)
-        pos_c = jnp.minimum(pos, P - 1)
-        hit = cdocs[pos_c] == docs_f
-        tgt = jnp.where(hit, pos_c, P)
-        lf_f = jnp.broadcast_to(lf[:, None], (R, B)).reshape(-1)
-        leaf_score = leaf_score.at[lf_f, tgt].add(sc.reshape(-1), mode="drop")
-        leaf_count = leaf_count.at[lf_f, tgt].add(
-            m.reshape(-1).astype(jnp.int32), mode="drop"
+        doc_words, freq_words, base, _norms = pools[gi]
+        g_rows_d, g_rows_f, g_w, _gl = rowsets[gi][:4]
+        R = g_rows_d.shape[0]
+        # per-row first-doc keys, ascending over the span's real rows;
+        # pad rows map to IMAX so they sort last
+        base_key = jnp.where(
+            jnp.arange(R, dtype=jnp.int32) < (nreal[gi] >> 7),
+            base[g_rows_d].astype(jnp.int32),
+            IMAX,
         )
+        rowpos = jnp.clip(
+            jnp.searchsorted(base_key, cdocs, side="right", method="sort")
+            .astype(jnp.int32) - 1,
+            0,
+            R - 1,
+        )
+        # decode only the probed block per candidate
+        deltas = unpack_jnp(doc_words[g_rows_d[rowpos]], bdg).astype(jnp.int32)
+        docs_row = base[g_rows_d[rowpos]].astype(jnp.int32)[:, None] + jnp.cumsum(
+            deltas, axis=1
+        )
+        freqs_row = unpack_jnp(freq_words[g_rows_f[rowpos]], bfg)
+        eq = docs_row == cdocs[:, None]
+        # partial-block repeat lanes carry freq 0, so summing over the
+        # (possibly repeated) equal lanes yields the real frequency
+        freq_at = jnp.sum(jnp.where(eq, freqs_row, 0), axis=1).astype(jnp.float32)
+        return freq_at, g_w[rowpos]
 
-    leaf_match = leaf_count >= leaf_min[:, None]
-    leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
-    match, score = _fold_tree(tree, leaf_match, leaf_score, None, None, P, jnp)
-    match = match & cvalid & alive[jnp.minimum(cdocs, alive.shape[0] - 1)]
-    return topk_docs(jnp.where(match, score, _NEG_INF), cdocs, k)
+    def decode_span(gi):
+        bd, bf = gbits[gi]
+        rows_d, rows_f, w, _leaf = rowsets[gi][:4]
+        docs, sc, m = _group_contrib(
+            pools[gi], rows_d, rows_f, w, bd, bf, avgdl[gi], scorer
+        )
+        P = docs.shape[0] * docs.shape[1]
+        lane = jnp.arange(P, dtype=jnp.int32)
+        cdocs = jnp.where(lane < nreal[gi], docs.reshape(-1), IMAX)
+        return cdocs, sc.reshape(-1), m.reshape(-1)
+
+    cand_gis = [driver_gi] if driver_gi >= 0 else list(range(G))
+    out_docs, out_masked = [], []
+    for ci in cand_gis:
+        cdocs, csc, cm = decode_span(ci)
+        P = cdocs.shape[0]
+        leaf_score = [jnp.zeros(P, jnp.float32) for _ in range(num_leaves)]
+        leaf_count = [jnp.zeros(P, jnp.int32) for _ in range(num_leaves)]
+        li = group_leaf[ci]
+        leaf_score[li] = jnp.where(cm, csc, 0.0)
+        leaf_count[li] = cm.astype(jnp.int32)
+        valid = cm  # pads and partial-block repeats are never candidates
+        norms_c = pools[ci][3]
+        dl = norms_c[jnp.minimum(cdocs, norms_c.shape[0] - 1)]
+        for gi in range(G):
+            if gi == ci:
+                continue
+            freq_at, w_at = probe(gi, cdocs)
+            hit = freq_at > 0
+            # per-span norms: spans may live in different fields
+            norms_g = pools[gi][3]
+            dl_g = (
+                dl
+                if norms_g is norms_c
+                else norms_g[jnp.minimum(cdocs, norms_g.shape[0] - 1)]
+            )
+            sc_at = score_block(scorer, w_at, freq_at, dl_g, avgdl[gi], xp=jnp)
+            lj = group_leaf[gi]
+            leaf_score[lj] = leaf_score[lj] + jnp.where(hit, sc_at, 0.0)
+            leaf_count[lj] = leaf_count[lj] + hit.astype(jnp.int32)
+            if driver_gi < 0 and gi < ci:
+                valid = valid & ~hit  # dedup: earlier span owns the doc
+
+        leaf_score_s = jnp.stack(leaf_score)
+        leaf_count_s = jnp.stack(leaf_count)
+        leaf_match = leaf_count_s >= leaf_min[:, None]
+        leaf_score_s = jnp.where(leaf_match, leaf_score_s, 0.0)
+        match, score = _fold_tree(
+            tree, leaf_match, leaf_score_s, None, None, P, jnp
+        )
+        match = match & valid
+        if alive is not None:
+            match = match & alive[jnp.minimum(cdocs, alive.shape[0] - 1)]
+        out_docs.append(cdocs)
+        out_masked.append(jnp.where(match, score, _NEG_INF))
+    if len(out_docs) == 1:
+        return topk_docs(out_masked[0], out_docs[0], k)
+    return topk_docs(
+        jnp.concatenate(out_masked), jnp.concatenate(out_docs), k
+    )
 
 
 def wand_theta(
@@ -247,20 +321,15 @@ def wand_theta(
         docs, sc, m, _ = decode_flat(
             pools, sorted_sets, avgdl, gbits, scorer, slicer
         )
-        pm = m & alive[docs]
-        ps = sc
+        pm = m if alive is None else m & alive[docs]
+        theta = lax.top_k(jnp.where(pm, sc, _NEG_INF), k)[0][k - 1]
     else:  # sort-compact partial fold
-        pools_s = pools
-        vals, docs = sorted_topk(
-            pools_s, sorted_sets, avgdl, leaf_min, alive,
+        vals, _docs = sorted_topk(
+            pools, sorted_sets, avgdl, leaf_min, alive,
             tree=tree, gbits=gbits, scorer=scorer,
             num_leaves=num_leaves, k=k, slicer=slicer,
         )
         theta = vals[k - 1]
-        return jnp.where(
-            jnp.isfinite(theta), theta - jnp.abs(theta) * 1e-5 - 1e-30, theta
-        )
-    theta = lax.top_k(jnp.where(pm, ps, _NEG_INF), k)[0][k - 1]
     # float-order guard (same epsilon dance as wand_body / the reference's
     # nextafter, formats_10.cpp:2434-2441)
     return jnp.where(
@@ -274,6 +343,7 @@ def candidate_body(
     avgdl,
     leaf_min,
     alive,
+    nreal=None,  # traced i32 [G] real-lane counts (join mode)
     *,
     tree,
     gbits,
@@ -282,7 +352,7 @@ def candidate_body(
     k: int,
     mode: str,  # "direct" | "sort" | "join"
     driver_gi: int = 0,
-    driver_leaf: int = 0,
+    group_leaf: tuple = (),
     wand: bool = False,
     sample: int = 16,
 ):
@@ -323,9 +393,9 @@ def candidate_body(
         )
     if mode == "join":
         return join_topk(
-            pools, sets, avgdl, leaf_min, alive,
+            pools, sets, avgdl, leaf_min, alive, nreal,
             tree=tree, gbits=gbits, scorer=scorer, num_leaves=num_leaves,
-            k=k, driver_gi=driver_gi, driver_leaf=driver_leaf,
+            k=k, driver_gi=driver_gi, group_leaf=group_leaf,
         )
     return sorted_topk(
         pools, sets, avgdl, leaf_min, alive,

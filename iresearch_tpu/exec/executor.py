@@ -263,7 +263,7 @@ def _run_segment_wand(
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "mode",
-        "driver_gi", "driver_leaf", "wand", "sample",
+        "driver_gi", "group_leaf", "wand", "sample",
     ),
 )
 def _run_segment_candidates(
@@ -272,6 +272,7 @@ def _run_segment_candidates(
     avgdl,
     leaf_min,
     alive,
+    nreal,
     *,
     tree,
     gbits,
@@ -280,7 +281,7 @@ def _run_segment_candidates(
     k: int,
     mode: str,
     driver_gi: int,
-    driver_leaf: int,
+    group_leaf: tuple,
     wand: bool,
     sample: int,
 ):
@@ -293,6 +294,7 @@ def _run_segment_candidates(
         avgdl,
         leaf_min,
         alive,
+        nreal,
         tree=tree,
         gbits=gbits,
         scorer=scorer,
@@ -300,7 +302,7 @@ def _run_segment_candidates(
         k=k,
         mode=mode,
         driver_gi=driver_gi,
-        driver_leaf=driver_leaf,
+        group_leaf=group_leaf,
         wand=wand,
         sample=sample,
     )
@@ -523,6 +525,8 @@ class DeviceQuery:
         kk = min(k, plan.nd_pad)
         wand_on = bool(plan.groups) and plan.groups[0].ub is not None
         if plan.exec_mode != "dense":
+            import jax.numpy as jnp
+
             if plan.exec_mode == "join":
                 lanes = len(plan.groups[plan.driver_gi].rows_d) * 128
             else:
@@ -531,12 +535,19 @@ class DeviceQuery:
             # pruning cannot skip anything the sampled pass would not
             # already decode — drop the redundant θ phase for short lists
             wand_eff = wand_on and max_rows > self.wand_sample
+            nreal = jnp.asarray(
+                [g.real_rows * 128 for g in plan.groups], jnp.int32
+            )
+            group_leaf = tuple(int(g.leaf[0]) for g in plan.groups)
+            sr = self.prepared.segments[plan.seg_idx]
             vals, docs = _run_segment_candidates(
                 pools,
                 rowsets,
                 avgdl_j,
                 leafmin_j,
-                alive,
+                # skip the per-lane alive gather when nothing is deleted
+                alive if sr.has_deletes else None,
+                nreal,
                 tree=plan.tree,
                 gbits=gbits,
                 scorer=self.scorer,
@@ -544,7 +555,7 @@ class DeviceQuery:
                 k=min(kk, lanes),
                 mode=plan.exec_mode,
                 driver_gi=plan.driver_gi,
-                driver_leaf=plan.driver_leaf,
+                group_leaf=group_leaf,
                 wand=wand_eff,
                 sample=self.wand_sample,
             )

@@ -35,9 +35,10 @@ class PhrasePartSpec:
 
     dcls: int
     fcls: int
+    pcls: int
     rows_d: np.ndarray  # i32 [NB_pad]
     rows_f: np.ndarray  # i32 [NB_pad]
-    pos_index: np.ndarray  # i32 [TTF_pad] indices into the field pos pool
+    rows_p: np.ndarray  # i32 [NPB_pad] rows into the class-pcls pos pool
     ttf: int
     offset: int
 
@@ -66,7 +67,7 @@ def compile_phrase(
     if not isinstance(flt, F.ByPhrase) or not flt.parts:
         return None
     fp = sr.field(flt.field)
-    if fp is None or fp.pos_flat is None:
+    if fp is None or not fp.has_positions:
         return None
     nd_pad = _pow2(max(1, sr.num_docs))
     pos_cap = _pow2(int(fp.norms.max(initial=1)) + 1)
@@ -94,18 +95,20 @@ def compile_phrase(
             int(e[TermCols.FSTART]), int(e[TermCols.FSTART]) + nb, dtype=np.int32
         )
         ttf = int(e[TermCols.TTF])
-        ttfp = _pow2(max(8, ttf))
-        pos_index = np.minimum(
-            int(e[TermCols.POS_BASE]) + np.arange(ttfp, dtype=np.int64),
-            len(fp.pos_flat) - 1,
-        ).astype(np.int32)
+        npb = (ttf + 127) >> 7
+        npbp = _pow2(max(1, npb))
+        rows_p = np.zeros(npbp, np.int32)  # pad -> sentinel row 0
+        rows_p[:npb] = np.arange(
+            int(e[TermCols.PSTART]), int(e[TermCols.PSTART]) + npb, dtype=np.int32
+        )
         parts.append(
             PhrasePartSpec(
                 dcls=int(e[TermCols.DCLS]),
                 fcls=int(e[TermCols.FCLS]),
+                pcls=int(e[TermCols.PCLS]),
                 rows_d=rows_d,
                 rows_f=rows_f,
-                pos_index=pos_index,
+                rows_p=rows_p,
                 ttf=ttf,
                 offset=int(off),
             )
@@ -122,24 +125,26 @@ def compile_phrase(
     return DevicePhraseSpec(flt.field, parts, w, avgdl)
 
 
-def _part_keys(pool, pos_pool, spec_arrays, bd, bf, ttf, off, pos_cap_log2):
+def _part_keys(pool, spec_arrays, bd, bf, bp, ttf, off, pos_cap_log2):
     """Sorted int32 keys doc*pos_cap + (pos - off) of one part; invalid
-    slots get I32_MAX (sorts last, never matches)."""
+    slots get I32_MAX (sorts last, never matches). Positions decode from
+    the term's packed block rows (format v4) — pure unpack, no gather
+    into a flat pool."""
     import jax.numpy as jnp
 
-    doc_words, freq_words, base = pool
-    rows_d, rows_f, pos_index = spec_arrays
+    doc_words, freq_words, base, pos_words = pool
+    rows_d, rows_f, rows_p = spec_arrays
     from iresearch_tpu.formats.bitpack import unpack_jnp
 
     d = unpack_jnp(doc_words[rows_d], bd).astype(jnp.int32)
     docs = (base[rows_d][:, None] + jnp.cumsum(d, axis=1)).reshape(-1)
     f = unpack_jnp(freq_words[rows_f], bf).astype(jnp.int32).reshape(-1)
     cumf = jnp.cumsum(f)
-    n = pos_index.shape[0]
+    pos = unpack_jnp(pos_words[rows_p], bp).astype(jnp.int32).reshape(-1)
+    n = pos.shape[0]
     i = jnp.arange(n, dtype=jnp.int32)
     entry = jnp.searchsorted(cumf, i, side="right")
     doc_of_pos = docs[jnp.minimum(entry, docs.shape[0] - 1)]
-    pos = pos_pool[pos_index]
     shifted = pos - off
     valid = (i < ttf) & (shifted >= 0)
     key = (doc_of_pos << pos_cap_log2) + shifted
@@ -152,16 +157,15 @@ def _part_keys(pool, pos_pool, spec_arrays, bd, bf, ttf, off, pos_cap_log2):
     static_argnames=("gbits", "scorer", "pos_cap_log2", "nd"),
 )
 def _run_phrase(
-    pools,  # tuple per part: (doc_words, freq_words, base)
-    specs,  # tuple per part: (rows_d, rows_f, pos_index)
+    pools,  # tuple per part: (doc_words, freq_words, base, pos_words)
+    specs,  # tuple per part: (rows_d, rows_f, rows_p)
     ttfs,  # i32 [m]
     offs,  # i32 [m]
     weight,  # f32 scalar
     avgdl,  # f32 scalar
     norms,  # f32 [nd]
-    pos_pool,  # i32 [P]
     *,
-    gbits,  # tuple per part: (doc_bits, freq_bits)
+    gbits,  # tuple per part: (doc_bits, freq_bits, pos_bits)
     scorer: Scorer,
     pos_cap_log2: int,
     nd: int,
@@ -169,13 +173,13 @@ def _run_phrase(
     import jax.numpy as jnp
 
     keys0 = _part_keys(
-        pools[0], pos_pool, specs[0], gbits[0][0], gbits[0][1],
+        pools[0], specs[0], gbits[0][0], gbits[0][1], gbits[0][2],
         ttfs[0], offs[0], pos_cap_log2,
     )
     alive_keys = keys0 != _I32_MAX
     for j in range(1, len(pools)):
         kj = _part_keys(
-            pools[j], pos_pool, specs[j], gbits[j][0], gbits[j][1],
+            pools[j], specs[j], gbits[j][0], gbits[j][1], gbits[j][2],
             ttfs[j], offs[j], pos_cap_log2,
         )
         idx = jnp.searchsorted(kj, keys0)
@@ -214,12 +218,17 @@ def run_phrase_dense(
     gbits = []
     for p in spec.parts:
         pools.append(
-            (dfield.doc_words[p.dcls], dfield.freq_words[p.fcls], dfield.base[p.dcls])
+            (
+                dfield.doc_words[p.dcls],
+                dfield.freq_words[p.fcls],
+                dfield.base[p.dcls],
+                dfield.pos_words(p.pcls),
+            )
         )
         specs.append(
-            (jnp.asarray(p.rows_d), jnp.asarray(p.rows_f), jnp.asarray(p.pos_index))
+            (jnp.asarray(p.rows_d), jnp.asarray(p.rows_f), jnp.asarray(p.rows_p))
         )
-        gbits.append((BITS[p.dcls], BITS[p.fcls]))
+        gbits.append((BITS[p.dcls], BITS[p.fcls], BITS[p.pcls]))
     match, score = _run_phrase(
         tuple(pools),
         tuple(specs),
@@ -228,7 +237,6 @@ def run_phrase_dense(
         jnp.float32(spec.weight),
         jnp.float32(spec.avgdl),
         dfield.norms,
-        dfield.pos,
         gbits=tuple(gbits),
         scorer=scorer,
         pos_cap_log2=pos_cap_log2,

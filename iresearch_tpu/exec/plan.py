@@ -61,12 +61,14 @@ def _pow2(n: int) -> int:
     return p
 
 
-# Tier-selection thresholds (see exec/candidates.py). The sort tier pays
-# an O(P log P) device sort, so it only beats the dense fold when total
-# decoded lanes P are well under the padded doc count; the join tier's
-# searchsorted is cheap enough to win almost always. Tunable for profiling.
-SORT_MAX_RATIO = float(os.environ.get("IRS_SORT_MAX_RATIO", "0.25"))
-JOIN_MAX_RATIO = float(os.environ.get("IRS_JOIN_MAX_RATIO", "1.0"))
+# Tier-selection thresholds (see exec/candidates.py). The dense fold's
+# scatter-add serializes on TPU (~tens of ns/element), so the scatter-free
+# sort tier wins even when decoded lanes exceed the corpus size; join is
+# pure searchsorted gathers and wins whenever a driver exists, but each
+# span becomes a row group, so cap the span count. Tunable for profiling.
+SORT_MAX_RATIO = float(os.environ.get("IRS_SORT_MAX_RATIO", "64.0"))
+JOIN_MAX_RATIO = float(os.environ.get("IRS_JOIN_MAX_RATIO", "64.0"))
+JOIN_MAX_SPANS = int(os.environ.get("IRS_JOIN_MAX_SPANS", "8"))
 
 
 def _wand_tree_ok(tree) -> bool:
@@ -120,6 +122,7 @@ class RowGroup:
     # block-max WAND metadata (None unless compiled with wand=True):
     ub: Optional[np.ndarray] = None  # f32 [R] per-block score upper bound
     other: Optional[np.ndarray] = None  # f32 [R] sum of other terms' max ub
+    real_rows: int = 0  # unpadded row count (join mode: the span's nblocks)
 
 
 @dataclass
@@ -203,13 +206,31 @@ class PlanCompiler:
         )
         driver_gi = driver_leaf = -1
         if exec_mode == "join":
-            key, si, _nb, driver_leaf = driver
-            span = self._groups[key].pop(si)
-            if not self._groups[key]:
-                del self._groups[key]
-            # dedicated group, tag 1: the executor needs the driver's rows
-            # contiguous and alone (its decode is the candidate array)
-            self._groups[(key[0], key[1], key[2], 1)] = [span]
+            # the merge tier executes span-wise (each span's decoded docs
+            # are an ascending array the other spans binary-search into),
+            # so every span becomes its own group. With a conjunction
+            # driver, that span sorts first (driver_gi=0); disjunction
+            # merges keep driver_gi=-1 (all lanes are candidates).
+            dspan = None
+            if driver is not None:
+                key_d, si, _nb, driver_leaf = driver
+                dspan = self._groups[key_d][si]
+            spans_all = [
+                (key, span)
+                for key, spans in self._groups.items()
+                for span in spans
+                if span is not dspan
+            ]
+            # deterministic order (batch stacking aligns groups by index)
+            spans_all.sort(key=lambda t: (t[1][4], t[1][5], t[1][0]))
+            new_groups = {}
+            if dspan is not None:
+                # tag 0 marks the driver; the group loop below finds it
+                # after key sorting and records driver_gi
+                new_groups[(key_d[0], key_d[1], key_d[2], 0)] = [dspan]
+            for i, (key, span) in enumerate(spans_all):
+                new_groups[(key[0], key[1], key[2], i + 1)] = [span]
+            self._groups = new_groups
 
         # WAND applies to sum-merged positive trees of term leaves — no
         # Not, no aux, no max/min mergers (reference: WandContext +
@@ -253,8 +274,7 @@ class PlanCompiler:
         avgdls: List[float] = []
         for key, spans in sorted(self._groups.items()):
             fname, dcls, fcls = key[0], key[1], key[2]
-            is_driver = len(key) > 3 and key[3] == 1
-            if is_driver:
+            if exec_mode == "join" and key[3] == 0:
                 driver_gi = len(groups)
             rd_l: List[np.ndarray] = []
             rf_l: List[np.ndarray] = []
@@ -281,6 +301,7 @@ class PlanCompiler:
             rows_f = np.concatenate(rf_l) if rf_l else np.zeros(0, np.int32)
             w = np.concatenate(w_l) if w_l else np.zeros(0, np.float32)
             leaf = np.concatenate(leaf_l) if leaf_l else np.zeros(0, np.int32)
+            real_rows = len(rows_d)
             rp = _pow2(max(8, len(rows_d)))
             pad = rp - len(rows_d)
             rows_d = np.pad(rows_d, (0, pad))
@@ -297,7 +318,10 @@ class PlanCompiler:
                 ub = np.pad(ub, (0, pad), constant_values=-np.inf)
                 other = np.pad(other, (0, pad))
             groups.append(
-                RowGroup(fname, dcls, fcls, rows_d, rows_f, w, leaf, ub, other)
+                RowGroup(
+                    fname, dcls, fcls, rows_d, rows_f, w, leaf, ub, other,
+                    real_rows=real_rows,
+                )
             )
             dwf, ttf = self.prepared._field(fname)
             avgdls.append((ttf / dwf) if dwf else 1.0)
@@ -358,7 +382,7 @@ class PlanCompiler:
             and self._leaf_mm[0] <= 1
         ):
             return "direct", None
-        if tree[0] == "and":
+        if tree[0] == "and" and nspans <= JOIN_MAX_SPANS:
             # the leapfrog analog: smallest single-span required leaf
             # drives; its df bounds the candidate count
             best = None
@@ -376,6 +400,9 @@ class PlanCompiler:
                 1, len(self._leaf_mm)
             ):
                 return "join", best
+        # disjunctions go to the sort tier: an all-lanes block-probe merge
+        # was measured strictly worse (random row gathers ~7ns/word make it
+        # ∝ lanes x spans x block-words, vs the sort's 3-operand P log P)
         if lanes <= SORT_MAX_RATIO * nd_pad:
             return "sort", None
         return "dense", None

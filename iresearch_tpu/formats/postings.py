@@ -53,12 +53,15 @@ class FieldPostings:
     freq_words: Tuple[np.ndarray, ...]  # u32 [rows_c, 4*BITS[c]]
     bmaxf: Tuple[np.ndarray, ...]  # u32 [rows_c] max freq in block
     norms: np.ndarray  # u32 [num_docs] token count per doc (0 = no field)
-    pos_flat: Optional[np.ndarray]  # u32 [sum ttf] positions per (term,doc)
+    # format v4: positions bit-packed per term into classed block pools
+    # (reference packs positions into 128-blocks, formats_10.cpp:325-333);
+    # PCLS/PSTART term columns locate each term's run
+    pos_words: Optional[Tuple[np.ndarray, ...]]  # u32 [prows_c, 4*BITS[c]]
     docs_with_field: int
     total_term_freq: int
     features: IndexFeatures
-    # position-parallel auxiliary streams (reference: OFFS/PAY payloads in
-    # the .pos/.pay files, formats_10.cpp:325-333); all parallel to pos_flat
+    # position-parallel auxiliary streams, flat in position rank order
+    # (indexed by TermCols.POS_BASE; OFFS/PAY are rare enough to stay raw)
     offs_start: Optional[np.ndarray] = None  # u32 [sum ttf]
     offs_end: Optional[np.ndarray] = None  # u32 [sum ttf]
     pay_len: Optional[np.ndarray] = None  # u32 [sum ttf]
@@ -68,12 +71,46 @@ class FieldPostings:
     def num_terms(self) -> int:
         return len(self.term_offsets) - 1
 
+    @property
+    def has_positions(self) -> bool:
+        return self.pos_words is not None
+
     def term_bytes(self, tid: int) -> bytes:
         return self.term_blob[self.term_offsets[tid] : self.term_offsets[tid + 1]]
 
     def terms(self) -> List[bytes]:
         off = self.term_offsets
         return [bytes(self.term_blob[off[i] : off[i + 1]]) for i in range(self.num_terms)]
+
+    def positions_flat(self) -> Optional[np.ndarray]:
+        """Decode ALL positions back to the flat per-term rank order
+        (the v3 on-disk layout; used by merge re-encoding and the v3
+        format writer)."""
+        if self.pos_words is None:
+            return None
+        T = self.num_terms
+        ttf = self.entries[:, TermCols.TTF].astype(np.int64)
+        total = int(ttf.sum())
+        out = np.zeros(total, np.uint32)
+        if total == 0:
+            return out
+        pcls = self.entries[:, TermCols.PCLS].astype(np.int64)
+        pstart = self.entries[:, TermCols.PSTART].astype(np.int64)
+        pos_base = np.zeros(T, np.int64)
+        pos_base[1:] = np.cumsum(ttf)[:-1]
+        tid_of = np.repeat(np.arange(T, dtype=np.int64), ttf)
+        prank = np.arange(total, dtype=np.int64) - pos_base[tid_of]
+        pblk = prank >> 7
+        plane = prank & (BLOCK - 1)
+        flat_idx = np.arange(total, dtype=np.int64)
+        for c in range(NUM_CLASSES):
+            sel = pcls[tid_of] == c
+            if not sel.any():
+                continue
+            vals = unpack_blocks(self.pos_words[c], BITS[c])
+            r = (pstart[tid_of] + pblk)[sel]
+            out[flat_idx[sel]] = vals[r, plane[sel]]
+        return out
 
 
 def _empty_pools():
@@ -85,6 +122,61 @@ def _empty_pools():
         pbm.append(np.zeros(1, np.uint32))
         pbmf.append(np.zeros(1, np.uint32))
     return dw, fw, pb, pbm, pbmf
+
+
+def _empty_pos_pools() -> Tuple[np.ndarray, ...]:
+    return tuple(
+        np.zeros((1, words_per_block(BITS[c])), np.uint32)
+        for c in range(NUM_CLASSES)
+    )
+
+
+def pack_position_pools(
+    pos_flat: np.ndarray, ttf: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, Tuple[np.ndarray, ...]]:
+    """Bit-pack per-term position streams into classed 128-lane blocks.
+
+    Positions are stored RAW (within-doc absolute), not delta-coded: with
+    pow2 width classes the class of a typical delta equals the class of
+    the raw value (both ~log2(doclen) bits), and raw values decode with a
+    plain unpack — no segmented prefix-sum keyed by entry boundaries.
+    Width class is chosen per TERM so one long-document outlier cannot
+    widen the whole field.
+
+    Args:
+      pos_flat: u32 [sum ttf] positions grouped per term (entry order).
+      ttf: [T] positions per term (>0 for every term).
+    Returns (pcls u32 [T], pstart u32 [T], pools) with row 0 of each pool
+    the zero sentinel.
+    """
+    ttf = np.asarray(ttf, np.int64)
+    T = len(ttf)
+    pos_flat = np.asarray(pos_flat, np.uint32)
+    pos_base = np.zeros(T, np.int64)
+    pos_base[1:] = np.cumsum(ttf)[:-1]
+    max_pos = np.maximum.reduceat(pos_flat, pos_base) if len(pos_flat) else np.zeros(T, np.uint32)
+    pcls = bits_class(max_pos).astype(np.uint32)
+    npb = (ttf + BLOCK - 1) // BLOCK
+    pstart = np.zeros(T, np.int64)
+    prows = []
+    for c in range(NUM_CLASSES):
+        in_c = pcls == c
+        nb_c = npb[in_c]
+        pstart[in_c] = np.cumsum(nb_c) - nb_c + 1
+        prows.append(int(nb_c.sum()) + 1)
+    P = len(pos_flat)
+    tid_of = np.repeat(np.arange(T, dtype=np.int64), ttf)
+    prank = np.arange(P, dtype=np.int64) - pos_base[tid_of]
+    pblk = prank >> 7
+    plane = prank & (BLOCK - 1)
+    pools = []
+    for c in range(NUM_CLASSES):
+        sel = pcls[tid_of] == c
+        mat = np.zeros((prows[c], BLOCK), np.uint32)
+        if sel.any():
+            mat[(pstart[tid_of] + pblk)[sel], plane[sel]] = pos_flat[sel]
+        pools.append(pack_blocks(mat, BITS[c]))
+    return pcls, pstart.astype(np.uint32), tuple(pools)
 
 
 def encode_field_postings(
@@ -133,7 +225,7 @@ def encode_field_postings(
             freq_words=tuple(fw),
             bmaxf=tuple(pbmf),
             norms=norms_arr,
-            pos_flat=pos_flat if pos_flat is None else np.asarray(pos_flat, np.uint32),
+            pos_words=None if pos_flat is None else _empty_pos_pools(),
             docs_with_field=int(np.count_nonzero(norms_arr)),
             total_term_freq=0,
             features=features,
@@ -209,9 +301,13 @@ def encode_field_postings(
         pools_bmaxf.append(pbmf)
 
     pos_base = np.zeros(T, dtype=np.uint64)
+    pos_pools = None
     if pos_flat is not None:
         pos_base[1:] = np.cumsum(ttf)[:-1]
         assert int(ttf.sum()) == len(pos_flat), "positions must cover every freq"
+        pcls, pstart, pos_pools = pack_position_pools(pos_flat, ttf)
+        entries[:, TermCols.PCLS] = pcls
+        entries[:, TermCols.PSTART] = pstart
 
     entries[:, TermCols.DF] = df.astype(np.uint32)
     entries[:, TermCols.TTF] = ttf.astype(np.uint32)
@@ -234,7 +330,7 @@ def encode_field_postings(
         freq_words=tuple(pools_fw),
         bmaxf=tuple(pools_bmaxf),
         norms=norms_arr,
-        pos_flat=None if pos_flat is None else np.asarray(pos_flat, np.uint32),
+        pos_words=pos_pools,
         docs_with_field=int(np.count_nonzero(norms_arr)),
         total_term_freq=int(ttf.sum()),
         features=features,
@@ -260,15 +356,27 @@ def decode_term(fp: FieldPostings, tid: int) -> Tuple[np.ndarray, np.ndarray]:
     return docs.reshape(-1)[:df].astype(np.uint32), freqs.reshape(-1)[:df]
 
 
+def term_positions(fp: FieldPostings, tid: int) -> np.ndarray:
+    """One term's full position stream (entry order) decoded from the
+    packed pools."""
+    assert fp.pos_words is not None
+    e = fp.entries[tid]
+    ttf = int(e[TermCols.TTF])
+    c = int(e[TermCols.PCLS])
+    p0 = int(e[TermCols.PSTART])
+    nb = (ttf + BLOCK - 1) // BLOCK
+    vals = unpack_blocks(fp.pos_words[c][p0 : p0 + nb], BITS[c])
+    return vals.reshape(-1)[:ttf]
+
+
 def decode_positions(fp: FieldPostings, tid: int) -> List[np.ndarray]:
     """Positions per posting entry of one term (host oracle)."""
-    assert fp.pos_flat is not None
-    e = fp.entries[tid]
+    flat = term_positions(fp, tid)
     _, freqs = decode_term(fp, tid)
     out = []
-    off = int(e[TermCols.POS_BASE])
+    off = 0
     for f in freqs:
-        out.append(fp.pos_flat[off : off + int(f)])
+        out.append(flat[off : off + int(f)])
         off += int(f)
     return out
 

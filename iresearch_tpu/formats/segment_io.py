@@ -3,6 +3,17 @@
 Reference analog: the per-segment file family (.doc/.pos/.tm/.ti/.cs/.sm,
 formats_10.cpp:325-333) collapses into a single checksummed pack whose
 arrays are 64-byte aligned for direct device upload.
+
+Format versions (reference analog: the format registry's named versions
+1_0..1_5simd, formats.hpp:429-480, and index-convert.cpp transcoding):
+
+* ``iresearch_tpu/3`` — planar pow2-bit-packed doc/freq split pools,
+  positions stored as a raw flat u32 array, 10-column term entries.
+* ``iresearch_tpu/4`` — positions bit-packed per term into classed
+  128-lane block pools (PCLS/PSTART term columns); everything else as v3.
+
+The writer emits v4 by default (or any version in WRITABLE_FORMATS); the
+reader opens both and always materializes the in-memory v4 layout.
 """
 
 from __future__ import annotations
@@ -12,26 +23,37 @@ from typing import Dict
 import numpy as np
 
 from iresearch_tpu.formats.columnstore import Column
-from iresearch_tpu.formats.postings import FieldPostings
-from iresearch_tpu.formats.spec import NUM_CLASSES, IndexFeatures
+from iresearch_tpu.formats.postings import FieldPostings, pack_position_pools
+from iresearch_tpu.formats.spec import (
+    NUM_CLASSES,
+    NUM_TERM_COLS,
+    NUM_TERM_COLS_V3,
+    IndexFeatures,
+    TermCols,
+)
 from iresearch_tpu.store.blobpack import BlobPackReader, BlobPackWriter
 
-# formats this build can open (reference: multi-version format registry,
-# formats.hpp:429-480; readers stay backward compatible, writers emit the
-# newest version)
-READABLE_FORMATS = {"iresearch_tpu/3"}
+FORMAT_V3 = "iresearch_tpu/3"
+FORMAT_V4 = "iresearch_tpu/4"
+CURRENT_FORMAT = FORMAT_V4
+READABLE_FORMATS = {FORMAT_V3, FORMAT_V4}
+WRITABLE_FORMATS = {FORMAT_V3, FORMAT_V4}
 
 
 def write_segment(
-    seg: "SegmentData", column_compression: str = "none"
+    seg: "SegmentData",
+    column_compression: str = "none",
+    version: str = CURRENT_FORMAT,
 ) -> bytes:  # noqa: F821
     from iresearch_tpu.index.segment import SegmentData
     from iresearch_tpu.store.codecs import get_compressor
 
     assert isinstance(seg, SegmentData)
+    if version not in WRITABLE_FORMATS:
+        raise ValueError(f"cannot write format {version!r}")
     codec = get_compressor(column_compression)
     meta = {
-        "format": "iresearch_tpu/3",  # 3 = planar pow2-bit-packed split pools
+        "format": version,
         "num_docs": seg.num_docs,
         "fields": {},
         "columns": {},
@@ -43,14 +65,20 @@ def write_segment(
             "docs_with_field": fp.docs_with_field,
             "total_term_freq": fp.total_term_freq,
             "features": int(fp.features),
-            "has_positions": fp.pos_flat is not None,
+            "has_positions": fp.has_positions,
         }
         w.add(f"{key}.term_blob", np.frombuffer(fp.term_blob, np.uint8))
         w.add(f"{key}.term_offsets", fp.term_offsets)
-        w.add(f"{key}.entries", fp.entries)
+        if version == FORMAT_V3:
+            w.add(f"{key}.entries", fp.entries[:, :NUM_TERM_COLS_V3])
+            if fp.has_positions:
+                w.add(f"{key}.pos", fp.positions_flat())
+        else:
+            w.add(f"{key}.entries", fp.entries)
+            if fp.has_positions:
+                for c in range(NUM_CLASSES):
+                    w.add(f"{key}.posw{c}", fp.pos_words[c])
         w.add(f"{key}.norms", fp.norms)
-        if fp.pos_flat is not None:
-            w.add(f"{key}.pos", fp.pos_flat)
         if fp.offs_start is not None:
             w.add(f"{key}.ostart", fp.offs_start)
             w.add(f"{key}.oend", fp.offs_end)
@@ -80,32 +108,55 @@ def write_segment(
     return w.tobytes()
 
 
+def _read_field_positions(r, key: str, entries: np.ndarray, fmt: str):
+    """(entries with PCLS/PSTART, pos_words) for either format version."""
+    if fmt == FORMAT_V3:
+        # legacy 10-column entries; repack flat positions into the v4
+        # classed block pools when present
+        full = np.zeros((entries.shape[0], NUM_TERM_COLS), np.uint32)
+        full[:, :NUM_TERM_COLS_V3] = entries
+        if f"{key}.pos" not in r:
+            return full, None
+        pos_flat = r.array(f"{key}.pos")
+        ttf = entries[:, TermCols.TTF].astype(np.int64)
+        pcls, pstart, pools = pack_position_pools(pos_flat, ttf)
+        full[:, TermCols.PCLS] = pcls
+        full[:, TermCols.PSTART] = pstart
+        return full, pools
+    if f"{key}.posw0" not in r:
+        return entries, None
+    pools = tuple(r.array(f"{key}.posw{c}") for c in range(NUM_CLASSES))
+    return entries, pools
+
+
 def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
     from iresearch_tpu.index.segment import SegmentData
 
     r = BlobPackReader(data)
     meta = r.meta["segment"]
-    found = meta.get("format")
-    if found not in READABLE_FORMATS:
+    fmt = meta.get("format")
+    if fmt not in READABLE_FORMATS:
         raise ValueError(
-            f"unsupported segment format {found!r}; this build reads "
+            f"unsupported segment format {fmt!r}; this build reads "
             f"{sorted(READABLE_FORMATS)} (reference analog: format "
             f"registry versions, formats.hpp:429-480)"
         )
     fields: Dict[str, FieldPostings] = {}
     for fname, fm in meta["fields"].items():
         key = f"f.{fname}"
+        entries = r.array(f"{key}.entries")
+        entries2, pos_words = _read_field_positions(r, key, entries, fmt)
         fields[fname] = FieldPostings(
             term_blob=r.array(f"{key}.term_blob").tobytes(),
             term_offsets=r.array(f"{key}.term_offsets"),
-            entries=r.array(f"{key}.entries"),
+            entries=entries2,
             base=tuple(r.array(f"{key}.base{c}") for c in range(NUM_CLASSES)),
             bmax=tuple(r.array(f"{key}.bmax{c}") for c in range(NUM_CLASSES)),
             bmaxf=tuple(r.array(f"{key}.bmaxf{c}") for c in range(NUM_CLASSES)),
             doc_words=tuple(r.array(f"{key}.docw{c}") for c in range(NUM_CLASSES)),
             freq_words=tuple(r.array(f"{key}.freqw{c}") for c in range(NUM_CLASSES)),
             norms=r.array(f"{key}.norms"),
-            pos_flat=r.array(f"{key}.pos") if f"{key}.pos" in r else None,
+            pos_words=pos_words,
             docs_with_field=fm["docs_with_field"],
             total_term_freq=fm["total_term_freq"],
             features=IndexFeatures(fm["features"]),

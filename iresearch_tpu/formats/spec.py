@@ -62,12 +62,19 @@ class TermCols(IntEnum):
     DSTART = 4     # first block row within the doc-class pool
     FSTART = 5     # first block row within the freq-class pool
     NBLOCKS = 6    # number of blocks
-    POS_BASE = 7   # offset of this list's positions in the flat position pool
+    POS_BASE = 7   # flat rank of this list's first position (indexes the
+                   # OFFS/PAY streams, which stay flat)
     MAX_FREQ = 8   # max in-doc frequency (block-max scoring upper bound)
     MIN_NORM = 9   # min doc length among this term's docs (score upper bound)
+    # format v4: positions are bit-packed per term into 128-lane blocks of
+    # pow2-width class pools, like docs/freqs (reference packs positions in
+    # 128-blocks into .pos, formats_10.cpp:325-333)
+    PCLS = 10      # width class of this list's position blocks
+    PSTART = 11    # first block row within the position-class pool
 
 
-NUM_TERM_COLS = 10
+NUM_TERM_COLS = 12
+NUM_TERM_COLS_V3 = 10  # legacy iresearch_tpu/3 entry table (flat positions)
 
 
 class IndexFeatures(IntFlag):

@@ -65,8 +65,8 @@ def _segment_bytes(sr) -> int:
         total += sum(a.nbytes for a in fp.doc_words + fp.freq_words)
         total += sum(a.nbytes for a in fp.base + fp.bmax + fp.bmaxf)
         total += fp.entries.nbytes + fp.norms.nbytes + len(fp.term_blob)
-        if fp.pos_flat is not None:
-            total += fp.pos_flat.nbytes
+        if fp.pos_words is not None:
+            total += sum(a.nbytes for a in fp.pos_words)
     for cname in sr.column_names():
         total += len(sr.column(cname).blob)
     live = sr.live_docs_count / sr.num_docs if sr.num_docs else 1.0

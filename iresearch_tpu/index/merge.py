@@ -189,14 +189,17 @@ def _merge_field(
         all_doc.append(new_doc[keep].astype(np.uint32))
         kept_freq = e_freq[keep]
         all_freq.append(kept_freq)
-        if fp.pos_flat is not None:
+        if fp.has_positions:
+            # decode the packed pools back to the flat rank order once,
+            # then gather surviving entries' runs (v4: positions_flat)
+            seg_pos = fp.positions_flat()
             starts = pos_off[keep]
             lens = kept_freq.astype(np.int64)
             total = int(lens.sum())
             if total:
                 within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
                 idx = np.repeat(starts, lens) + within
-                all_pos.append(fp.pos_flat[idx])
+                all_pos.append(seg_pos[idx])
                 # position-parallel aux streams gather with the same index
                 if fp.offs_start is not None:
                     all_ostart.append(fp.offs_start[idx])

@@ -143,17 +143,33 @@ class DeviceField:
             + self.norms.nbytes
         )
         resource.manager().increase(resource.CATEGORY_DEVICE, self.device_bytes)
-        if fp.pos_flat is not None and len(fp.pos_flat):
-            pp = _pow2(len(fp.pos_flat))
-            pos = np.full(pp, np.iinfo(np.int32).max, np.int32)
-            pos[: len(fp.pos_flat)] = fp.pos_flat.astype(np.int32)
-            self.pos = jnp.asarray(pos)
-        else:
-            self.pos = None
+        # position pools upload lazily (pos_words()): only phrase-family
+        # queries touch them, and for a large corpus they are the largest
+        # transfer — don't pay it on plain term queries
+        self._fp = fp
+        self._pos_words: Dict[int, "object"] = {}
         if fp.docs_with_field > 0:
             self.avgdl = float(fp.total_term_freq) / float(fp.docs_with_field)
         else:
             self.avgdl = 1.0
+
+    def pos_words(self, c: int):
+        """Device-resident position pool of class ``c`` (lazy, cached)."""
+        cached = self._pos_words.get(c)
+        if cached is None:
+            import jax.numpy as jnp
+
+            from iresearch_tpu.utils import resource
+
+            src = self._fp.pos_words[c]
+            rp = _pow2(src.shape[0])
+            padded = np.zeros((rp, src.shape[1]), src.dtype)
+            padded[: src.shape[0]] = src
+            cached = jnp.asarray(padded)
+            self._pos_words[c] = cached
+            self.device_bytes += cached.nbytes
+            resource.manager().increase(resource.CATEGORY_DEVICE, cached.nbytes)
+        return cached
 
 
 class DeviceSegment:
@@ -208,6 +224,14 @@ class SegmentReader:
     @property
     def alive(self) -> np.ndarray:
         return self._alive
+
+    @property
+    def has_deletes(self) -> bool:
+        d = getattr(self, "_has_deletes", None)
+        if d is None:
+            d = not bool(self._alive.all())
+            self._has_deletes = d
+        return d
 
     def field_names(self) -> List[str]:
         return sorted(self.data.fields)

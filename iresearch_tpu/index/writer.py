@@ -90,6 +90,7 @@ class IndexWriterOptions:
     invert_backend: str = "auto"  # 'device' | 'numpy' | 'auto'
     keep_positions: bool = True
     column_compression: str = "none"  # stored-values codec (none | zlib | lz4)
+    format_version: str = "iresearch_tpu/4"  # on-disk segment format to write
     sort: Optional[SortSpec] = None  # primary sort (None = insertion order)
 
 
@@ -563,7 +564,11 @@ class IndexWriter:
                 with scoped_timer("writer.write_segment"):
                     self._dir.write(
                         info.file,
-                        write_segment(seg_data, self._opts.column_compression),
+                        write_segment(
+                            seg_data,
+                            self._opts.column_compression,
+                            version=self._opts.format_version,
+                        ),
                     )
                 new_files.append(info.file)
                 new_infos.append(info)
@@ -623,7 +628,10 @@ class IndexWriter:
             counter = meta.seg_counter + 1
             name = f"_{counter}"
             info = SegmentInfo(name, f"{name}.seg", merged.num_docs)
-            self._dir.write(info.file, write_segment(merged))
+            self._dir.write(
+                info.file,
+                write_segment(merged, version=self._opts.format_version),
+            )
             segs = [meta.segments[i] for i in keep] + [info]
             new_meta = IndexMeta(gen=new_gen, seg_counter=counter, segments=segs)
             pending_name = f"pending_segments_{new_gen}"

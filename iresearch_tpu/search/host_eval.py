@@ -221,6 +221,17 @@ class HostQuery:
         return HostResult(match, np.where(match, score, 0.0))
 
     def _eval_positional(self, flt, s: int, boost: float) -> HostResult:
+        """Phrase / same-position as sorted-key set intersection.
+
+        Each part becomes a sorted int64 key array ``doc * cap + (pos -
+        offset)``; phrase hits are keys common to every part
+        (np.intersect1d), per-doc tf the run length per doc. Fully
+        vectorized — the round-1 dict-of-sets version was seconds per
+        query at 1M docs (reference: phrase_iterator.hpp:75-160 leapfrogs
+        per doc; here the whole corpus intersects at once).
+        """
+        from iresearch_tpu.formats.postings import term_positions
+
         sr = self.segments[s]
         nd = sr.num_docs
         if isinstance(flt, F.BySamePosition):
@@ -238,21 +249,37 @@ class HostQuery:
         match = np.zeros(nd, bool)
         if not parts or any(len(tids) == 0 for _, _, tids in parts):
             return HostResult(match, score)
-        # per-part: doc -> set of (pos - offset)
-        part_maps: List[Dict[int, set]] = []
-        for off, fld, tids in parts:
+        cap = np.int64(1) << 32  # positions fit u32; doc*cap never collides
+
+        def part_keys(off: int, fld: str, tids) -> Optional[np.ndarray]:
             fp = sr.field(fld)
-            if fp is None or fp.pos_flat is None:
-                return HostResult(match, score)
-            m: Dict[int, set] = {}
+            if fp is None or not fp.has_positions:
+                return None
+            arrs = []
             for tid in tids:
-                docs, _ = decode_term(fp, tid)
-                plists = decode_positions(fp, tid)
-                for d, ps in zip(docs, plists):
-                    m.setdefault(int(d), set()).update(int(p) - off for p in ps)
-            part_maps.append(m)
-        # smallest map drives the intersection
-        driver = min(range(len(part_maps)), key=lambda i: len(part_maps[i]))
+                docs, freqs = decode_term(fp, tid)
+                flat = term_positions(fp, tid).astype(np.int64)
+                doc_of_pos = np.repeat(docs.astype(np.int64), freqs)
+                shifted = flat - off
+                ok = shifted >= 0
+                arrs.append(doc_of_pos[ok] * cap + shifted[ok])
+            keys = np.concatenate(arrs) if arrs else np.zeros(0, np.int64)
+            # variants of one part may repeat a (doc, pos) slot (synonyms)
+            return np.unique(keys)
+
+        key_arrays = []
+        for off, fld, tids in parts:
+            ka = part_keys(off, fld, tids)
+            if ka is None:
+                return HostResult(match, score)
+            key_arrays.append(ka)
+        # smallest part drives; intersect in ascending-size order
+        order = sorted(range(len(key_arrays)), key=lambda i: len(key_arrays[i]))
+        common = key_arrays[order[0]]
+        for i in order[1:]:
+            if len(common) == 0:
+                break
+            common = np.intersect1d(common, key_arrays[i], assume_unique=True)
         field_name = parts[0][1]
         fp = sr.field(field_name)
         dwf, ttf = self._field(field_name)
@@ -264,29 +291,20 @@ class HostQuery:
             df = self._phrase_part_df(fld, tids, sr)
             idf_sum += self.scorer.idf(max(df, 1), max(dwf, 1))
         w = self.scorer.term_weight(boost * flt.boost, idf_sum)
-        for d, positions in part_maps[driver].items():
-            common = positions
-            for i, m in enumerate(part_maps):
-                if i == driver:
-                    continue
-                o = m.get(d)
-                if not o:
-                    common = set()
-                    break
-                common = common & o
-                if not common:
-                    break
-            if common:
-                tf = np.float32(len(common))
-                dl = np.float32(max(int(fp.norms[d]), 1))
-                score[d] = score_block(
-                    self.scorer,
-                    np.float32(w),
-                    tf.reshape(1, 1),
-                    dl.reshape(1, 1),
-                    avgdl,
-                )[0, 0]
-                match[d] = True
+        if len(common) == 0:
+            return HostResult(match, score)
+        hit_docs, tf = np.unique(common >> 32, return_counts=True)
+        hit_docs = hit_docs.astype(np.int64)
+        dl = np.maximum(fp.norms[hit_docs], 1).astype(np.float32)
+        sc = score_block(
+            self.scorer,
+            np.float32(w),
+            tf.astype(np.float32).reshape(1, -1),
+            dl.reshape(1, -1),
+            avgdl,
+        ).reshape(-1)
+        score[hit_docs] = sc
+        match[hit_docs] = True
         return HostResult(match, score)
 
     def _eval_ngram_similarity(self, flt, s: int, boost: float) -> HostResult:
@@ -306,7 +324,7 @@ class HostQuery:
         score = np.zeros(nd, np.float32)
         match = np.zeros(nd, bool)
         fp = sr.field(flt.field)
-        if fp is None or fp.pos_flat is None or not flt.ngrams:
+        if fp is None or not fp.has_positions or not flt.ngrams:
             return HostResult(match, score)
         Q = len(flt.ngrams)
         mm = min(max(int(_math.ceil(Q * flt.threshold)), 1), Q)
@@ -333,30 +351,73 @@ class HostQuery:
                 slots[qi].extend(int(p) for p in ps)
 
         def longest_chain(slots, used):
-            """(best_len, positions of one best chain) via LIS-style DP."""
-            best_len = 0
-            best_chain: List[int] = []
-            # state per qi: list of (pos, length, chain)
-            prev: Dict[int, Tuple[int, List[int]]] = {}  # pos -> (len, chain)
-            for qi in range(len(slots)):
-                cur: Dict[int, Tuple[int, List[int]]] = {}
-                for p in slots[qi]:
-                    if p in used:
-                        continue
-                    bl, bc = 0, []
-                    for pp, (l2, c2) in prev.items():
-                        if pp < p and l2 > bl:
-                            bl, bc = l2, c2
-                    cur[p] = (bl + 1, bc + [p])
-                    if bl + 1 > best_len:
-                        best_len, best_chain = bl + 1, cur[p][1]
-                for p, v in cur.items():
-                    if p not in prev or v[0] > prev[p][0]:
-                        prev[p] = v
-            return best_len, best_chain
+            """(best_len, positions of one best chain).
 
+            Vectorized LIS-flavored DP: the running state is a pos-sorted
+            array of (position, best chain length ending there, node id);
+            each query ngram's positions batch-query the state with
+            searchsorted + prefix-max instead of the O(P^2) dict scan.
+            Chains rebuild through per-node backpointers.
+            """
+            st_pos = np.empty(0, np.int64)
+            st_len = np.empty(0, np.int64)
+            st_node = np.empty(0, np.int64)
+            node_pos: List[np.ndarray] = []
+            node_back: List[np.ndarray] = []
+            node_base = 0
+            best_len, best_node = 0, -1
+            used_arr = np.fromiter(used, np.int64, count=len(used))
+            for qi in range(len(slots)):
+                p = np.asarray(slots[qi], np.int64)
+                if len(used_arr):
+                    p = p[~np.isin(p, used_arr)]
+                if len(p) == 0:
+                    continue
+                if len(st_pos):
+                    cm = np.maximum.accumulate(st_len)
+                    am = np.maximum.accumulate(
+                        np.where(st_len >= cm, np.arange(len(st_len)), -1)
+                    )
+                    idx = np.searchsorted(st_pos, p, side="left")
+                    has_prev = idx > 0
+                    pl = np.where(has_prev, cm[np.maximum(idx - 1, 0)], 0)
+                    pb = np.where(
+                        has_prev, st_node[am[np.maximum(idx - 1, 0)]], -1
+                    )
+                else:
+                    pl = np.zeros(len(p), np.int64)
+                    pb = np.full(len(p), -1, np.int64)
+                new_len = pl + 1
+                ids = node_base + np.arange(len(p))
+                node_pos.append(p)
+                node_back.append(pb)
+                node_base += len(p)
+                mi = int(np.argmax(new_len))
+                if int(new_len[mi]) > best_len:
+                    best_len, best_node = int(new_len[mi]), int(ids[mi])
+                # merge into the sorted state
+                allp = np.concatenate([st_pos, p])
+                alll = np.concatenate([st_len, new_len])
+                alln = np.concatenate([st_node, ids])
+                order2 = np.argsort(allp, kind="stable")
+                st_pos, st_len, st_node = allp[order2], alll[order2], alln[order2]
+            if best_node < 0:
+                return 0, []
+            npos = np.concatenate(node_pos)
+            nback = np.concatenate(node_back)
+            chain: List[int] = []
+            node = best_node
+            while node >= 0:
+                chain.append(int(npos[node]))
+                node = int(nback[node])
+            chain.reverse()
+            return best_len, chain
+
+        # prefilter: a doc can only reach mm if >= mm distinct ngrams hit it
         for d, slots in doc_pos.items():
             if not sr.alive[d]:
+                continue
+            if sum(1 for sl in slots if sl) < mm:
                 continue
             used: set = set()
             L, chain = longest_chain(slots, used)
@@ -397,6 +458,12 @@ class HostQuery:
         return df
 
     def _eval_nested(self, flt: F.ByNested, s: int, boost: float) -> HostResult:
+        """Parent/child block join, vectorized (reference: nested_filter.cpp).
+
+        Each parent doc p owns the child docs in (prev_parent, p); counts
+        come from an exact integer cumsum difference, scores from
+        segment-wise np.add.reduceat — no per-parent Python loop.
+        """
         sr = self.segments[s]
         nd = sr.num_docs
         parent = self._eval(flt.parent, s, 1.0)
@@ -404,16 +471,29 @@ class HostQuery:
         match = np.zeros(nd, bool)
         score = np.zeros(nd, np.float32)
         parents = np.flatnonzero(parent.match)
-        prev = -1
-        for p in parents:
-            kids = slice(prev + 1, p)
-            cnt = int(child.match[kids].sum())
-            lo = flt.min_match
-            hi = flt.max_match if flt.max_match is not None else np.iinfo(np.int32).max
-            if lo <= cnt <= hi:
-                match[p] = True
-                score[p] = child.score[kids].sum()
-            prev = p
+        if len(parents) == 0:
+            return HostResult(match, score)
+        starts = np.concatenate([[0], parents[:-1] + 1])  # first child slot
+        cumm = np.concatenate([[0], np.cumsum(child.match.astype(np.int64))])
+        cnt = cumm[parents] - cumm[starts]
+        lo = flt.min_match
+        hi = flt.max_match if flt.max_match is not None else np.iinfo(np.int64).max
+        ok = (cnt >= lo) & (cnt <= hi)
+        # per-parent child score sums: reduceat over [start, parent) pairs
+        # (empty segments where start == parent get reduceat's quirk value,
+        # masked out below)
+        bounds = np.empty(2 * len(parents), np.int64)
+        bounds[0::2] = starts
+        bounds[1::2] = parents
+        nonempty = starts < parents
+        sums = np.add.reduceat(
+            np.where(child.match, child.score, 0.0).astype(np.float64),
+            np.minimum(bounds, nd - 1),
+        )[0::2]
+        sums = np.where(nonempty, sums, 0.0)
+        sel = parents[ok]
+        match[sel] = True
+        score[sel] = sums[ok].astype(np.float32)
         return HostResult(match, score)
 
     @staticmethod

@@ -6,14 +6,17 @@ Compression is a named-codec registry applied to columnstore payloads
 (the reference compresses stored values, not postings). Encryption is a
 block-free byte-transform cipher applied at the directory boundary so every
 index artifact on disk is encrypted — the whole-blob analog of the
-reference's encrypted_output/input streams. Ships `none`, `zlib` (the
-in-image stand-in for lz4), and for ciphers an AES-free keyed XOR-CTR
-(and the reference test suite's rot13) — the interface is what matters:
-users plug real ciphers the same way the reference does.
+reference's encrypted_output/input streams. Ships `none`, `zlib`, real
+`lz4` (system liblz4 via ctypes, matching the reference's codec); for
+ciphers AES-128/256-CTR (system libcrypto via ctypes, the reference's
+ctr_encryption), a dependency-free keyed XOR-CTR, and the reference test
+suite's rot13.
 """
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import hashlib
 import struct
 import zlib
@@ -47,11 +50,65 @@ class ZlibCompressor(Compressor):
         return zlib.decompress(data)
 
 
+def _load_lz4():
+    path = ctypes.util.find_library("lz4")
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.LZ4_compressBound.restype = ctypes.c_int
+        lib.LZ4_compressBound.argtypes = [ctypes.c_int]
+        lib.LZ4_compress_default.restype = ctypes.c_int
+        lib.LZ4_compress_default.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int
+        ]
+        lib.LZ4_decompress_safe.restype = ctypes.c_int
+        lib.LZ4_decompress_safe.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int
+        ]
+        return lib
+    except OSError:
+        return None
+
+
+_LZ4 = _load_lz4()
+
+
+class Lz4Compressor(Compressor):
+    """Real LZ4 block codec via the system liblz4 (the reference's codec,
+    core/utils/lz4compression.cpp). Frames blobs with a u32 original-size
+    prefix, like the reference's size-prefixed compressed blocks."""
+
+    name = "lz4"
+
+    def __init__(self) -> None:
+        if _LZ4 is None:
+            raise RuntimeError(
+                "liblz4 not found; use the 'zlib' or 'none' codec instead"
+            )
+
+    def compress(self, data: bytes) -> bytes:
+        n = len(data)
+        bound = _LZ4.LZ4_compressBound(n)
+        out = ctypes.create_string_buffer(bound)
+        written = _LZ4.LZ4_compress_default(data, out, n, bound)
+        if written <= 0:
+            raise RuntimeError("LZ4_compress_default failed")
+        return struct.pack("<I", n) + out.raw[:written]
+
+    def decompress(self, data: bytes) -> bytes:
+        (n,) = struct.unpack_from("<I", data)
+        out = ctypes.create_string_buffer(n)
+        got = _LZ4.LZ4_decompress_safe(data[4:], out, len(data) - 4, n)
+        if got != n:
+            raise RuntimeError(f"LZ4_decompress_safe returned {got}, want {n}")
+        return out.raw
+
+
 _COMPRESSORS: Dict[str, Callable[[dict], Compressor]] = {
     "none": lambda a: Compressor(),
     "zlib": lambda a: ZlibCompressor(level=int(a.get("level", 6))),
-    # alias matching the reference's registered name (iresearch::compression::lz4)
-    "lz4": lambda a: ZlibCompressor(level=int(a.get("level", 1))),
+    "lz4": lambda a: Lz4Compressor(),
 }
 
 
@@ -111,6 +168,78 @@ class XorCtrCipher(Cipher):
     def encrypt(self, name: str, data: bytes) -> bytes:
         ks = self._stream(name, len(data))
         return bytes(a ^ b for a, b in zip(data, ks))
+
+    decrypt = encrypt
+
+
+def _load_crypto():
+    path = ctypes.util.find_library("crypto")
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+        lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+        for name in ("EVP_aes_128_ctr", "EVP_aes_256_ctr"):
+            getattr(lib, name).restype = ctypes.c_void_p
+        lib.EVP_EncryptInit_ex.restype = ctypes.c_int
+        lib.EVP_EncryptInit_ex.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.EVP_EncryptUpdate.restype = ctypes.c_int
+        lib.EVP_EncryptUpdate.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+_CRYPTO = _load_crypto()
+
+
+class AesCtrCipher(Cipher):
+    """AES-CTR via the system libcrypto (OpenSSL EVP) — the real analog of
+    the reference's ctr_encryption (core/utils/encryption.hpp:56-116).
+
+    The 16-byte IV is derived per file name (sha256 of key||name), so the
+    keystream differs per file and random-access decrypt stays possible;
+    CTR encryption and decryption are the same transform.
+    """
+
+    def __init__(self, key: bytes) -> None:
+        if _CRYPTO is None:
+            raise RuntimeError(
+                "libcrypto not found; use XorCtrCipher instead"
+            )
+        key = hashlib.sha256(key).digest() if len(key) not in (16, 32) else key
+        self.key = key
+        self._evp = (
+            _CRYPTO.EVP_aes_128_ctr() if len(key) == 16
+            else _CRYPTO.EVP_aes_256_ctr()
+        )
+
+    def _xform(self, name: str, data: bytes) -> bytes:
+        iv = hashlib.sha256(self.key + name.encode()).digest()[:16]
+        return self._xform_iv(iv, data)
+
+    def _xform_iv(self, iv: bytes, data: bytes) -> bytes:
+        ctx = _CRYPTO.EVP_CIPHER_CTX_new()
+        try:
+            if _CRYPTO.EVP_EncryptInit_ex(ctx, self._evp, None, self.key, iv) != 1:
+                raise RuntimeError("EVP_EncryptInit_ex failed")
+            out = ctypes.create_string_buffer(len(data) + 16)
+            outl = ctypes.c_int(0)
+            if _CRYPTO.EVP_EncryptUpdate(ctx, out, ctypes.byref(outl), data, len(data)) != 1:
+                raise RuntimeError("EVP_EncryptUpdate failed")
+            return out.raw[: outl.value]
+        finally:
+            _CRYPTO.EVP_CIPHER_CTX_free(ctx)
+
+    def encrypt(self, name: str, data: bytes) -> bytes:
+        return self._xform(name, data)
 
     decrypt = encrypt
 

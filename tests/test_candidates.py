@@ -129,9 +129,19 @@ def test_join_tier(reader, forced_tiers):
 
 
 def test_sort_tier(reader, forced_tiers):
+    # disjunctions and driver-less conjunctions take the sort tier
     _check(
         reader,
         F.Or(F.ByTerm("body", "t00"), F.ByTerm("body", "t01"), min_match=2),
+        BM25(),
+        expect_mode="sort",
+    )
+    _check(
+        reader,
+        F.And(
+            F.Or(F.ByTerm("body", "t00"), F.ByTerm("body", "t04")),
+            F.Or(F.ByTerm("body", "t02"), F.ByTerm("body", "t06")),
+        ),
         BM25(),
         expect_mode="sort",
     )
@@ -151,7 +161,8 @@ def test_sort_tier(reader, forced_tiers):
 @pytest.mark.parametrize("wand", [False, True], ids=["plain", "wand"])
 def test_sort_tier_wand(reader, forced_tiers, wand):
     # min_match=1 Or collapses into ONE merged leaf with multiple spans:
-    # still the sort tier (duplicate docs across spans need combining)
+    # the sort tier (duplicate docs across spans combine via the
+    # segmented scan), with WAND optional
     _check(
         reader,
         F.Or(F.ByTerm("body", "t00"), F.ByTerm("body", "t01"),

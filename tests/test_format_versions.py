@@ -1,0 +1,104 @@
+"""Format version matrix: v3 (flat positions) <-> v4 (packed positions).
+
+Reference analog: the formats test parametrization over versions 1_0..1_5
+(tests/formats/formats_test_case_base.cpp instantiated per version) and
+index-convert.cpp transcoding.
+"""
+
+import numpy as np
+import pytest
+
+from iresearch_tpu.formats.segment_io import (
+    FORMAT_V3,
+    FORMAT_V4,
+    read_segment,
+    write_segment,
+)
+from iresearch_tpu.index.reader import DirectoryReader
+from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+from iresearch_tpu.search import filters as F
+from iresearch_tpu.search.host_eval import search as host_search
+from iresearch_tpu.store.directory import FSDirectory, MemoryDirectory
+
+WORDS = [f"v{i:02d}" for i in range(25)]
+
+
+def _build(dirobj, version):
+    rng = np.random.default_rng(5)
+    with IndexWriter(
+        dirobj,
+        IndexWriterOptions(invert_backend="numpy", format_version=version),
+    ) as w:
+        for i in range(120):
+            n = int(rng.integers(3, 20))
+            idx = np.minimum(rng.zipf(1.4, size=n) - 1, len(WORDS) - 1)
+            w.insert([
+                Field("body", " ".join(WORDS[j] for j in idx), analyzer="segmentation"),
+                Field("id", str(i), index=True, store=True),
+            ])
+        w.commit()
+    return DirectoryReader.open(dirobj)
+
+
+QUERIES = [
+    F.ByTerm("body", "v00"),
+    F.ByPhrase("body", ["v00", "v01"]),
+    F.And(F.ByTerm("body", "v01"), F.ByTerm("body", "v02")),
+]
+
+
+@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4])
+def test_write_read_search(version):
+    reader = _build(MemoryDirectory(), version)
+    ref = _build(MemoryDirectory(), FORMAT_V4)
+    for q in QUERIES:
+        assert host_search(reader, q, k=20) == host_search(ref, q, k=20)
+
+
+@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4])
+def test_segment_roundtrip_positions(version):
+    reader = _build(MemoryDirectory(), FORMAT_V4)
+    seg = reader.segments[0].data
+    blob = write_segment(seg, version=version)
+    back = read_segment(blob)
+    fp_a = seg.fields["body"]
+    fp_b = back.fields["body"]
+    np.testing.assert_array_equal(fp_a.entries[:, :10], fp_b.entries[:, :10])
+    np.testing.assert_array_equal(fp_a.positions_flat(), fp_b.positions_flat())
+
+
+def test_unknown_format_rejected(monkeypatch):
+    import iresearch_tpu.formats.segment_io as sio
+
+    reader = _build(MemoryDirectory(), FORMAT_V4)
+    with pytest.raises(ValueError, match="cannot write"):
+        write_segment(reader.segments[0].data, version="iresearch_tpu/9")
+    # a validly-checksummed pack from a FUTURE version must be refused
+    # with a descriptive error, not a deep KeyError
+    monkeypatch.setattr(
+        sio, "WRITABLE_FORMATS", sio.WRITABLE_FORMATS | {"iresearch_tpu/9"}
+    )
+    blob = write_segment(reader.segments[0].data, version="iresearch_tpu/9")
+    with pytest.raises(ValueError, match="unsupported segment format"):
+        read_segment(blob)
+
+
+@pytest.mark.parametrize(
+    "src,dst", [(FORMAT_V3, FORMAT_V4), (FORMAT_V4, FORMAT_V3)]
+)
+def test_convert_cli_both_directions(tmp_path, src, dst):
+    from iresearch_tpu.cli.index_convert import main as convert_main
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    reader = _build(FSDirectory(str(a)), src)
+    assert convert_main(["--in", str(a), "--out", str(b), "--format", dst]) == 0
+    conv = DirectoryReader.open(FSDirectory(str(b)))
+    for q in QUERIES:
+        assert host_search(conv, q, k=20) == host_search(reader, q, k=20)
+    # the converted index really is in the target version
+    seg_files = [f for f in FSDirectory(str(b)).list() if f.endswith(".seg")]
+    raw = bytes(FSDirectory(str(b)).read(seg_files[0]))
+    assert dst.encode() in raw and src.encode() not in raw

@@ -41,9 +41,13 @@ QUERIES = [
 @pytest.mark.parametrize("flt", QUERIES, ids=lambda f: type(f).__name__ + repr(id(f))[-4:])
 @pytest.mark.parametrize("scorer", [BM25(), TFIDF()], ids=["bm25", "tfidf"])
 @pytest.mark.parametrize("k", [1, 10, 100])
-def test_wand_equals_exhaustive(reader, flt, scorer, k):
+def test_wand_equals_exhaustive(reader, flt, scorer, k, monkeypatch):
+    import iresearch_tpu.exec.plan as planmod
     from iresearch_tpu.exec import DeviceQuery
 
+    # multi-span queries normally take the merge tier (WAND-free by
+    # design); disable it so WAND itself is exercised
+    monkeypatch.setattr(planmod, "JOIN_MAX_SPANS", 0)
     segs = list(reader.segments)
     exact = DeviceQuery(flt, segs, scorer, wand=False)
     wand = DeviceQuery(flt, segs, scorer, wand=True, wand_sample=8)
