@@ -74,11 +74,17 @@ def _decode_all_entries(fp: FieldPostings):
     return tid_of_entry, e_doc, e_freq, pos_off
 
 
-def merge_segments(readers: List[SegmentReader], sort=None) -> SegmentData:
+def merge_segments(
+    readers: List[SegmentReader], sort=None, return_doc_maps: bool = False
+):
     """Merge segments into one, dropping masked docs and remapping ids.
 
     ``sort`` (an index.writer.SortSpec) re-applies the primary sort to the
     merged doc ids (reference: merge_writer honors the comparator).
+    ``return_doc_maps``: also return the per-input old->new doc maps
+    (-1 = dropped), used by concurrent consolidation to remap deletes that
+    landed while the merge ran (reference: CandidateMapping,
+    index_writer.cpp:388-400).
     """
     # doc id remap: alive docs numbered sequentially across segments
     doc_maps = []
@@ -147,7 +153,10 @@ def merge_segments(readers: List[SegmentReader], sort=None) -> SegmentData:
             cb.add(nd, value)
         out_columns[cname] = cb.build(new_num_docs)
 
-    return SegmentData(new_num_docs, out_fields, out_columns)
+    data = SegmentData(new_num_docs, out_fields, out_columns)
+    if return_doc_maps:
+        return data, doc_maps
+    return data
 
 
 def _merge_field(

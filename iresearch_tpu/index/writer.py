@@ -410,10 +410,19 @@ class IndexWriter:
         self._dir = directory
         self._opts = options or IndexWriterOptions()
         self._lock = directory.lock()
+        # two-lock double-buffering (reference: FlushContext switch,
+        # index_writer.cpp:1712-1763): _mutex guards only the in-RAM ingest
+        # buffers and is held for pointer swaps, never for encode or I/O;
+        # _commit_lock serializes commit/consolidate publication so flush,
+        # encode, and file writes run with inserts still flowing.
         self._mutex = threading.Lock()
+        self._commit_lock = threading.Lock()
         self._meta = read_meta(directory)
         self._pending = _PendingSegment()
-        self._flushed: List[SegmentData] = []
+        # mixed list of SegmentData (imports) and sealed _PendingSegment
+        # (rolled but not yet encoded); encode happens at commit, outside
+        # the ingest mutex
+        self._flushed: List = []
         self._flushed_ticks: List[List[int]] = []
         self._removes: List = []  # (tick, filter)
         self._tick = 0
@@ -442,11 +451,14 @@ class IndexWriter:
                     self._removes.append((self._tick, payload))
 
     def _roll_segment_locked(self) -> None:
+        """Seal the in-progress segment — a pointer swap only. The
+        expensive encode (_PendingSegment.flush) is deferred to commit()
+        and runs OUTSIDE the ingest mutex, so _register_batch never waits
+        for flush/encode/write (reference: double-buffered FlushContexts,
+        index_writer.cpp:1712-1763)."""
         if self._pending.num_docs == 0:
             return
-        with scoped_timer("writer.flush"):
-            seg = self._pending.flush(self._opts)
-        self._flushed.append(seg)
+        self._flushed.append(self._pending)
         self._flushed_ticks.append(list(self._pending.ticks))
         self._pending = _PendingSegment()
 
@@ -490,20 +502,35 @@ class IndexWriter:
 
     def commit(self) -> bool:
         """Flush pending docs, apply removes, atomically publish a new
-        generation. Returns False if there was nothing to commit."""
+        generation. Returns False if there was nothing to commit.
+
+        Holds _commit_lock for the duration (one committer at a time) but
+        takes the ingest _mutex only for the buffer swap: transactions
+        keep inserting into the fresh pending segment while this commit
+        encodes and writes (reference: PrepareFlush/ApplyFlush split,
+        index_writer.cpp:1814,2309)."""
         from iresearch_tpu.search.host_eval import match_docs
 
-        with self._mutex:
-            self._roll_segment_locked()
-            flushed = self._flushed
-            flushed_ticks = self._flushed_ticks
-            removes = self._removes
-            self._flushed = []
-            self._flushed_ticks = []
-            self._removes = []
+        with self._commit_lock:
+            with self._mutex:
+                self._roll_segment_locked()
+                staged = self._flushed
+                flushed_ticks = self._flushed_ticks
+                removes = self._removes
+                self._flushed = []
+                self._flushed_ticks = []
+                self._removes = []
 
-            if not flushed and not removes:
+            if not staged and not removes:
                 return False
+
+            # encode sealed segments outside the ingest mutex
+            flushed: List[SegmentData] = []
+            for item in staged:
+                if isinstance(item, _PendingSegment):
+                    with scoped_timer("writer.flush"):
+                        item = item.flush(self._opts)
+                flushed.append(item)
 
             meta = self._meta
             new_gen = meta.gen + 1
@@ -605,38 +632,78 @@ class IndexWriter:
         """Merge committed segments chosen by ``policy`` into one segment.
 
         Reference: IndexWriter::Consolidate (index_writer.cpp:1340) with
-        policies from core/utils/index_utils.hpp:32-84. Runs its own commit.
+        policies from core/utils/index_utils.hpp:32-84.
+
+        Concurrency: the merge itself runs against a committed snapshot
+        with NO locks held — inserts and commits proceed while it runs.
+        Publication takes _commit_lock, re-validates the candidates
+        against the then-current meta, and remaps deletes that landed
+        during the merge through the merge's doc maps (reference:
+        concurrent Consolidate + CandidateMapping,
+        index_writer.cpp:1340,388-400). If a concurrent consolidation
+        already merged away a candidate, this one aborts (returns False).
         """
         from iresearch_tpu.index.consolidate import consolidate_tier
         from iresearch_tpu.index.merge import merge_segments
+        from iresearch_tpu.index.reader import _read_mask
 
-        with self._mutex:
-            meta = self._meta
-            if len(meta.segments) <= 1:
-                return False
-            reader = DirectoryReader.open(self._dir)
-            policy = policy or consolidate_tier
-            candidate_idx = policy(reader)
-            if len(candidate_idx) <= 1:
-                return False
-            keep = [i for i in range(len(reader.segments)) if i not in candidate_idx]
-            merged = merge_segments(
-                [reader.segments[i] for i in candidate_idx],
-                sort=self._opts.sort,
+        # snapshot phase (lock-free): policy + merge on a committed gen
+        reader = DirectoryReader.open(self._dir)
+        if len(reader.segments) <= 1:
+            return False
+        policy = policy or consolidate_tier
+        candidate_idx = policy(reader)
+        if len(candidate_idx) <= 1:
+            return False
+        cand_set = set(candidate_idx)
+        cand_infos = [reader.meta.segments[i] for i in candidate_idx]
+        cand_readers = [reader.segments[i] for i in candidate_idx]
+        with scoped_timer("writer.consolidate_merge"):
+            merged, doc_maps = merge_segments(
+                cand_readers, sort=self._opts.sort, return_doc_maps=True
             )
+
+        # publication phase: validate + remap + atomic generation swap
+        with self._commit_lock:
+            meta = self._meta
+            by_name = {info.name: info for info in meta.segments}
+            extra_del = np.zeros(merged.num_docs, np.bool_)
+            for info, sr, dmap in zip(cand_infos, cand_readers, doc_maps):
+                cur = by_name.get(info.name)
+                if cur is None:
+                    return False  # lost the race to another consolidation
+                if cur.del_gen != info.del_gen:
+                    # deletes landed during the merge: remap them into the
+                    # merged segment through this input's doc map
+                    deleted_now = _read_mask(self._dir, cur)
+                    if deleted_now is not None and len(deleted_now):
+                        new_ids = dmap[deleted_now]
+                        extra_del[new_ids[new_ids >= 0]] = True
+            keep_infos = [
+                info for info in meta.segments if info.name not in
+                {ci.name for ci in cand_infos}
+            ]
             new_gen = meta.gen + 1
             counter = meta.seg_counter + 1
             name = f"_{counter}"
             info = SegmentInfo(name, f"{name}.seg", merged.num_docs)
+            new_files = [info.file]
             self._dir.write(
                 info.file,
                 write_segment(merged, version=self._opts.format_version),
             )
-            segs = [meta.segments[i] for i in keep] + [info]
+            if extra_del.any():
+                info.del_gen = 1
+                info.del_file = f"{name}_1.del"
+                w = BlobPackWriter()
+                w.add("docs", np.flatnonzero(extra_del).astype(np.uint32))
+                self._dir.write(info.del_file, w.tobytes())
+                new_files.append(info.del_file)
+            segs = keep_infos + [info]
             new_meta = IndexMeta(gen=new_gen, seg_counter=counter, segments=segs)
             pending_name = f"pending_segments_{new_gen}"
             self._dir.write(pending_name, new_meta.to_bytes())
-            self._dir.sync([info.file, pending_name])
+            self._dir.sync(new_files + [pending_name])
             self._dir.rename(pending_name, f"segments_{new_gen}")
             self._meta = new_meta
             clean_directory(self._dir, new_meta.referenced_files())

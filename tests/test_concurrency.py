@@ -110,6 +110,101 @@ def test_profile_bulk_index():
     assert len(hits) == 1
 
 
+class _GatedDirectory(MemoryDirectory):
+    """MemoryDirectory whose segment-file writes block on an event —
+    freezes a commit mid-write to prove inserts don't wait on it."""
+
+    def __init__(self):
+        super().__init__()
+        self.gate = threading.Event()
+        self.in_write = threading.Event()
+        self.gated = False
+
+    def write(self, name, data):
+        if self.gated and name.endswith(".seg"):
+            self.in_write.set()
+            assert self.gate.wait(30.0), "test gate never opened"
+        super().write(name, data)
+
+
+def test_insert_during_commit():
+    """Double-buffered flush (reference: FlushContext switch,
+    index_writer.cpp:1712-1763): _register_batch never waits for a
+    running commit's encode/write. The commit is frozen inside its
+    segment write; inserts and even a segment roll must complete."""
+    d = _GatedDirectory()
+    opts = IndexWriterOptions(invert_backend="numpy", segment_docs_max=8)
+    with IndexWriter(d, opts) as w:
+        for i in range(5):
+            w.insert([Field("body", f"first batch doc{i}", analyzer="segmentation")])
+        d.gated = True
+        t = threading.Thread(target=w.commit)
+        t.start()
+        assert d.in_write.wait(30.0)
+        # commit is parked inside the directory write, holding only
+        # _commit_lock. Inserts — including ones that roll a segment —
+        # must complete promptly.
+        done = threading.Event()
+
+        def insert_more():
+            for i in range(20):  # > segment_docs_max: forces a roll
+                w.insert([Field("body", f"second batch doc{i}", analyzer="segmentation")])
+            done.set()
+
+        t2 = threading.Thread(target=insert_more)
+        t2.start()
+        assert done.wait(10.0), "insert blocked behind a running commit"
+        t2.join()
+        d.gate.set()
+        t.join()
+        d.gated = False
+        w.commit()
+    r = DirectoryReader.open(d)
+    assert r.live_docs_count == 25
+
+
+def test_consolidate_concurrent_delete_remap():
+    """Deletes that land while a consolidation merge is running are
+    remapped into the merged segment at publication (reference:
+    CandidateMapping, index_writer.cpp:388-400)."""
+    d = MemoryDirectory()
+    opts = IndexWriterOptions(invert_backend="numpy")
+    with IndexWriter(d, opts) as w:
+        for s in range(3):
+            for i in range(10):
+                w.insert([
+                    Field("body", f"tok{s}x{i}", analyzer="segmentation"),
+                    Field("key", f"{s}-{i}", index=True),
+                ])
+            w.commit()
+
+        # run the merge against a snapshot, then delete before publication
+        from iresearch_tpu.index.merge import merge_segments
+
+        orig_merge = merge_segments
+        import iresearch_tpu.index.writer as writer_mod
+
+        def slow_merge(readers, sort=None, return_doc_maps=False):
+            out = orig_merge(readers, sort=sort, return_doc_maps=return_doc_maps)
+            # a delete lands between merge and publication
+            w.remove(F.ByTerm("key", "1-3"))
+            w.commit()
+            return out
+
+        import iresearch_tpu.index.merge as merge_mod
+        merge_mod_orig = merge_mod.merge_segments
+        merge_mod.merge_segments = slow_merge
+        try:
+            assert w.consolidate(consolidate_count())
+        finally:
+            merge_mod.merge_segments = merge_mod_orig
+    r = DirectoryReader.open(d)
+    assert len(r.segments) == 1
+    assert r.live_docs_count == 29
+    assert search(r, F.ByTerm("key", "1-3"), k=3) == []
+    assert len(search(r, F.ByTerm("key", "1-4"), k=3)) == 1
+
+
 def test_byte_policies():
     d = MemoryDirectory()
     with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
