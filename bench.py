@@ -62,7 +62,11 @@ def main():
 
     lens, tids = build_corpus()
     doc_of_tok = np.repeat(np.arange(NUM_DOCS), lens)
-    pos_of_tok = np.concatenate([np.arange(n) for n in lens]).astype(np.uint32)
+    # vectorized within-doc positions (a per-doc arange loop crawls at 5M docs)
+    starts = np.cumsum(lens) - lens
+    pos_of_tok = (
+        np.arange(len(tids), dtype=np.int64) - np.repeat(starts, lens)
+    ).astype(np.uint32)
     log(f"corpus: {NUM_DOCS} docs, {len(tids)} tokens ({time.time()-t0:.1f}s)")
 
     # vocab: term id t spelled as zero-padded decimal so order is stable
@@ -81,15 +85,17 @@ def main():
     sr = SegmentReader("bench", SegmentData(NUM_DOCS, {"body": fp}, {}))
     # honest all-in memory ledger: postings + positions + term dict + meta
     pool_bytes = sum(a.nbytes for a in fp.doc_words + fp.freq_words)
+    nrm_bytes = sum(a.nbytes for a in fp.nrm_words) if fp.nrm_words else 0
     pos_bytes = sum(a.nbytes for a in fp.pos_words) if fp.pos_words else 0
     dict_bytes = len(fp.term_blob) + fp.term_offsets.nbytes
     meta_bytes = sum(
         a.nbytes for a in fp.base + fp.bmax + fp.bmaxf
     ) + fp.entries.nbytes + fp.norms.nbytes
-    total_bytes = pool_bytes + pos_bytes + dict_bytes + meta_bytes
+    total_bytes = pool_bytes + nrm_bytes + pos_bytes + dict_bytes + meta_bytes
     log(
         f"index built ({time.time()-t0:.1f}s): {fp.num_terms} terms, "
-        f"postings {pool_bytes/1e6:.1f}MB + positions {pos_bytes/1e6:.1f}MB "
+        f"postings {pool_bytes/1e6:.1f}MB + inline norms {nrm_bytes/1e6:.1f}MB "
+        f"+ positions {pos_bytes/1e6:.1f}MB "
         f"+ dict {dict_bytes/1e6:.1f}MB + meta {meta_bytes/1e6:.1f}MB "
         f"= {total_bytes/1e6:.1f}MB all-in "
         f"({8*total_bytes/max(1,len(tids)):.2f} bits/token; "
@@ -102,9 +108,12 @@ def main():
     def term_at(rank):
         return terms[order[min(rank, len(order) - 1)]].decode()
 
-    high = [term_at(i) for i in range(2, 22)]
-    med = [term_at(i) for i in range(200, 220)]
-    low = [term_at(i) for i in range(2000, 2020)]
+    # 80 distinct queries per category (400 total per batch pass): the
+    # throughput serving shape — one fused dispatch amortizes launch and
+    # relay overhead across the whole batch
+    high = [term_at(i) for i in range(2, 82)]
+    med = [term_at(i) for i in range(200, 280)]
+    low = [term_at(i) for i in range(2000, 2080)]
     tasks = []
     tasks += [("HighTerm", F.ByTerm("body", t)) for t in high]
     tasks += [("MedTerm", F.ByTerm("body", t)) for t in med]
@@ -184,7 +193,7 @@ def main():
     # blocks of passes, then force completion with a real sync — queries
     # only count once their top-k exists on device. Periodic syncs also
     # bound the relay queue (a huge unsynced backlog can wedge the relay).
-    BLOCK_PASSES = 25
+    BLOCK_PASSES = 8
     t1 = time.time()
     nq = 0
     while True:
@@ -198,6 +207,32 @@ def main():
             break
     qps = nq / elapsed
     log(f"{nq} queries in {elapsed:.2f}s -> {qps:.1f} QPS (completion-synced)")
+
+    # serving-shaped bench (VERDICT r1 item 7): FRESH query strings each
+    # round — filter build + prepare (host term lookup, stats, plan
+    # compile) + row upload + dispatch + completion. The batched number
+    # above is the dispatch-only hot path; the gap is host prepare cost
+    # (Python; amortizable by caching prepared queries server-side).
+    rot = 0
+    t3 = time.time()
+    nserve = 0
+    while time.time() - t3 < 3.0:
+        fresh = []
+        for j in range(25):
+            a = term_at(2 + (rot + j) % 600)
+            b = term_at(200 + (rot + j) % 1200)
+            fresh.append(F.ByTerm("body", a))
+            fresh.append(F.And(F.ByTerm("body", a), F.ByTerm("body", b)))
+        rot += 37
+        qb2 = QueryBatch(fresh, [sr], scorer, wand=True)
+        res2 = qb2.prepare(0, K).run_grouped()
+        nserve += len(fresh)
+        sync(res2[-1][0][0])
+    serve_el = time.time() - t3
+    log(
+        f"serving-shaped (new query strings end-to-end incl. prepare): "
+        f"{nserve} queries in {serve_el:.2f}s -> {nserve/serve_el:.1f} QPS"
+    )
 
     print(json.dumps({
         "metric": "bm25_top10_qps_single_chip",

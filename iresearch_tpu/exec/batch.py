@@ -262,7 +262,7 @@ class QueryBatch:
             sig = (
                 p.tree,
                 p.num_leaves,
-                tuple((g.field_name, g.dcls, g.fcls) for g in p.groups),
+                tuple((g.field_name, g.dcls, g.fcls, g.ncls) for g in p.groups),
                 0 if p.aux_match is None else p.aux_match.shape[0],
                 bool(p.groups) and p.groups[0].ub is not None,
                 p.exec_mode,
@@ -288,20 +288,26 @@ class QueryBatch:
             pools = []
             rowsets_b = []
             gbits = []
-            for gi, (fname, dcls, fcls) in enumerate(gkeys):
+            for gi, (fname, dcls, fcls, ncls) in enumerate(gkeys):
                 dfield = sr.device_field(fname)
+                has_nrm = dfield.nrm_words is not None and ncls >= 0
                 pools.append(
                     (
                         dfield.doc_words[dcls],
                         dfield.freq_words[fcls],
+                        dfield.nrm_words[ncls] if has_nrm
+                        else dfield.freq_words[fcls],
                         dfield.base[dcls],
                         dfield.norms,
                     )
                 )
-                gbits.append((BITS[dcls], BITS[fcls]))
+                gbits.append(
+                    (BITS[dcls], BITS[fcls], BITS[ncls] if has_nrm else -1)
+                )
                 R = Rs[gi]
                 rows_d = np.zeros((Q, R), np.int32)
                 rows_f = np.zeros((Q, R), np.int32)
+                rows_n = np.zeros((Q, R), np.int32)
                 w = np.zeros((Q, R), np.float32)
                 leaf = np.zeros((Q, R), np.int32)
                 ub = np.full((Q, R), -np.inf, np.float32) if use_wand else None
@@ -310,6 +316,7 @@ class QueryBatch:
                     g = p.groups[gi]
                     rows_d[j, : len(g.rows_d)] = g.rows_d
                     rows_f[j, : len(g.rows_f)] = g.rows_f
+                    rows_n[j, : len(g.rows_n)] = g.rows_n
                     w[j, : len(g.weight)] = g.weight
                     leaf[j, : len(g.leaf)] = g.leaf
                     if use_wand:
@@ -318,6 +325,7 @@ class QueryBatch:
                 rowset = (
                     jnp.asarray(rows_d),
                     jnp.asarray(rows_f),
+                    jnp.asarray(rows_n),
                     jnp.asarray(w),
                     jnp.asarray(leaf),
                 )

@@ -84,9 +84,13 @@ def decode_flat(pools, rowsets, avgdl, gbits, scorer: Scorer, slicer=None):
 
     docs_l, sc_l, m_l, leaf_l = [], [], [], []
     for gi, (pool, rs) in enumerate(zip(pools, rowsets)):
-        bd, bf = gbits[gi]
-        rows_d, rows_f, w, leaf = (rs[:4] if slicer is None else slicer(rs))
-        docs, sc, m = _group_contrib(pool, rows_d, rows_f, w, bd, bf, avgdl[gi], scorer)
+        bd, bf, bn = gbits[gi]
+        rows_d, rows_f, rows_n, w, leaf = (
+            rs[:5] if slicer is None else slicer(rs)
+        )
+        docs, sc, m = _group_contrib(
+            pool, rows_d, rows_f, rows_n, w, bd, bf, bn, avgdl[gi], scorer
+        )
         R = docs.shape[0]
         docs_l.append(docs.reshape(-1))
         sc_l.append(sc.reshape(-1))
@@ -203,11 +207,13 @@ def join_topk(
     G = len(pools)
 
     def probe(gi, cdocs):
-        """(freq f32 [P], weight f32 [P]) of span ``gi`` at each candidate
-        doc: block-probe without decoding the span."""
-        bdg, bfg = gbits[gi]
-        doc_words, freq_words, base, _norms = pools[gi]
-        g_rows_d, g_rows_f, g_w, _gl = rowsets[gi][:4]
+        """(freq f32 [P], weight f32 [P], dl f32 [P] or None) of span
+        ``gi`` at each candidate doc: block-probe without decoding the
+        span. dl comes from the span's inline norm block (format v5);
+        None for legacy segments (caller gathers norms[cdocs])."""
+        bdg, bfg, bng = gbits[gi]
+        doc_words, freq_words, nrm_words, base, _norms = pools[gi]
+        g_rows_d, g_rows_f, g_rows_n, g_w, _gl = rowsets[gi][:5]
         R = g_rows_d.shape[0]
         # per-row first-doc keys, ascending over the span's real rows;
         # pad rows map to IMAX so they sort last
@@ -232,13 +238,20 @@ def join_topk(
         # partial-block repeat lanes carry freq 0, so summing over the
         # (possibly repeated) equal lanes yields the real frequency
         freq_at = jnp.sum(jnp.where(eq, freqs_row, 0), axis=1).astype(jnp.float32)
-        return freq_at, g_w[rowpos]
+        dl_at = None
+        if bng >= 0:
+            nrm_row = unpack_jnp(nrm_words[g_rows_n[rowpos]], bng)
+            dl_at = jnp.maximum(
+                jnp.sum(jnp.where(eq, nrm_row, 0), axis=1).astype(jnp.float32),
+                1.0,
+            )
+        return freq_at, g_w[rowpos], dl_at
 
     def decode_span(gi):
-        bd, bf = gbits[gi]
-        rows_d, rows_f, w, _leaf = rowsets[gi][:4]
+        bd, bf, bn = gbits[gi]
+        rows_d, rows_f, rows_n, w, _leaf = rowsets[gi][:5]
         docs, sc, m = _group_contrib(
-            pools[gi], rows_d, rows_f, w, bd, bf, avgdl[gi], scorer
+            pools[gi], rows_d, rows_f, rows_n, w, bd, bf, bn, avgdl[gi], scorer
         )
         P = docs.shape[0] * docs.shape[1]
         lane = jnp.arange(P, dtype=jnp.int32)
@@ -256,21 +269,15 @@ def join_topk(
         leaf_score[li] = jnp.where(cm, csc, 0.0)
         leaf_count[li] = cm.astype(jnp.int32)
         valid = cm  # pads and partial-block repeats are never candidates
-        norms_c = pools[ci][3]
-        dl = norms_c[jnp.minimum(cdocs, norms_c.shape[0] - 1)]
         for gi in range(G):
             if gi == ci:
                 continue
-            freq_at, w_at = probe(gi, cdocs)
+            freq_at, w_at, dl_at = probe(gi, cdocs)
             hit = freq_at > 0
-            # per-span norms: spans may live in different fields
-            norms_g = pools[gi][3]
-            dl_g = (
-                dl
-                if norms_g is norms_c
-                else norms_g[jnp.minimum(cdocs, norms_g.shape[0] - 1)]
-            )
-            sc_at = score_block(scorer, w_at, freq_at, dl_g, avgdl[gi], xp=jnp)
+            if dl_at is None:  # legacy span: per-lane norms gather
+                norms_g = pools[gi][4]
+                dl_at = norms_g[jnp.minimum(cdocs, norms_g.shape[0] - 1)]
+            sc_at = score_block(scorer, w_at, freq_at, dl_at, avgdl[gi], xp=jnp)
             lj = group_leaf[gi]
             leaf_score[lj] = leaf_score[lj] + jnp.where(hit, sc_at, 0.0)
             leaf_count[lj] = leaf_count[lj] + hit.astype(jnp.int32)
@@ -310,12 +317,7 @@ def wand_theta(
     from jax import lax
 
     def slicer(rs):
-        return (
-            rs[0][: min(sample, rs[0].shape[0])],
-            rs[1][: min(sample, rs[1].shape[0])],
-            rs[2][: min(sample, rs[2].shape[0])],
-            rs[3][: min(sample, rs[3].shape[0])],
-        )
+        return tuple(r[: min(sample, r.shape[0])] for r in rs[:5])
 
     if mode == "direct":
         docs, sc, m, _ = decode_flat(
@@ -363,11 +365,11 @@ def candidate_body(
     if wand:
         sorted_sets = []
         for rs in rowsets:
-            rows_d, rows_f, w, leaf, ub, other = rs
+            rows_d, rows_f, rows_n, w, leaf, ub, other = rs
             order = jnp.argsort(-ub)
             sorted_sets.append(
-                (rows_d[order], rows_f[order], w[order], leaf[order],
-                 ub[order], other[order])
+                (rows_d[order], rows_f[order], rows_n[order], w[order],
+                 leaf[order], ub[order], other[order])
             )
         theta = wand_theta(
             pools, sorted_sets, avgdl, leaf_min, alive,
@@ -376,11 +378,12 @@ def candidate_body(
         )
 
         def prune(rs):
-            rows_d, rows_f, w, leaf, ub, other = rs
+            rows_d, rows_f, rows_n, w, leaf, ub, other = rs
             keep = (ub + other) >= theta
             return (
                 jnp.where(keep, rows_d, 0),
                 jnp.where(keep, rows_f, 0),
+                jnp.where(keep, rows_n, 0),
                 jnp.where(keep, w, 0.0),
                 leaf, ub, other,
             )

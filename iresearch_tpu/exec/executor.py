@@ -100,17 +100,23 @@ def use_pallas_decode(enable: bool = True) -> None:
     _USE_PALLAS_DECODE = enable
 
 
-def _group_contrib(pool, rows_d, rows_f, w, bd: int, bf: int, avgdl, scorer):
+def _group_contrib(
+    pool, rows_d, rows_f, rows_n, w, bd: int, bf: int, bn: int, avgdl, scorer
+):
     """Decode one row group -> (docs i32 [R,128], scores f32, matched bool).
 
     The reference's doc_iterator refill loop (formats_10.cpp:2089-2120) as
-    one fused vector pass: unpack, prefix-sum, norm gather, score.
+    one fused vector pass: unpack, prefix-sum, doc-length read, score.
+    With inline norm pools (format v5, bn >= 0) the doc length comes from
+    the same sequential row-gather path as freqs; legacy segments
+    (bn == -1) fall back to the per-lane norms[docs] random gather
+    (measured ~70% of query time on TPU — the reason v5 exists).
     """
     import jax.numpy as jnp
 
     from iresearch_tpu.formats.bitpack import unpack_jnp
 
-    doc_words, freq_words, base, norms = pool
+    doc_words, freq_words, nrm_words, base, norms = pool
     if _USE_PALLAS_DECODE:
         from iresearch_tpu.ops.decode import decode_rows_pallas
 
@@ -122,7 +128,14 @@ def _group_contrib(pool, rows_d, rows_f, w, bd: int, bf: int, avgdl, scorer):
         d = unpack_jnp(doc_words[rows_d], bd).astype(jnp.int32)  # [R, 128]
         docs = base[rows_d][:, None] + jnp.cumsum(d, axis=1)
         f = unpack_jnp(freq_words[rows_f], bf).astype(jnp.float32)
-    dl = norms[docs]
+    if bn >= 0:
+        # pad lanes carry norm 0 -> clamp to 1 to keep tf math finite
+        # (their freq is 0, so they never match or score anyway)
+        dl = jnp.maximum(
+            unpack_jnp(nrm_words[rows_n], bn).astype(jnp.float32), 1.0
+        )
+    else:
+        dl = norms[docs]
     sc = score_block(scorer, w[:, None], f, dl, avgdl, xp=jnp)
     return docs, sc, f > 0
 
@@ -163,10 +176,10 @@ def wand_body(
         leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
         leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
         for gi, (pool, rs) in enumerate(zip(pools, sets)):
-            bd, bf = gbits[gi]
-            rows_d, rows_f, w, leaf = slicer(rs)
+            bd, bf, bn = gbits[gi]
+            rows_d, rows_f, rows_n, w, leaf = slicer(rs)
             docs, sc, m = _group_contrib(
-                pool, rows_d, rows_f, w, bd, bf, avgdl[gi], scorer
+                pool, rows_d, rows_f, rows_n, w, bd, bf, bn, avgdl[gi], scorer
             )
             leaf_ix = leaf[:, None]
             leaf_score = leaf_score.at[leaf_ix, docs].add(sc, mode="drop")
@@ -181,21 +194,18 @@ def wand_body(
         return match & alive, score
 
     sorted_sets = []
-    for rows_d, rows_f, w, leaf, ub, other in rowsets:
+    for rows_d, rows_f, rows_n, w, leaf, ub, other in rowsets:
         order = jnp.argsort(-ub)
         sorted_sets.append(
-            (rows_d[order], rows_f[order], w[order], leaf[order],
-             ub[order], other[order])
+            (rows_d[order], rows_f[order], rows_n[order], w[order],
+             leaf[order], ub[order], other[order])
         )
 
     # phase 1: θ from the highest-bound `sample` blocks of each group
     pm, ps = fold_pass(
         sorted_sets,
-        lambda rs: (
-            rs[0][: min(sample, rs[0].shape[0])],
-            rs[1][: min(sample, rs[1].shape[0])],
-            rs[2][: min(sample, rs[2].shape[0])],
-            rs[3][: min(sample, rs[3].shape[0])],
+        lambda rs: tuple(
+            r[: min(sample, r.shape[0])] for r in rs[:5]
         ),
     )
     theta = lax.top_k(jnp.where(pm, ps, _NEG_INF), k)[0][k - 1]
@@ -210,11 +220,12 @@ def wand_body(
 
     # phase 2: full pass with sub-threshold blocks parked on the sentinel
     def prune(rs):
-        rows_d, rows_f, w, leaf, ub, other = rs
+        rows_d, rows_f, rows_n, w, leaf, ub, other = rs
         keep = (ub + other) >= theta
         return (
             jnp.where(keep, rows_d, 0),
             jnp.where(keep, rows_f, 0),
+            jnp.where(keep, rows_n, 0),
             jnp.where(keep, w, 0.0),
             leaf,
         )
@@ -334,10 +345,12 @@ def segment_body(
 
     leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
     leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
-    for gi, (pool, (rows_d, rows_f, w, leaf)) in enumerate(zip(pools, rowsets)):
-        bd, bf = gbits[gi]
+    for gi, (pool, (rows_d, rows_f, rows_n, w, leaf)) in enumerate(
+        zip(pools, rowsets)
+    ):
+        bd, bf, bn = gbits[gi]
         docs, sc, matched = _group_contrib(
-            pool, rows_d, rows_f, w, bd, bf, avgdl[gi], scorer
+            pool, rows_d, rows_f, rows_n, w, bd, bf, bn, avgdl[gi], scorer
         )
         leaf_ix = leaf[:, None]
         leaf_score = leaf_score.at[leaf_ix, docs].add(sc, mode="drop")
@@ -453,10 +466,14 @@ class DeviceQuery:
         gbits = []
         for g in plan.groups:
             dfield = sr.device_field(g.field_name)
+            has_nrm = dfield.nrm_words is not None and g.ncls >= 0
             pools.append(
                 (
                     dfield.doc_words[g.dcls],
                     dfield.freq_words[g.fcls],
+                    # legacy segments: freq pool stands in (unused, bn=-1)
+                    dfield.nrm_words[g.ncls] if has_nrm
+                    else dfield.freq_words[g.fcls],
                     dfield.base[g.dcls],
                     dfield.norms,
                 )
@@ -465,11 +482,14 @@ class DeviceQuery:
                 (
                     jnp.asarray(g.rows_d),
                     jnp.asarray(g.rows_f),
+                    jnp.asarray(g.rows_n),
                     jnp.asarray(g.weight),
                     jnp.asarray(g.leaf),
                 )
             )
-            gbits.append((BITS[g.dcls], BITS[g.fcls]))
+            gbits.append(
+                (BITS[g.dcls], BITS[g.fcls], BITS[g.ncls] if has_nrm else -1)
+            )
         am = None if plan.aux_match is None else jnp.asarray(plan.aux_match)
         asc = None if plan.aux_score is None else jnp.asarray(plan.aux_score)
         if plan.device_aux:

@@ -108,15 +108,19 @@ def _covering_tree(tree) -> bool:
 
 @dataclass
 class RowGroup:
-    """Rows of one (field, doc-class, freq-class) pool pair feeding the
-    leaf arrays. rows_d indexes the doc-delta pool of class dcls; rows_f
-    indexes the freq pool of class fcls (parallel arrays)."""
+    """Rows of one (field, doc-class, freq-class, norm-class) pool set
+    feeding the leaf arrays. rows_d indexes the doc-delta pool of class
+    dcls; rows_f the freq pool of class fcls; rows_n the inline norm pool
+    of class ncls (parallel arrays; ncls == -1 for legacy segments without
+    norm pools — the executor then gathers norms[docs])."""
 
     field_name: str
     dcls: int
     fcls: int
+    ncls: int
     rows_d: np.ndarray  # i32 [R] padded with 0 (sentinel row)
     rows_f: np.ndarray  # i32 [R]
+    rows_n: np.ndarray  # i32 [R]
     weight: np.ndarray  # f32 [R]
     leaf: np.ndarray  # i32 [R]
     # block-max WAND metadata (None unless compiled with wand=True):
@@ -157,7 +161,8 @@ class SegmentPlan:
             self.tree,
             self.num_leaves,
             tuple(
-                (g.field_name, g.dcls, g.fcls, len(g.rows_d)) for g in self.groups
+                (g.field_name, g.dcls, g.fcls, g.ncls, len(g.rows_d))
+                for g in self.groups
             ),
             0 if self.aux_match is None else self.aux_match.shape[0],
             self.exec_mode,
@@ -186,6 +191,7 @@ class PlanCompiler:
         wand: bool = False,
         device_phrase: bool = True,
         modes: bool = True,  # False: force the dense tier (exec_mode="dense")
+        force_mode: Optional[str] = None,  # "sort"|"dense": override tier
     ) -> SegmentPlan:
         sr = self.prepared.segments[seg_idx]
         self._sr = sr
@@ -201,9 +207,24 @@ class PlanCompiler:
 
         # scale-proportional tier selection (exec/candidates.py): pick the
         # cheapest exact executor for this tree/postings shape
-        exec_mode, driver = (
-            self._select_mode(tree, nd_pad) if modes else ("dense", None)
-        )
+        if not modes:
+            exec_mode, driver = "dense", None
+        elif force_mode is not None:
+            # caller-pinned tier (the sharded batch path needs one uniform
+            # tier across all shards); "sort" is exact for any covering
+            # aux-free tree, otherwise fall back to dense
+            if (
+                force_mode == "sort"
+                and not self._aux
+                and not self._dev_aux
+                and _covering_tree(tree)
+                and any(self._groups.values())
+            ):
+                exec_mode, driver = "sort", None
+            else:
+                exec_mode, driver = "dense", None
+        else:
+            exec_mode, driver = self._select_mode(tree, nd_pad)
         driver_gi = driver_leaf = -1
         if exec_mode == "join":
             # the merge tier executes span-wise (each span's decoded docs
@@ -221,15 +242,16 @@ class PlanCompiler:
                 for span in spans
                 if span is not dspan
             ]
-            # deterministic order (batch stacking aligns groups by index)
-            spans_all.sort(key=lambda t: (t[1][4], t[1][5], t[1][0]))
+            # deterministic order (batch stacking aligns groups by index):
+            # (leaf, tid, dstart)
+            spans_all.sort(key=lambda t: (t[1][5], t[1][6], t[1][0]))
             new_groups = {}
             if dspan is not None:
                 # tag 0 marks the driver; the group loop below finds it
                 # after key sorting and records driver_gi
-                new_groups[(key_d[0], key_d[1], key_d[2], 0)] = [dspan]
+                new_groups[key_d[:4] + (0,)] = [dspan]
             for i, (key, span) in enumerate(spans_all):
-                new_groups[(key[0], key[1], key[2], i + 1)] = [span]
+                new_groups[key[:4] + (i + 1,)] = [span]
             self._groups = new_groups
 
         # WAND applies to sum-merged positive trees of term leaves — no
@@ -245,7 +267,7 @@ class PlanCompiler:
             and exec_mode != "join"
             and _wand_tree_ok(tree)
             and not self._aux
-            and all(s[3] >= 0.0 for spans in self._groups.values() for s in spans)
+            and all(s[4] >= 0.0 for spans in self._groups.values() for s in spans)
         )
 
         # per-span block upper bounds (host precompute from block metadata)
@@ -261,7 +283,7 @@ class PlanCompiler:
                 dwf, ttf = self.prepared._field(fname)
                 avgdl = (ttf / dwf) if dwf else 1.0
                 ubs = []
-                for dstart, fstart, nblocks, w, leaf, tid in spans:
+                for dstart, fstart, nstart, nblocks, w, leaf, tid in spans:
                     fc = int(fp.entries[tid, TermCols.FCLS])
                     bmaxf = fp.bmaxf[fc][fstart : fstart + nblocks].astype(np.float32)
                     min_norm = max(float(fp.entries[tid, TermCols.MIN_NORM]), 1.0)
@@ -273,18 +295,22 @@ class PlanCompiler:
         groups: List[RowGroup] = []
         avgdls: List[float] = []
         for key, spans in sorted(self._groups.items()):
-            fname, dcls, fcls = key[0], key[1], key[2]
-            if exec_mode == "join" and key[3] == 0:
+            fname, dcls, fcls, ncls = key[0], key[1], key[2], key[3]
+            if exec_mode == "join" and key[4] == 0:
                 driver_gi = len(groups)
             rd_l: List[np.ndarray] = []
             rf_l: List[np.ndarray] = []
+            rn_l: List[np.ndarray] = []
             w_l: List[np.ndarray] = []
             leaf_l: List[np.ndarray] = []
             ub_l: List[np.ndarray] = []
             other_l: List[np.ndarray] = []
-            for si, (dstart, fstart, nblocks, w, leaf, tid) in enumerate(spans):
+            for si, (dstart, fstart, nstart, nblocks, w, leaf, tid) in enumerate(
+                spans
+            ):
                 rd_l.append(np.arange(dstart, dstart + nblocks, dtype=np.int32))
                 rf_l.append(np.arange(fstart, fstart + nblocks, dtype=np.int32))
+                rn_l.append(np.arange(nstart, nstart + nblocks, dtype=np.int32))
                 w_l.append(np.full(nblocks, w, np.float32))
                 leaf_l.append(np.full(nblocks, leaf, np.int32))
                 if wand:
@@ -299,6 +325,7 @@ class PlanCompiler:
                     )
             rows_d = np.concatenate(rd_l) if rd_l else np.zeros(0, np.int32)
             rows_f = np.concatenate(rf_l) if rf_l else np.zeros(0, np.int32)
+            rows_n = np.concatenate(rn_l) if rn_l else np.zeros(0, np.int32)
             w = np.concatenate(w_l) if w_l else np.zeros(0, np.float32)
             leaf = np.concatenate(leaf_l) if leaf_l else np.zeros(0, np.int32)
             real_rows = len(rows_d)
@@ -306,6 +333,7 @@ class PlanCompiler:
             pad = rp - len(rows_d)
             rows_d = np.pad(rows_d, (0, pad))
             rows_f = np.pad(rows_f, (0, pad))
+            rows_n = np.pad(rows_n, (0, pad))
             w = np.pad(w, (0, pad))
             leaf = np.pad(leaf, (0, pad))
             ub = other = None
@@ -319,8 +347,8 @@ class PlanCompiler:
                 other = np.pad(other, (0, pad))
             groups.append(
                 RowGroup(
-                    fname, dcls, fcls, rows_d, rows_f, w, leaf, ub, other,
-                    real_rows=real_rows,
+                    fname, dcls, fcls, ncls, rows_d, rows_f, rows_n, w, leaf,
+                    ub, other, real_rows=real_rows,
                 )
             )
             dwf, ttf = self.prepared._field(fname)
@@ -369,8 +397,9 @@ class PlanCompiler:
         total_blocks = 0
         for key, spans in self._groups.items():
             for si, s in enumerate(spans):
-                spans_per_leaf.setdefault(s[4], []).append((key, si, s[2]))
-                total_blocks += s[2]
+                # span = (dstart, fstart, nstart, nblocks, w, leaf, tid)
+                spans_per_leaf.setdefault(s[5], []).append((key, si, s[3]))
+                total_blocks += s[3]
         nspans = sum(len(v) for v in spans_per_leaf.values())
         if nspans == 0:
             return "dense", None  # no postings at all: trivial either way
@@ -494,11 +523,19 @@ class PlanCompiler:
 
     def _add_span(self, fname: str, fp, tid: int, w: float, leaf: int) -> None:
         e = fp.entries[tid]
-        key = (fname, int(e[TermCols.DCLS]), int(e[TermCols.FCLS]), 0)
+        has_nrm = fp.nrm_words is not None
+        key = (
+            fname,
+            int(e[TermCols.DCLS]),
+            int(e[TermCols.FCLS]),
+            int(e[TermCols.NCLS]) if has_nrm else -1,
+            0,
+        )
         self._groups.setdefault(key, []).append(
             (
                 int(e[TermCols.DSTART]),
                 int(e[TermCols.FSTART]),
+                int(e[TermCols.NSTART]) if has_nrm else 0,
                 int(e[TermCols.NBLOCKS]),
                 w,
                 leaf,

@@ -60,6 +60,10 @@ class FieldPostings:
     docs_with_field: int
     total_term_freq: int
     features: IndexFeatures
+    # format v5: per-entry doc lengths in classed pools parallel to the
+    # freq blocks (NCLS/NSTART columns). None for legacy v3/v4 segments —
+    # the executor then falls back to the norms[docs] per-lane gather.
+    nrm_words: Optional[Tuple[np.ndarray, ...]] = None
     # position-parallel auxiliary streams, flat in position rank order
     # (indexed by TermCols.POS_BASE; OFFS/PAY are rare enough to stay raw)
     offs_start: Optional[np.ndarray] = None  # u32 [sum ttf]
@@ -114,14 +118,15 @@ class FieldPostings:
 
 
 def _empty_pools():
-    dw, fw, pb, pbm, pbmf = [], [], [], [], []
+    dw, fw, nw, pb, pbm, pbmf = [], [], [], [], [], []
     for c in range(NUM_CLASSES):
         dw.append(np.zeros((1, words_per_block(BITS[c])), np.uint32))
         fw.append(np.zeros((1, words_per_block(BITS[c])), np.uint32))
+        nw.append(np.zeros((1, words_per_block(BITS[c])), np.uint32))
         pb.append(np.zeros(1, np.uint32))
         pbm.append(np.zeros(1, np.uint32))
         pbmf.append(np.zeros(1, np.uint32))
-    return dw, fw, pb, pbm, pbmf
+    return dw, fw, nw, pb, pbm, pbmf
 
 
 def _empty_pos_pools() -> Tuple[np.ndarray, ...]:
@@ -214,7 +219,7 @@ def encode_field_postings(
     norms_arr = np.asarray(norms, dtype=np.uint32)
 
     if T == 0 or E == 0:
-        dw, fw, pb, pbm, pbmf = _empty_pools()
+        dw, fw, nw, pb, pbm, pbmf = _empty_pools()
         return FieldPostings(
             term_blob=term_blob,
             term_offsets=np.asarray(term_offsets, dtype=np.uint64),
@@ -225,6 +230,7 @@ def encode_field_postings(
             freq_words=tuple(fw),
             bmaxf=tuple(pbmf),
             norms=norms_arr,
+            nrm_words=tuple(nw),
             pos_words=None if pos_flat is None else _empty_pos_pools(),
             docs_with_field=int(np.count_nonzero(norms_arr)),
             total_term_freq=0,
@@ -249,13 +255,16 @@ def encode_field_postings(
     delta = np.where(lane == 0, 0, e_doc - prev_doc).astype(np.uint32)
 
     starts = term_ptr[:-1]
+    e_norm = norms_arr[e_doc]  # per-entry doc length (inline norms, v5)
     max_delta = np.maximum.reduceat(delta, starts)
     max_freq = np.maximum.reduceat(e_freq, starts)
-    min_norm = np.minimum.reduceat(norms_arr[e_doc], starts)
+    max_norm = np.maximum.reduceat(e_norm, starts)
+    min_norm = np.minimum.reduceat(e_norm, starts)
     ttf = np.add.reduceat(e_freq.astype(np.uint64), starts)
 
     dcls = bits_class(max_delta).astype(np.uint32)
     fcls = bits_class(max_freq).astype(np.uint32)
+    ncls = bits_class(max_norm).astype(np.uint32)
     nblocks = ((df + BLOCK - 1) // BLOCK).astype(np.int64)
 
     def alloc(cls_of_term):
@@ -271,8 +280,10 @@ def encode_field_postings(
 
     dstart, drows = alloc(dcls)
     fstart, frows = alloc(fcls)
+    nstart, nrows = alloc(ncls)
 
     pools_dw, pools_fw, pools_base, pools_bmax, pools_bmaxf = [], [], [], [], []
+    pools_nw = []
     for c in range(NUM_CLASSES):
         b = BITS[c]
         # doc-delta pool
@@ -299,6 +310,13 @@ def encode_field_postings(
         pbmf = np.zeros(frows[c], np.uint32)
         np.maximum.at(pbmf, rf, e_freq[self_f])
         pools_bmaxf.append(pbmf)
+        # norm pool (per-entry doc lengths; padding lanes stay 0 and are
+        # gated by freq==0 in the executor)
+        sel_n = ncls[tid_of_entry] == c
+        rn = (nstart[tid_of_entry] + blk_in_term)[sel_n]
+        matn = np.zeros((nrows[c], BLOCK), np.uint32)
+        matn[rn, lane[sel_n]] = e_norm[sel_n]
+        pools_nw.append(pack_blocks(matn, b))
 
     pos_base = np.zeros(T, dtype=np.uint64)
     pos_pools = None
@@ -319,6 +337,8 @@ def encode_field_postings(
     entries[:, TermCols.POS_BASE] = pos_base.astype(np.uint32)
     entries[:, TermCols.MAX_FREQ] = max_freq
     entries[:, TermCols.MIN_NORM] = min_norm
+    entries[:, TermCols.NCLS] = ncls
+    entries[:, TermCols.NSTART] = nstart.astype(np.uint32)
 
     return FieldPostings(
         term_blob=term_blob,
@@ -330,6 +350,7 @@ def encode_field_postings(
         freq_words=tuple(pools_fw),
         bmaxf=tuple(pools_bmaxf),
         norms=norms_arr,
+        nrm_words=tuple(pools_nw),
         pos_words=pos_pools,
         docs_with_field=int(np.count_nonzero(norms_arr)),
         total_term_freq=int(ttf.sum()),
@@ -339,6 +360,54 @@ def encode_field_postings(
         pay_len=None if pays is None else np.asarray(pays[0], np.uint32),
         pay_blob=b"" if pays is None else bytes(pays[1]),
     )
+
+
+def derive_norm_pools(fp: FieldPostings) -> FieldPostings:
+    """Rebuild inline norm pools for a legacy (v3/v4) field in place.
+
+    Decodes every entry's doc id vectorized, gathers its doc length from
+    the dense norms array, and packs the per-entry stream into classed
+    block pools exactly as the encoder does — used by the v5 writer and
+    format conversion. Returns ``fp`` with nrm_words/NCLS/NSTART set.
+    """
+    if fp.nrm_words is not None:
+        return fp
+    from iresearch_tpu.index.merge import _decode_all_entries
+
+    T = fp.num_terms
+    entries = fp.entries
+    if T == 0 or int(entries[:, TermCols.DF].sum()) == 0:
+        fp.nrm_words = _empty_pos_pools()
+        return fp
+    tid_of_entry, e_doc, _e_freq, _ = _decode_all_entries(fp)
+    e_norm = fp.norms[e_doc]
+    df = entries[:, TermCols.DF].astype(np.int64)
+    term_ptr = np.zeros(T + 1, np.int64)
+    np.cumsum(df, out=term_ptr[1:])
+    starts = term_ptr[:-1]
+    max_norm = np.maximum.reduceat(e_norm, starts)
+    ncls = bits_class(max_norm).astype(np.uint32)
+    nblocks = ((df + BLOCK - 1) // BLOCK).astype(np.int64)
+    nstart = np.zeros(T, np.int64)
+    nrows = []
+    for c in range(NUM_CLASSES):
+        in_c = ncls == c
+        nb_c = nblocks[in_c]
+        nstart[in_c] = np.cumsum(nb_c) - nb_c + 1
+        nrows.append(int(nb_c.sum()) + 1)
+    rank = np.arange(len(e_doc), dtype=np.int64) - term_ptr[tid_of_entry]
+    blk = rank >> 7
+    lane = rank & (BLOCK - 1)
+    pools = []
+    for c in range(NUM_CLASSES):
+        sel = ncls[tid_of_entry] == c
+        mat = np.zeros((nrows[c], BLOCK), np.uint32)
+        mat[(nstart[tid_of_entry] + blk)[sel], lane[sel]] = e_norm[sel]
+        pools.append(pack_blocks(mat, BITS[c]))
+    entries[:, TermCols.NCLS] = ncls
+    entries[:, TermCols.NSTART] = nstart.astype(np.uint32)
+    fp.nrm_words = tuple(pools)
+    return fp
 
 
 def decode_term(fp: FieldPostings, tid: int) -> Tuple[np.ndarray, np.ndarray]:

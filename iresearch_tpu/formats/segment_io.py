@@ -11,9 +11,14 @@ Format versions (reference analog: the format registry's named versions
   positions stored as a raw flat u32 array, 10-column term entries.
 * ``iresearch_tpu/4`` — positions bit-packed per term into classed
   128-lane block pools (PCLS/PSTART term columns); everything else as v3.
+* ``iresearch_tpu/5`` — per-entry doc lengths (norms) bit-packed into
+  classed pools parallel to the freq blocks (NCLS/NSTART columns), so
+  scoring reads dl via the sequential row-gather path instead of a
+  per-lane random gather from the [num_docs] norms array.
 
-The writer emits v4 by default (or any version in WRITABLE_FORMATS); the
-reader opens both and always materializes the in-memory v4 layout.
+The writer emits v5 by default (or any version in WRITABLE_FORMATS); the
+reader opens all and materializes the newest in-memory layout it can
+(legacy segments get ``nrm_words=None`` and fall back to the gather path).
 """
 
 from __future__ import annotations
@@ -23,11 +28,16 @@ from typing import Dict
 import numpy as np
 
 from iresearch_tpu.formats.columnstore import Column
-from iresearch_tpu.formats.postings import FieldPostings, pack_position_pools
+from iresearch_tpu.formats.postings import (
+    FieldPostings,
+    derive_norm_pools,
+    pack_position_pools,
+)
 from iresearch_tpu.formats.spec import (
     NUM_CLASSES,
     NUM_TERM_COLS,
     NUM_TERM_COLS_V3,
+    NUM_TERM_COLS_V4,
     IndexFeatures,
     TermCols,
 )
@@ -35,9 +45,10 @@ from iresearch_tpu.store.blobpack import BlobPackReader, BlobPackWriter
 
 FORMAT_V3 = "iresearch_tpu/3"
 FORMAT_V4 = "iresearch_tpu/4"
-CURRENT_FORMAT = FORMAT_V4
-READABLE_FORMATS = {FORMAT_V3, FORMAT_V4}
-WRITABLE_FORMATS = {FORMAT_V3, FORMAT_V4}
+FORMAT_V5 = "iresearch_tpu/5"
+CURRENT_FORMAT = FORMAT_V5
+READABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5}
+WRITABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5}
 
 
 def write_segment(
@@ -73,11 +84,20 @@ def write_segment(
             w.add(f"{key}.entries", fp.entries[:, :NUM_TERM_COLS_V3])
             if fp.has_positions:
                 w.add(f"{key}.pos", fp.positions_flat())
+        elif version == FORMAT_V4:
+            w.add(f"{key}.entries", fp.entries[:, :NUM_TERM_COLS_V4])
+            if fp.has_positions:
+                for c in range(NUM_CLASSES):
+                    w.add(f"{key}.posw{c}", fp.pos_words[c])
         else:
             w.add(f"{key}.entries", fp.entries)
             if fp.has_positions:
                 for c in range(NUM_CLASSES):
                     w.add(f"{key}.posw{c}", fp.pos_words[c])
+            if fp.nrm_words is None:  # legacy in-memory field (convert path)
+                derive_norm_pools(fp)
+            for c in range(NUM_CLASSES):
+                w.add(f"{key}.nrmw{c}", fp.nrm_words[c])
         w.add(f"{key}.norms", fp.norms)
         if fp.offs_start is not None:
             w.add(f"{key}.ostart", fp.offs_start)
@@ -109,7 +129,7 @@ def write_segment(
 
 
 def _read_field_positions(r, key: str, entries: np.ndarray, fmt: str):
-    """(entries with PCLS/PSTART, pos_words) for either format version."""
+    """(entries padded to the current column count, pos_words)."""
     if fmt == FORMAT_V3:
         # legacy 10-column entries; repack flat positions into the v4
         # classed block pools when present
@@ -123,6 +143,10 @@ def _read_field_positions(r, key: str, entries: np.ndarray, fmt: str):
         full[:, TermCols.PCLS] = pcls
         full[:, TermCols.PSTART] = pstart
         return full, pools
+    if fmt == FORMAT_V4:  # 12-column entries, no NCLS/NSTART
+        full = np.zeros((entries.shape[0], NUM_TERM_COLS), np.uint32)
+        full[:, :NUM_TERM_COLS_V4] = entries
+        entries = full
     if f"{key}.posw0" not in r:
         return entries, None
     pools = tuple(r.array(f"{key}.posw{c}") for c in range(NUM_CLASSES))
@@ -156,6 +180,11 @@ def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
             doc_words=tuple(r.array(f"{key}.docw{c}") for c in range(NUM_CLASSES)),
             freq_words=tuple(r.array(f"{key}.freqw{c}") for c in range(NUM_CLASSES)),
             norms=r.array(f"{key}.norms"),
+            nrm_words=(
+                tuple(r.array(f"{key}.nrmw{c}") for c in range(NUM_CLASSES))
+                if fmt == FORMAT_V5
+                else None
+            ),
             pos_words=pos_words,
             docs_with_field=fm["docs_with_field"],
             total_term_freq=fm["total_term_freq"],

@@ -71,10 +71,21 @@ class TermCols(IntEnum):
     # 128-blocks into .pos, formats_10.cpp:325-333)
     PCLS = 10      # width class of this list's position blocks
     PSTART = 11    # first block row within the position-class pool
+    # format v5: per-entry doc lengths (norms) bit-packed into classed
+    # block pools parallel to the freq blocks. Scoring needs dl per decoded
+    # lane; gathering it from the dense [num_docs] norms array is a random
+    # per-lane HBM gather (~7 ns/lane on TPU — measured 70% of query time).
+    # Inlining norms into the postings turns that into the same sequential
+    # row-gather the doc/freq pools use. (The reference reads norms via a
+    # per-doc column, norm.hpp:46-198 — a CPU-cache-friendly pattern that
+    # does not translate to TPU.)
+    NCLS = 12      # width class of this list's norm blocks
+    NSTART = 13    # first block row within the norm-class pool
 
 
-NUM_TERM_COLS = 12
+NUM_TERM_COLS = 14
 NUM_TERM_COLS_V3 = 10  # legacy iresearch_tpu/3 entry table (flat positions)
+NUM_TERM_COLS_V4 = 12  # legacy iresearch_tpu/4 entry table (no norm pools)
 
 
 class IndexFeatures(IntFlag):

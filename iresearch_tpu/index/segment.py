@@ -115,6 +115,10 @@ class DeviceField:
         self.base = []
         self.bmax = []
         self.bmaxf = []
+        # inline norm pools (format v5): scoring's dl comes from the same
+        # sequential row-gather path as freqs; None for legacy segments,
+        # which fall back to the per-lane norms[docs] gather
+        self.nrm_words = [] if fp.nrm_words is not None else None
         for c in range(NUM_CLASSES):
             rp = _pow2(fp.doc_words[c].shape[0])
             self.doc_words.append(jnp.asarray(pad_rows(fp.doc_words[c], rp)))
@@ -129,6 +133,9 @@ class DeviceField:
             self.bmaxf.append(
                 jnp.asarray(pad_rows(fp.bmaxf[c], rpf).astype(np.int32))
             )
+            if self.nrm_words is not None:
+                rpn = _pow2(fp.nrm_words[c].shape[0])
+                self.nrm_words.append(jnp.asarray(pad_rows(fp.nrm_words[c], rpn)))
         nd_pad = pad_docs(len(fp.norms))
         norms = np.ones(nd_pad, np.float32)
         norms[: len(fp.norms)] = np.maximum(fp.norms, 1).astype(np.float32)
@@ -139,6 +146,7 @@ class DeviceField:
 
         self.device_bytes = int(
             sum(a.nbytes for a in self.doc_words + self.freq_words)
+            + sum(a.nbytes for a in (self.nrm_words or []))
             + sum(a.nbytes for a in self.base + self.bmax + self.bmaxf)
             + self.norms.nbytes
         )

@@ -90,7 +90,7 @@ class IndexWriterOptions:
     invert_backend: str = "auto"  # 'device' | 'numpy' | 'auto'
     keep_positions: bool = True
     column_compression: str = "none"  # stored-values codec (none | zlib | lz4)
-    format_version: str = "iresearch_tpu/4"  # on-disk segment format to write
+    format_version: str = "iresearch_tpu/5"  # on-disk segment format to write
     sort: Optional[SortSpec] = None  # primary sort (None = insertion order)
 
 

@@ -20,7 +20,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from iresearch_tpu.exec.executor import _NEG_INF, segment_body
+from iresearch_tpu.exec.executor import _NEG_INF, segment_body, wand_body
 from iresearch_tpu.exec.plan import PlanCompiler, SegmentPlan
 from iresearch_tpu.formats.bitpack import BITS, words_per_block
 from iresearch_tpu.formats.spec import NUM_CLASSES
@@ -85,10 +85,10 @@ def _sharded_topk(
         docs_l = []
         for s in range(per_shard):
             pools_s = tuple(
-                (d[s], f[s], b[s], n[s]) for (d, f, b, n) in pools_l
+                tuple(a[s] for a in pool) for pool in pools_l
             )
             rowsets_s = tuple(
-                (rd[s], rf[s], w[s], l[s]) for (rd, rf, w, l) in rowsets_l
+                tuple(r[s] for r in rs) for rs in rowsets_l
             )
             am = None if aux_m_l is None else aux_m_l[s]
             asc = None if aux_s_l is None else aux_s_l[s]
@@ -121,8 +121,8 @@ def _sharded_topk(
 
     sh = P(AXIS)
     in_specs = (
-        tuple((sh, sh, sh, sh) for _ in pools_st),
-        tuple((sh, sh, sh, sh) for _ in rowsets_st),
+        tuple(tuple(sh for _ in pool) for pool in pools_st),
+        tuple(tuple(sh for _ in rs) for rs in rowsets_st),
         sh,
         sh,
         sh,
@@ -186,7 +186,7 @@ class ShardedSearcher:
 
     def _field_pools(self, fname: str):
         """Stacked per-class pools for one field: ([(doc_words, base)],
-        [(freq_words,)], norms)."""
+        [(freq_words,)], [(nrm_words,)], norms)."""
         cached = self._field_pool_cache.get(fname)
         if cached is not None:
             return cached
@@ -197,7 +197,7 @@ class ShardedSearcher:
                 rmax = 1
                 for sr in self.segments:
                     fp = sr.field(fname)
-                    if fp is not None:
+                    if fp is not None and getattr(fp, attr) is not None:
                         rmax = max(rmax, getattr(fp, attr)[c].shape[0])
                 rmax = _pow2(rmax)
                 words = np.zeros(
@@ -206,7 +206,7 @@ class ShardedSearcher:
                 extra_arr = np.zeros((self.S, rmax), np.int32)
                 for i, sr in enumerate(self.segments):
                     fp = sr.field(fname)
-                    if fp is None:
+                    if fp is None or getattr(fp, attr) is None:
                         continue
                     src = getattr(fp, attr)[c]
                     words[i, : src.shape[0]] = src
@@ -221,16 +221,205 @@ class ShardedSearcher:
 
         doc_cls = stack("doc_words", "base")
         freq_cls = stack("freq_words")
+        nrm_cls = stack("nrm_words")  # zeros for legacy segments (bn=-1)
         norms = np.ones((self.S, self.nd_pad), np.float32)
         for i, sr in enumerate(self.segments):
             fp = sr.field(fname)
             if fp is not None:
                 norms[i, : len(fp.norms)] = np.maximum(fp.norms, 1)
-        out = (doc_cls, freq_cls, self._put(norms, 2))
+        out = (doc_cls, freq_cls, nrm_cls, self._put(norms, 2))
         self._field_pool_cache[fname] = out
         return out
 
     # --- query ----------------------------------------------------------
+
+    def prepare_many(
+        self,
+        filters: Sequence[F.Filter],
+        scorer: Optional[Scorer] = None,
+        wand: bool = False,
+        wand_sample: int = 16,
+    ) -> "PreparedShardedBatch":
+        """Batched + WAND sharded prepare (SURVEY §2.11 items 1+2).
+
+        Queries are grouped by plan signature and stacked on a leading Q
+        axis per signature group; each group runs as ONE shard_map
+        dispatch (vmapped over Q inside every shard). Tier selection is
+        made uniform across shards per query: candidate tiers that
+        disagree between segments (or the join tier, whose per-span group
+        splitting is segment-dependent) are re-pinned to the sort tier —
+        exact for any covering aux-free tree. Per-shard WAND θ stays a
+        valid lower bound, so pruning is exact under sharding.
+        """
+        import jax.numpy as jnp
+
+        scorer = scorer or BM25()
+        S = len(self.segments)
+        per_query = []  # (plans, mode, use_wand)
+        for flt in filters:
+            prepared = HostQuery(flt, self.segments, scorer)
+            compiler = PlanCompiler(prepared, scorer)
+            plans = [
+                compiler.compile(flt, s, wand=wand, device_phrase=False)
+                for s in range(S)
+            ]
+            active = [p for p in plans if p.groups]
+            modes = {p.exec_mode for p in active}
+            if not active or "dense" in modes:
+                mode = "dense"
+            elif modes == {"direct"}:
+                mode = "direct"
+            else:
+                mode = "sort"
+            if any(p.exec_mode != mode for p in plans):
+                plans = [
+                    compiler.compile(
+                        flt, s, wand=wand, device_phrase=False,
+                        force_mode=mode,
+                    )
+                    for s in range(S)
+                ]
+                if mode == "sort" and any(
+                    p.exec_mode != "sort" for p in plans if p.groups
+                ):
+                    mode = "dense"  # force_mode fell back (non-covering)
+            use_wand = (
+                wand
+                and any(p.groups for p in plans)
+                and all(g.ub is not None for p in plans for g in p.groups)
+            )
+            per_query.append((plans, mode, use_wand))
+
+        groups_by_sig: Dict[tuple, List[int]] = {}
+        for qi, (plans, mode, use_wand) in enumerate(per_query):
+            p0 = plans[0]
+            qkeys = tuple(sorted({
+                (g.field_name, g.dcls, g.fcls, g.ncls)
+                for p in plans
+                for g in p.groups
+            }))
+            A = max(
+                [0] + [
+                    0 if p.aux_match is None else p.aux_match.shape[0]
+                    for p in plans
+                ]
+            )
+            rmax = {}
+            for p in plans:
+                for g in p.groups:
+                    kk = (g.field_name, g.dcls, g.fcls, g.ncls)
+                    rmax[kk] = max(rmax.get(kk, 8), len(g.rows_d))
+            sig = (
+                p0.tree, p0.num_leaves, mode, use_wand, qkeys, A,
+                tuple(_pow2(rmax[kk]) for kk in qkeys),
+            )
+            groups_by_sig.setdefault(sig, []).append(qi)
+
+        calls = []
+        for sig, qis in groups_by_sig.items():
+            tree, num_leaves, mode, use_wand, qkeys, A, Rs = sig
+            # θ pruning is useless when the sampled phase already decodes
+            # every row (same rule as exec/batch.py)
+            use_wand = use_wand and max(Rs, default=0) > wand_sample
+            Q = len(qis)
+            G = len(qkeys)
+            pools_st = []
+            rowsets_st = []
+            gbits = []
+            avgdl = np.ones(max(G, 1), np.float32)
+            for gi, (fname, dcls, fcls, ncls) in enumerate(qkeys):
+                doc_cls, freq_cls, nrm_cls, norms = self._field_pools(fname)
+                doc_words, base = doc_cls[dcls]
+                (freq_words,) = freq_cls[fcls]
+                (nrm_words,) = nrm_cls[ncls] if ncls >= 0 else freq_cls[fcls]
+                pools_st.append(
+                    (doc_words, freq_words, nrm_words, base, norms)
+                )
+                gbits.append(
+                    (BITS[dcls], BITS[fcls], BITS[ncls] if ncls >= 0 else -1)
+                )
+                R = Rs[gi]
+                rows_d = np.zeros((self.S, Q, R), np.int32)
+                rows_f = np.zeros((self.S, Q, R), np.int32)
+                rows_n = np.zeros((self.S, Q, R), np.int32)
+                w = np.zeros((self.S, Q, R), np.float32)
+                leaf = np.zeros((self.S, Q, R), np.int32)
+                ub = (
+                    np.full((self.S, Q, R), -np.inf, np.float32)
+                    if use_wand else None
+                )
+                other = np.zeros((self.S, Q, R), np.float32) if use_wand else None
+                for j, qi in enumerate(qis):
+                    plans = per_query[qi][0]
+                    for i, p in enumerate(plans):
+                        for gi2, g in enumerate(p.groups):
+                            if (g.field_name, g.dcls, g.fcls, g.ncls) != (
+                                fname, dcls, fcls, ncls,
+                            ):
+                                continue
+                            rows_d[i, j, : len(g.rows_d)] = g.rows_d
+                            rows_f[i, j, : len(g.rows_f)] = g.rows_f
+                            rows_n[i, j, : len(g.rows_n)] = g.rows_n
+                            w[i, j, : len(g.weight)] = g.weight
+                            leaf[i, j, : len(g.leaf)] = g.leaf
+                            avgdl[gi] = p.group_avgdl[gi2]
+                            if use_wand:
+                                ub[i, j, : len(g.ub)] = g.ub
+                                other[i, j, : len(g.other)] = g.other
+                rowset = (
+                    self._put(rows_d, 3),
+                    self._put(rows_f, 3),
+                    self._put(rows_n, 3),
+                    self._put(w, 3),
+                    self._put(leaf, 3),
+                )
+                if use_wand:
+                    rowset = rowset + (self._put(ub, 3), self._put(other, 3))
+                rowsets_st.append(rowset)
+
+            leaf_min_b = np.stack(
+                [per_query[qi][0][0].leaf_min_match for qi in qis]
+            )
+            if A:
+                am = np.zeros((self.S, Q, A, self.nd_pad), np.bool_)
+                asc = np.zeros((self.S, Q, A, self.nd_pad), np.float32)
+                for j, qi in enumerate(qis):
+                    for i, p in enumerate(per_query[qi][0]):
+                        if p.aux_match is not None:
+                            am[i, j, : p.aux_match.shape[0], : p.aux_match.shape[1]] = p.aux_match
+                            asc[i, j, : p.aux_score.shape[0], : p.aux_score.shape[1]] = p.aux_score
+            else:  # unused dummies keep the shard_map arg structure static
+                am = np.zeros((self.S, 1, 1, 1), np.bool_)
+                asc = np.zeros((self.S, 1, 1, 1), np.float32)
+            lanes = (sum(Rs) if mode != "dense" else 0) * 128
+            calls.append((
+                qis,
+                (
+                    tuple(pools_st),
+                    tuple(rowsets_st),
+                    jnp.asarray(avgdl),
+                    jnp.asarray(leaf_min_b),
+                    self._put(am, 4),
+                    self._put(asc, 4),
+                    self._alive,
+                    self._put(self._doc_base, 1),
+                ),
+                dict(
+                    mesh=self.mesh,
+                    tree=tree,
+                    gbits=tuple(gbits),
+                    scorer=scorer,
+                    num_leaves=num_leaves,
+                    nd=self.nd_pad,
+                    per_shard=self.per_shard,
+                    mode=mode,
+                    use_wand=use_wand,
+                    sample=wand_sample,
+                    has_aux=bool(A),
+                ),
+                lanes if mode != "dense" else self.nd_pad,
+            ))
+        return PreparedShardedBatch(self, calls)
 
     def search(
         self, flt: F.Filter, scorer: Optional[Scorer] = None, k: int = 10
@@ -262,36 +451,45 @@ class ShardedSearcher:
         num_leaves = plans[0].num_leaves
         leaf_min = plans[0].leaf_min_match
 
-        # union of (field, dcls, fcls) groups over all shards
+        # union of (field, dcls, fcls, ncls) groups over all shards
         keys = sorted(
-            {(g.field_name, g.dcls, g.fcls) for p in plans for g in p.groups}
+            {
+                (g.field_name, g.dcls, g.fcls, g.ncls)
+                for p in plans
+                for g in p.groups
+            }
         )
         G = len(keys)
         rmax = {kk: 8 for kk in keys}
         for p in plans:
             for g in p.groups:
-                kk = (g.field_name, g.dcls, g.fcls)
+                kk = (g.field_name, g.dcls, g.fcls, g.ncls)
                 rmax[kk] = max(rmax[kk], len(g.rows_d))
         pools_st = []
         rowsets_st = []
         gbits = []
         avgdl = np.ones(max(G, 1), np.float32)
-        for gi, (fname, dcls, fcls) in enumerate(keys):
-            doc_cls, freq_cls, norms = self._field_pools(fname)
+        for gi, (fname, dcls, fcls, ncls) in enumerate(keys):
+            doc_cls, freq_cls, nrm_cls, norms = self._field_pools(fname)
             doc_words, base = doc_cls[dcls]
             (freq_words,) = freq_cls[fcls]
-            pools_st.append((doc_words, freq_words, base, norms))
-            gbits.append((BITS[dcls], BITS[fcls]))
-            R = _pow2(rmax[(fname, dcls, fcls)])
+            (nrm_words,) = nrm_cls[ncls] if ncls >= 0 else freq_cls[fcls]
+            pools_st.append((doc_words, freq_words, nrm_words, base, norms))
+            gbits.append((BITS[dcls], BITS[fcls], BITS[ncls] if ncls >= 0 else -1))
+            R = _pow2(rmax[(fname, dcls, fcls, ncls)])
             rows_d = np.zeros((self.S, R), np.int32)
             rows_f = np.zeros((self.S, R), np.int32)
+            rows_n = np.zeros((self.S, R), np.int32)
             w = np.zeros((self.S, R), np.float32)
             leaf = np.zeros((self.S, R), np.int32)
             for i, p in enumerate(plans):
                 for gi2, g in enumerate(p.groups):
-                    if (g.field_name, g.dcls, g.fcls) == (fname, dcls, fcls):
+                    if (g.field_name, g.dcls, g.fcls, g.ncls) == (
+                        fname, dcls, fcls, ncls,
+                    ):
                         rows_d[i, : len(g.rows_d)] = g.rows_d
                         rows_f[i, : len(g.rows_f)] = g.rows_f
+                        rows_n[i, : len(g.rows_n)] = g.rows_n
                         w[i, : len(g.weight)] = g.weight
                         leaf[i, : len(g.leaf)] = g.leaf
                         avgdl[gi] = p.group_avgdl[gi2]
@@ -299,6 +497,7 @@ class ShardedSearcher:
                 (
                     self._put(rows_d, 2),
                     self._put(rows_f, 2),
+                    self._put(rows_n, 2),
                     self._put(w, 2),
                     self._put(leaf, 2),
                 )
@@ -341,6 +540,161 @@ class ShardedSearcher:
                 per_shard=self.per_shard,
             ),
         )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "tree", "gbits", "scorer", "num_leaves", "k", "nd",
+        "per_shard", "mode", "use_wand", "sample", "has_aux",
+    ),
+)
+def _sharded_topk_batch(
+    pools_st,  # per group: (doc_words, freq_words, nrm_words, base, norms), each [S, ...]
+    rowsets_st,  # per group: (rows_d, rows_f, rows_n, w, leaf[, ub, other]) each [S, Q, R]
+    avgdl,  # f32 [G] (replicated)
+    leaf_min_b,  # i32 [Q, L] (replicated)
+    aux_match,  # bool [S, Q, A, nd] or None
+    aux_score,  # f32 [S, Q, A, nd] or None
+    alive_st,  # bool [S, nd]
+    doc_base,  # i32 [S]
+    *,
+    mesh,
+    tree,
+    gbits,
+    scorer: Scorer,
+    num_leaves: int,
+    k: int,
+    nd: int,
+    per_shard: int,
+    mode: str,  # "dense" | "direct" | "sort" (uniform across shards)
+    use_wand: bool,
+    sample: int,
+    has_aux: bool,
+):
+    """Batched sharded execution: SURVEY §2.11 items 1+2 combined — many
+    queries stacked on a leading Q axis, vmapped through the shared
+    executor bodies per local segment, per-shard top-k, then an exact ICI
+    all_gather merge with (-score, doc) re-rank. Per-shard WAND θ is exact:
+    θ is a lower bound of the global k-th score computed from local blocks,
+    so pruning never drops a true top-k block."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from iresearch_tpu.exec.candidates import candidate_body
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def local(pools_l, rowsets_l, aux_m_l, aux_s_l, alive_l, base_l):
+        vals_l = []
+        docs_l = []
+        for s in range(per_shard):
+            pools_s = tuple(tuple(a[s] for a in pool) for pool in pools_l)
+            rowsets_sq = tuple(tuple(r[s] for r in rs) for rs in rowsets_l)
+            alive_s = alive_l[s]
+
+            def one(rowsets_q, leaf_min, aux_m=None, aux_s=None):
+                if mode != "dense":
+                    return candidate_body(
+                        pools_s, rowsets_q, avgdl, leaf_min, alive_s, None,
+                        tree=tree, gbits=gbits, scorer=scorer,
+                        num_leaves=num_leaves, k=k, mode=mode,
+                        wand=use_wand, sample=sample,
+                    )
+                if use_wand:
+                    return wand_body(
+                        pools_s, rowsets_q, avgdl, leaf_min, alive_s,
+                        tree=tree, gbits=gbits, scorer=scorer,
+                        num_leaves=num_leaves, k=k, nd=nd, sample=sample,
+                    )
+                match, score = segment_body(
+                    pools_s, rowsets_q, avgdl, leaf_min, aux_m, aux_s,
+                    alive_s, tree=tree, gbits=gbits, scorer=scorer,
+                    num_leaves=num_leaves, nd=nd,
+                )
+                return lax.top_k(jnp.where(match, score, _NEG_INF), k)
+
+            if has_aux:
+                v, d = jax.vmap(one)(
+                    rowsets_sq, leaf_min_b, aux_m_l[s], aux_s_l[s]
+                )
+            else:
+                v, d = jax.vmap(lambda rq, lm: one(rq, lm))(
+                    rowsets_sq, leaf_min_b
+                )
+            vals_l.append(v)  # [Q, k]
+            docs_l.append(d + base_l[s])
+        vals = jnp.concatenate(vals_l, axis=1)  # [Q, per_shard*k]
+        docs = jnp.concatenate(docs_l, axis=1)
+        # exact ICI merge: gather all shards' candidates, re-rank by
+        # (-score, doc) identically on every shard
+        vals_all = jnp.moveaxis(lax.all_gather(vals, AXIS), 0, 1).reshape(
+            vals.shape[0], -1
+        )
+        docs_all = jnp.moveaxis(lax.all_gather(docs, AXIS), 0, 1).reshape(
+            docs.shape[0], -1
+        )
+
+        def merge_one(v, d):
+            order = jnp.lexsort((d, -v))[:k]
+            return v[order], d[order]
+
+        return jax.vmap(merge_one)(vals_all, docs_all)
+
+    sh = P(AXIS)
+    in_specs = (
+        tuple(tuple(sh for _ in pool) for pool in pools_st),
+        tuple(tuple(sh for _ in rs) for rs in rowsets_st),
+        sh,
+        sh,
+        sh,
+        sh,
+    )
+    kw = dict(mesh=mesh, in_specs=in_specs, out_specs=(P(), P()))
+    for flag in ("check_vma", "check_rep"):
+        try:
+            fn = shard_map(local, **kw, **{flag: False})
+            break
+        except TypeError:
+            continue
+    else:
+        fn = shard_map(local, **kw)
+    return fn(pools_st, rowsets_st, aux_match, aux_score, alive_st, doc_base)
+
+
+class PreparedShardedBatch:
+    """Device-resident stacked multi-query sharded batch."""
+
+    def __init__(self, searcher: "ShardedSearcher", calls) -> None:
+        self.searcher = searcher
+        self._calls = calls  # [(query_indices, args, statics, lanes)]
+        self.num_queries = sum(len(qis) for qis, *_ in calls)
+
+    def run(self, k: int):
+        """Per-query (scores f32[k], global docs i32[k]) jax arrays."""
+        out = [None] * self.num_queries
+        for qis, args, statics, lanes in self._calls:
+            kk = min(k, self.searcher.nd_pad, lanes)
+            vals, docs = _sharded_topk_batch(*args, k=kk, **statics)
+            for j, qi in enumerate(qis):
+                out[qi] = (vals[j], docs[j])
+        return out
+
+    def top_k(self, k: int) -> List[List[Tuple[int, float]]]:
+        res = self.run(k)
+        out = []
+        for vals, docs in res:
+            hits = []
+            for v, d in zip(np.asarray(vals), np.asarray(docs)):
+                if math.isinf(v) and v < 0:
+                    continue
+                hits.append((int(d), float(v)))
+            out.append(hits[:k])
+        return out
 
 
 class PreparedShardedQuery:

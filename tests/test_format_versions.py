@@ -1,4 +1,5 @@
-"""Format version matrix: v3 (flat positions) <-> v4 (packed positions).
+"""Format version matrix: v3 (flat positions) <-> v4 (packed positions)
+<-> v5 (inline norm pools).
 
 Reference analog: the formats test parametrization over versions 1_0..1_5
 (tests/formats/formats_test_case_base.cpp instantiated per version) and
@@ -11,6 +12,7 @@ import pytest
 from iresearch_tpu.formats.segment_io import (
     FORMAT_V3,
     FORMAT_V4,
+    FORMAT_V5,
     read_segment,
     write_segment,
 )
@@ -47,17 +49,17 @@ QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4])
+@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4, FORMAT_V5])
 def test_write_read_search(version):
     reader = _build(MemoryDirectory(), version)
-    ref = _build(MemoryDirectory(), FORMAT_V4)
+    ref = _build(MemoryDirectory(), FORMAT_V5)
     for q in QUERIES:
         assert host_search(reader, q, k=20) == host_search(ref, q, k=20)
 
 
-@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4])
+@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4, FORMAT_V5])
 def test_segment_roundtrip_positions(version):
-    reader = _build(MemoryDirectory(), FORMAT_V4)
+    reader = _build(MemoryDirectory(), FORMAT_V5)
     seg = reader.segments[0].data
     blob = write_segment(seg, version=version)
     back = read_segment(blob)
@@ -70,7 +72,7 @@ def test_segment_roundtrip_positions(version):
 def test_unknown_format_rejected(monkeypatch):
     import iresearch_tpu.formats.segment_io as sio
 
-    reader = _build(MemoryDirectory(), FORMAT_V4)
+    reader = _build(MemoryDirectory(), FORMAT_V5)
     with pytest.raises(ValueError, match="cannot write"):
         write_segment(reader.segments[0].data, version="iresearch_tpu/9")
     # a validly-checksummed pack from a FUTURE version must be refused
@@ -84,7 +86,9 @@ def test_unknown_format_rejected(monkeypatch):
 
 
 @pytest.mark.parametrize(
-    "src,dst", [(FORMAT_V3, FORMAT_V4), (FORMAT_V4, FORMAT_V3)]
+    "src,dst", [(FORMAT_V3, FORMAT_V4), (FORMAT_V4, FORMAT_V3),
+     (FORMAT_V4, FORMAT_V5), (FORMAT_V5, FORMAT_V4),
+     (FORMAT_V3, FORMAT_V5), (FORMAT_V5, FORMAT_V3)]
 )
 def test_convert_cli_both_directions(tmp_path, src, dst):
     from iresearch_tpu.cli.index_convert import main as convert_main

@@ -86,6 +86,37 @@ def test_prepared_sharded_query(reader, searcher):
     assert_topk_equiv(a, want)
 
 
+def test_batched_wand_sharded(reader, searcher):
+    """SURVEY §2.11 items 1+2 combined: many queries stacked per
+    shard_map dispatch with per-query WAND θ — exact vs the host oracle
+    for term/Or/And/min_match/prefix/phrase under deletes."""
+    from tests.topk_util import assert_topk_equiv
+
+    queries = QUERIES + [
+        F.Or(*[F.ByTerm("body", w) for w in ("fox", "dog", "owl", "rat")]),
+        F.ByTerm("body", "quail"),
+    ]
+    prep = searcher.prepare_many(queries, BM25(), wand=True)
+    got = prep.top_k(10)
+    for flt, hits in zip(queries, got):
+        want = search_host(reader, flt, BM25(), k=10)
+        assert_topk_equiv(hits, want)
+    # repeat dispatch returns identical results (device-resident reuse)
+    again = prep.top_k(10)
+    assert got == again
+
+
+def test_batched_sharded_no_wand_matches_wand(reader, searcher):
+    prep_a = searcher.prepare_many(QUERIES[:5], BM25(), wand=False)
+    prep_b = searcher.prepare_many(QUERIES[:5], BM25(), wand=True)
+    a = prep_a.top_k(10)
+    b = prep_b.top_k(10)
+    for qa, qb in zip(a, b):
+        assert [d for d, _ in qa] == [d for d, _ in qb]
+        for (_, sa), (_, sb) in zip(qa, qb):
+            assert sa == pytest.approx(sb, rel=2e-5)
+
+
 def test_more_segments_than_devices(reader):
     """S > D exercises the per_shard loop."""
     from iresearch_tpu.parallel import ShardedSearcher, make_mesh
