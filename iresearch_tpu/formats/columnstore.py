@@ -115,19 +115,58 @@ class ColumnBuilder:
         return Column("sparse", docs, offsets, b"".join(self._chunks), num_docs)
 
 
+def column_parts(
+    col: Column, doc_map: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, bytes]:
+    """Vectorized (new_docs, value_lens, values_blob) of the surviving,
+    remapped docs of a column, ordered by new doc id — no per-doc Python.
+
+    ``doc_map`` maps old->new doc ids (-1 = dropped). Building blocks for
+    remap_column and the merge_writer column path (reference:
+    merge_writer.cpp column merge; a 1M-doc column remaps in numpy time,
+    not interpreter time)."""
+    old_docs = col.doc_ids()
+    nd = doc_map[old_docs.astype(np.int64)]
+    keep = nd >= 0
+    new_docs = nd[keep].astype(np.uint32)
+    order = np.argsort(new_docs, kind="stable")
+    new_docs = new_docs[order]
+    if col.kind == "mask" or col.offsets is None:
+        return new_docs, np.zeros(len(new_docs), np.int64), b""
+    lens_all = np.diff(col.offsets.astype(np.int64))
+    starts_all = col.offsets[:-1].astype(np.int64)
+    lens = lens_all[keep][order]
+    starts = starts_all[keep][order]
+    total = int(lens.sum())
+    if total == 0:
+        return new_docs, lens, b""
+    blob_arr = np.frombuffer(col.blob, np.uint8)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    blob = blob_arr[np.repeat(starts, lens) + within].tobytes()
+    return new_docs, lens, blob
+
+
+def column_from_parts(
+    docs: np.ndarray, lens: np.ndarray, blob: bytes, num_docs: int
+) -> Column:
+    """Assemble a Column from vectorized parts (docs ascending unique)."""
+    n = len(docs)
+    if len(blob) == 0 and (n == 0 or int(lens.max(initial=0)) == 0):
+        return Column("mask", docs.astype(np.uint32), None, b"", num_docs)
+    offsets = np.zeros(n + 1, np.uint64)
+    np.cumsum(lens.astype(np.uint64), out=offsets[1:])
+    if n == num_docs:
+        return Column("dense", None, offsets, blob, num_docs)
+    return Column("sparse", docs.astype(np.uint32), offsets, blob, num_docs)
+
+
 def remap_column(col: Column, doc_map: np.ndarray, new_num_docs: int) -> Column:
     """Rebuild a column under an old->new doc id mapping (-1 = dropped).
 
     Used by merge/consolidation (reference: merge_writer.cpp column merge).
+    Fully vectorized — no per-doc Python loop.
     """
-    b = ColumnBuilder("remap")
-    pairs = []
-    for doc, value in col.items():
-        nd = int(doc_map[doc])
-        if nd >= 0:
-            pairs.append((nd, value))
-    pairs.sort(key=lambda p: p[0])
-    for nd, value in pairs:
-        b.add(nd, value)
-    # preserve mask-ness for empty-valued columns
-    return b.build(new_num_docs)
+    docs, lens, blob = column_parts(col, doc_map)
+    return column_from_parts(docs, lens, blob, new_num_docs)

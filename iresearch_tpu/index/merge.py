@@ -15,7 +15,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from iresearch_tpu.formats.bitpack import BITS, unpack_blocks
-from iresearch_tpu.formats.columnstore import ColumnBuilder
+from iresearch_tpu.formats.columnstore import column_from_parts, column_parts
 from iresearch_tpu.formats.postings import FieldPostings, encode_field_postings
 from iresearch_tpu.formats.spec import BLOCK, NUM_CLASSES, TermCols
 from iresearch_tpu.index.segment import SegmentData, SegmentReader
@@ -132,26 +132,41 @@ def merge_segments(
         if merged is not None:
             out_fields[fname] = merged
 
-    # columns
+    # columns: vectorized remap + k-way concat + one argsort per column
+    # (reference: merge_writer.cpp column merge; no per-doc Python)
     col_names = sorted({n for sr in readers for n in sr.data.columns})
     out_columns = {}
     for cname in col_names:
-        cb = ColumnBuilder(cname)
-        any_value = False
-        pairs = []
+        part_docs, part_lens, part_blobs = [], [], []
         for sr, dmap in zip(readers, doc_maps):
             col = sr.data.columns.get(cname)
             if col is None:
                 continue
-            for doc, value in col.items():
-                nd = dmap[doc]
-                if nd >= 0:
-                    pairs.append((int(nd), value))
-                    any_value = any_value or bool(value)
-        pairs.sort(key=lambda p: p[0])
-        for nd, value in pairs:
-            cb.add(nd, value)
-        out_columns[cname] = cb.build(new_num_docs)
+            d, l, b = column_parts(col, dmap)
+            part_docs.append(d)
+            part_lens.append(l)
+            part_blobs.append(np.frombuffer(b, np.uint8))
+        docs = np.concatenate(part_docs) if part_docs else np.zeros(0, np.uint32)
+        lens = np.concatenate(part_lens) if part_lens else np.zeros(0, np.int64)
+        blob_arr = (
+            np.concatenate(part_blobs) if part_blobs else np.zeros(0, np.uint8)
+        )
+        order = np.argsort(docs, kind="stable")
+        starts = np.zeros(len(lens), np.int64)
+        if len(lens):
+            np.cumsum(lens[:-1], out=starts[1:])
+        lens_o = lens[order]
+        total = int(lens_o.sum())
+        if total:
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(lens_o) - lens_o, lens_o
+            )
+            blob = blob_arr[np.repeat(starts[order], lens_o) + within].tobytes()
+        else:
+            blob = b""
+        out_columns[cname] = column_from_parts(
+            docs[order], lens_o, blob, new_num_docs
+        )
 
     data = SegmentData(new_num_docs, out_fields, out_columns)
     if return_doc_maps:
