@@ -1,0 +1,111 @@
+"""Index-build throughput benchmark (reference: index-put, 8 indexer
+threads over the wikipedia line dump, utils/index-put.cpp:359-640;
+canonical run scripts/index-benchmark.sh).
+
+Builds a synthetic text corpus and measures docs/sec through the full
+IndexWriter pipeline (analyzer -> native term dict -> inversion -> block
+encode -> commit) with N indexer threads + a periodic committer, the
+reference's thread topology. Prints ONE json line like bench.py.
+
+Env: BUILD_DOCS (default 20000), BUILD_THREADS (default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+NUM_DOCS = int(os.environ.get("BUILD_DOCS", 20_000))
+THREADS = int(os.environ.get("BUILD_THREADS", 4))
+VOCAB = 30_000
+
+
+def main():
+    from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+    from iresearch_tpu.store.directory import MemoryDirectory
+    from iresearch_tpu.index.reader import DirectoryReader
+
+    rng = np.random.default_rng(7)
+    words = [f"t{i:06d}" for i in range(VOCAB)]
+    t0 = time.time()
+    docs = []
+    lens = rng.integers(40, 120, size=NUM_DOCS)
+    total = int(lens.sum())
+    tids = np.minimum(rng.zipf(1.25, size=total) - 1, VOCAB - 1)
+    off = 0
+    for n in lens:
+        docs.append(" ".join(words[t] for t in tids[off : off + n]))
+        off += n
+    log(f"corpus: {NUM_DOCS} docs, {total} tokens ({time.time()-t0:.1f}s)")
+
+    d = MemoryDirectory()
+    opts = IndexWriterOptions(invert_backend="numpy", segment_docs_max=1 << 20)
+    t1 = time.time()
+    with IndexWriter(d, opts) as w:
+        stop = threading.Event()
+
+        def committer():
+            # periodic commit (reference: commit thread every 10s; scaled)
+            while not stop.wait(2.0):
+                w.commit()
+
+        ct = threading.Thread(target=committer, daemon=True)
+        ct.start()
+        nxt = [0]
+        lock = threading.Lock()
+
+        def indexer():
+            while True:
+                with lock:
+                    i = nxt[0]
+                    if i >= NUM_DOCS:
+                        return
+                    nxt[0] = i + 50
+                hi = min(i + 50, NUM_DOCS)
+                with w.batch() as tx:
+                    for j in range(i, hi):
+                        tx.insert([
+                            Field("body", docs[j], analyzer="segmentation"),
+                            Field("id", str(j), index=True, store=True),
+                        ])
+
+        threads = [threading.Thread(target=indexer) for _ in range(THREADS)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stop.set()
+        ct.join()
+        w.commit()
+    build_s = time.time() - t1
+    r = DirectoryReader.open(d)
+    assert r.live_docs_count == NUM_DOCS
+    dps = NUM_DOCS / build_s
+    log(
+        f"indexed {NUM_DOCS} docs / {total} tokens in {build_s:.1f}s with "
+        f"{THREADS} indexer threads -> {dps:.0f} docs/s "
+        f"({total/build_s/1e6:.2f}M tokens/s), {len(r.segments)} segment(s)"
+    )
+    print(json.dumps({
+        "metric": "index_build_docs_per_sec",
+        "value": round(dps, 1),
+        "unit": "docs/sec",
+        # north star: >= reference CPU docs/sec (unmeasured in-image; the
+        # reference indexes ~5M enwiki docs in tens of minutes on 8
+        # threads ~ O(5-10k docs/s); track absolute here)
+        "vs_baseline": round(dps / 10_000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

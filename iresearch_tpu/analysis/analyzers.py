@@ -4,8 +4,8 @@ Reference: core/analysis/ — 13 registered analyzers configured from JSON
 (text_token_stream.cpp:944-971, ngram_token_stream.hpp:37-120,
 pipeline_token_stream.hpp:36, delimited_token_stream.hpp:37,
 minhash_token_stream.hpp:33-75, ...). The ``classification`` and
-``nearest_neighbors`` analyzers (fastText inference) are not provided;
-registering a model-backed analyzer is possible through ``register``.
+``nearest_neighbors`` analyzers (fastText-style model inference) live in
+analysis/embed.py — a TPU-first embedding classifier trained in JAX.
 
 Analyzers here are batch-oriented: ``tokenize(text)`` returns a token list;
 the writer converts to flat (tid, doc, pos) arrays for device inversion.
@@ -469,3 +469,32 @@ register(
         num_hashes=int(a.get("numHashes", 42)),
     ),
 )
+
+
+def _classification_factory(args: dict) -> Analyzer:
+    """Reference: classification_stream.hpp:37 — JSON args
+    model_location / top_k / threshold."""
+    from iresearch_tpu.analysis.embed import ClassificationAnalyzer, load_model
+
+    return ClassificationAnalyzer(
+        load_model(args["model_location"]),
+        SegmentationAnalyzer(),
+        top_k=int(args.get("top_k", 1)),
+        threshold=float(args.get("threshold", 0.0)),
+    )
+
+
+def _nearest_neighbors_factory(args: dict) -> Analyzer:
+    """Reference: nearest_neighbors_stream.hpp:38 — JSON args
+    model_location / top_k."""
+    from iresearch_tpu.analysis.embed import NearestNeighborsAnalyzer, load_model
+
+    return NearestNeighborsAnalyzer(
+        load_model(args["model_location"]),
+        SegmentationAnalyzer(),
+        top_k=int(args.get("top_k", 1)),
+    )
+
+
+register("classification", _classification_factory)
+register("nearest_neighbors", _nearest_neighbors_factory)

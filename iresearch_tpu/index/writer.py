@@ -52,6 +52,10 @@ class Field:
     # FREQ/POS/OFFS/PAY, index_features.hpp:40); OFFS stores token source
     # offsets, PAY stores Token.payload bytes
     features: IndexFeatures = IndexFeatures.FREQ | IndexFeatures.POS
+    # named FeatureWriters to emit as per-field columns at flush
+    # (reference: FeatureWriterFactory via IndexWriterOptions::features,
+    # index_features.hpp:68-87; built-ins "norm"/"norm2", norm.hpp:46-198)
+    feature_columns: Sequence[str] = ()
 
 
 def _stored_bytes(value: Any) -> bytes:
@@ -97,7 +101,7 @@ class IndexWriterOptions:
 class _PendingField:
     __slots__ = (
         "terms", "tok_tid", "tok_doc", "tok_pos", "doc_pos", "chunks",
-        "features", "tok_ostart", "tok_oend", "tok_pay",
+        "features", "tok_ostart", "tok_oend", "tok_pay", "feature_columns",
     )
 
     def __init__(self) -> None:
@@ -117,6 +121,8 @@ class _PendingField:
         self.tok_ostart: List[int] = []
         self.tok_oend: List[int] = []
         self.tok_pay: List[bytes] = []
+        # named FeatureWriters requested for this field (union over docs)
+        self.feature_columns: set = set()
 
     def streams(self):
         """Concatenated (tid, doc, pos) arrays in (doc asc, pos asc) order.
@@ -186,6 +192,7 @@ class _PendingSegment:
                     pf = self.fields[f.name] = _PendingField()
                 analyzer = analyzers(f.analyzer)
                 pf.features |= f.features
+                pf.feature_columns.update(f.feature_columns)
                 pos = pf.doc_pos.get(doc, 0)
                 base_pos = pos
                 text = f.value if isinstance(f.value, str) else str(f.value)
@@ -352,6 +359,21 @@ class _PendingSegment:
                 name: remap_column(col, doc_map, self.num_docs)
                 for name, col in columns.items()
             }
+        # FeatureWriter columns (reference: FeatureWriterFactory per field,
+        # index_features.hpp:68-87): built from post-sort doc lengths, so
+        # no remap needed
+        for name, pf in self.fields.items():
+            if pf.feature_columns:
+                from iresearch_tpu.index.features import build_feature_columns
+
+                columns.update(
+                    build_feature_columns(
+                        name,
+                        sorted(pf.feature_columns),
+                        out_fields[name].norms,
+                        self.num_docs,
+                    )
+                )
         return SegmentData(self.num_docs, out_fields, columns)
 
 

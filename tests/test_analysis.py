@@ -181,3 +181,76 @@ class TestPipelineAndRegistry:
         s1 = a.terms("the quick brown fox jumps")
         s2 = a.terms("the quick brown fox jumps")
         assert s1 == s2 and len(s1) <= 8
+
+
+def test_classification_and_nearest_neighbors(tmp_path):
+    """fastText-family analyzers (reference: classification_stream.hpp:37,
+    nearest_neighbors_stream.hpp:38): train a tiny supervised embedding
+    model in JAX, persist it, and drive both analyzers through the JSON
+    registry with the reference's parameter names."""
+    from iresearch_tpu.analysis import analyzers as A
+    from iresearch_tpu.analysis.embed import load_model, train_supervised
+
+    texts = [
+        [b"good", b"great", b"awesome"],
+        [b"bad", b"awful", b"terrible"],
+        [b"great", b"nice", b"good"],
+        [b"terrible", b"bad", b"poor"],
+    ] * 4
+    labels = [b"__label__pos", b"__label__neg"] * 8
+    m = train_supervised(texts, labels, dim=8, epochs=150, buckets=1 << 12)
+    (lbl, p), = m.predict([b"good", b"nice"], k=1)
+    assert lbl == b"__label__pos" and p > 0.5
+    (lbl2, _), = m.predict([b"awful", b"poor"], k=1)
+    assert lbl2 == b"__label__neg"
+    # neighbours of "good" are its co-occurring positives
+    nn = [w for w, _s in m.nearest(b"good", k=2)]
+    assert set(nn) <= {b"great", b"nice", b"awesome"}
+
+    path = str(tmp_path / "model.npz")
+    m.save(path)
+    m2 = load_model(path)
+    assert m2.predict([b"good"], k=1)[0][0] == b"__label__pos"
+
+    clf = A.get("classification", {"model_location": path, "top_k": 1})
+    assert clf.terms("a good nice day") == [b"__label__pos"]
+    # threshold filters low-confidence labels
+    strict = A.get(
+        "classification", {"model_location": path, "top_k": 2, "threshold": 0.99}
+    )
+    assert len(strict.terms("good bad")) <= 1
+    nna = A.get("nearest_neighbors", {"model_location": path, "top_k": 1})
+    toks = nna.tokenize("good bad")
+    assert len(toks) == 2
+    assert toks[0].position == 0 and toks[1].position == 1
+
+
+def test_classification_analyzer_indexes(tmp_path):
+    """End-to-end: label tokens from the classification analyzer are
+    searchable like any other field tokens."""
+    from iresearch_tpu.analysis.embed import train_supervised
+    from iresearch_tpu.index.reader import DirectoryReader
+    from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+    from iresearch_tpu.search import filters as F
+    from iresearch_tpu.search.host_eval import search
+    from iresearch_tpu.store.directory import MemoryDirectory
+
+    texts = [[b"good", b"great"], [b"bad", b"awful"]] * 6
+    labels = [b"pos", b"neg"] * 6
+    m = train_supervised(texts, labels, dim=8, epochs=120, buckets=1 << 12)
+    path = str(tmp_path / "m.npz")
+    m.save(path)
+
+    from iresearch_tpu.analysis import analyzers as A
+
+    clf = A.get("classification", {"model_location": path, "top_k": 1})
+    d = MemoryDirectory()
+    with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
+        w.insert([Field("sentiment", "a good great day", analyzer=clf)])
+        w.insert([Field("sentiment", "bad awful times", analyzer=clf)])
+        w.commit()
+    r = DirectoryReader.open(d)
+    hits = search(r, F.ByTerm("sentiment", "pos"), k=5)
+    assert [h[0] for h in hits] == [0]
+    hits = search(r, F.ByTerm("sentiment", "neg"), k=5)
+    assert [h[0] for h in hits] == [1]
