@@ -98,7 +98,9 @@ def _run_batch(
             rowsets_b, leaf_min_b
         )
     masked = jnp.where(match, score, _NEG_INF)
-    vals, docs = lax.top_k(masked, k)  # [Q, k]
+    from iresearch_tpu.ops.topk import wide_top_k
+
+    vals, docs = wide_top_k(masked, k)  # [Q, k]
     return vals, docs
 
 

@@ -53,7 +53,9 @@ def topk_docs(masked, doc_arr, k: int):
     import jax.numpy as jnp
     from jax import lax
 
-    vals, idx = lax.top_k(masked, k)
+    from iresearch_tpu.ops.topk import wide_top_k
+
+    vals, idx = wide_top_k(masked, k)
     docs0 = doc_arr[idx]
     if k == 1:
         # single winner: smallest doc among max-score ties
@@ -63,7 +65,7 @@ def topk_docs(masked, doc_arr, k: int):
     tie_out = vals == thetak  # trailing run of the sorted top-k values
     tie_key = jnp.where(masked == thetak, doc_arr, jnp.int32(_IMAX32))
     # k smallest tie docs, ascending
-    small_ties = -lax.top_k(-tie_key, k)[0]
+    small_ties = -wide_top_k(-tie_key, k)[0]
     tie_rank = jnp.cumsum(tie_out.astype(jnp.int32)) - 1
     out_docs = jnp.where(
         tie_out, small_ties[jnp.maximum(tie_rank, 0)], docs0
@@ -324,7 +326,9 @@ def wand_theta(
             pools, sorted_sets, avgdl, gbits, scorer, slicer
         )
         pm = m if alive is None else m & alive[docs]
-        theta = lax.top_k(jnp.where(pm, sc, _NEG_INF), k)[0][k - 1]
+        from iresearch_tpu.ops.topk import wide_top_k
+
+        theta = wide_top_k(jnp.where(pm, sc, _NEG_INF), k)[0][k - 1]
     else:  # sort-compact partial fold
         vals, _docs = sorted_topk(
             pools, sorted_sets, avgdl, leaf_min, alive,

@@ -29,6 +29,7 @@ import numpy as np
 
 from iresearch_tpu.exec.plan import PlanCompiler, SegmentPlan
 from iresearch_tpu.formats.bitpack import BITS
+from iresearch_tpu.ops.topk import wide_top_k
 from iresearch_tpu.search import filters as F
 from iresearch_tpu.search.host_eval import HostQuery
 from iresearch_tpu.search.scorers import BM25, Scorer, score_block
@@ -208,7 +209,7 @@ def wand_body(
             r[: min(sample, r.shape[0])] for r in rs[:5]
         ),
     )
-    theta = lax.top_k(jnp.where(pm, ps, _NEG_INF), k)[0][k - 1]
+    theta = wide_top_k(jnp.where(pm, ps, _NEG_INF), k)[0][k - 1]
     # Safety margin: the sampled pass sums contributions in a different
     # order than the full pass, so θ can sit a few ulp above the true
     # k-th score; shave a relative epsilon so no true top-k block is
@@ -231,7 +232,7 @@ def wand_body(
         )
 
     match, score = fold_pass(sorted_sets, prune)
-    vals, docs = lax.top_k(jnp.where(match, score, _NEG_INF), k)
+    vals, docs = wide_top_k(jnp.where(match, score, _NEG_INF), k)
     return vals, docs
 
 
@@ -406,7 +407,7 @@ def _run_segment(
         nd=nd,
     )
     masked = jnp.where(match, score, _NEG_INF)
-    vals, docs = lax.top_k(masked, k)
+    vals, docs = wide_top_k(masked, k)
     return vals, docs
 
 

@@ -107,7 +107,9 @@ def _sharded_topk(
                 nd=nd,
             )
             masked = jnp.where(match, score, _NEG_INF)
-            v, d = lax.top_k(masked, k)
+            from iresearch_tpu.ops.topk import wide_top_k
+
+            v, d = wide_top_k(masked, k)
             vals_l.append(v)
             docs_l.append(d + base_l[s])
         vals = jnp.concatenate(vals_l)
@@ -616,7 +618,9 @@ def _sharded_topk_batch(
                     alive_s, tree=tree, gbits=gbits, scorer=scorer,
                     num_leaves=num_leaves, nd=nd,
                 )
-                return lax.top_k(jnp.where(match, score, _NEG_INF), k)
+                from iresearch_tpu.ops.topk import wide_top_k
+
+                return wide_top_k(jnp.where(match, score, _NEG_INF), k)
 
             if has_aux:
                 v, d = jax.vmap(one)(
