@@ -37,6 +37,46 @@ def _pow2(n: int) -> int:
     return p
 
 
+# per-dispatch live-lane budget: a vmapped batch materializes
+# Q x width lanes of intermediates (~24 B each); at 5M docs an 80-query
+# vmap wants >10 GB of HBM and fails to compile. Chunking trades pure
+# vmap parallelism for bounded peak memory: lax.map over sub-batches of
+# `chunk` queries, still ONE dispatch. 2^25 lanes ~= 0.8 GB live.
+_BATCH_LANE_BUDGET = int(
+    __import__("os").environ.get("IRS_BATCH_LANE_BUDGET", str(1 << 25))
+)
+
+
+def _chunked_vmap(one, xs, q: int, width: int):
+    """vmap(one)(xs) when it fits; otherwise lax.map of chunk-wide vmaps.
+
+    ``one`` takes the xs pytree sliced to one query and returns a pytree
+    of per-query outputs (small: top-k sized). Chunk padding repeats the
+    last query; padded outputs are dropped."""
+    import jax.numpy as jnp
+    from jax import lax, tree_util
+
+    chunk = max(1, min(q, _BATCH_LANE_BUDGET // max(1, width)))
+    if chunk >= q:
+        return jax.vmap(one)(xs)
+    nq = -(-q // chunk)
+    pad = nq * chunk - q
+    if pad:
+        xs = tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
+            ),
+            xs,
+        )
+    xs_c = tree_util.tree_map(
+        lambda a: a.reshape((nq, chunk) + a.shape[1:]), xs
+    )
+    out = lax.map(lambda x: jax.vmap(one)(x), xs_c)
+    return tree_util.tree_map(
+        lambda a: a.reshape((nq * chunk,) + a.shape[2:])[:q], out
+    )
+
+
 def _bucket4(n: int) -> int:
     """Row-count bucket at 4x granularity: queries within one bucket batch
     into one dispatch (row padding <=4x, dwarfed by per-dispatch cost),
@@ -50,7 +90,8 @@ def _bucket4(n: int) -> int:
 @partial(
     jax.jit,
     static_argnames=(
-        "tree", "gbits", "scorer", "num_leaves", "k", "nd", "has_aux"
+        "tree", "gbits", "scorer", "num_leaves", "k", "nd", "has_aux",
+        "dense_static",
     ),
 )
 def _run_batch(
@@ -61,6 +102,8 @@ def _run_batch(
     aux_match_b,  # bool [Q, A, nd] or None
     aux_score_b,  # f32 [Q, A, nd] or None
     alive,  # bool [nd] — shared
+    dense_shared=(),  # per dense span: (pool, norms, avgdl) — shared
+    dense_dyn=(),  # per dense span: (start [Q], w [Q]) — per query
     *,
     tree,
     gbits,
@@ -69,12 +112,20 @@ def _run_batch(
     k: int,
     nd: int,
     has_aux: bool,
+    dense_static=(),
 ):
     import jax.numpy as jnp
     from jax import lax
 
-    def one(rowsets, leaf_min, aux_m, aux_s):
-        return segment_body(
+    from iresearch_tpu.ops.topk import wide_top_k
+
+    def one(xs):
+        rowsets, leaf_min, aux_m, aux_s, ddyn = xs
+        dense_args = tuple(
+            (sh[0], dd[0], dd[1], sh[1], sh[2])
+            for sh, dd in zip(dense_shared, ddyn)
+        )
+        match, score = segment_body(
             pools,
             rowsets,
             avgdl,
@@ -87,21 +138,24 @@ def _run_batch(
             scorer=scorer,
             num_leaves=num_leaves,
             nd=nd,
+            dense_args=dense_args,
+            dense_static=dense_static,
         )
+        # top-k inside the per-query body: the chunked map then only
+        # keeps [chunk, nd] intermediates live, never [Q, nd]
+        return wide_top_k(jnp.where(match, score, _NEG_INF), k)
 
-    if has_aux:
-        match, score = jax.vmap(one)(
-            rowsets_b, leaf_min_b, aux_match_b, aux_score_b
-        )
-    else:
-        match, score = jax.vmap(lambda r, lm: one(r, lm, None, None))(
-            rowsets_b, leaf_min_b
-        )
-    masked = jnp.where(match, score, _NEG_INF)
-    from iresearch_tpu.ops.topk import wide_top_k
-
-    vals, docs = wide_top_k(masked, k)  # [Q, k]
-    return vals, docs
+    q = leaf_min_b.shape[0]
+    xs = (
+        rowsets_b,
+        leaf_min_b,
+        aux_match_b if has_aux else None,
+        aux_score_b if has_aux else None,
+        dense_dyn,
+    )
+    width = nd * max(1, num_leaves)
+    vals, docs = _chunked_vmap(one, xs, q, width)
+    return vals, docs  # [Q, k]
 
 
 @partial(
@@ -134,7 +188,8 @@ def _run_batch_candidates(
     work ∝ Q × postings, independent of corpus size."""
     from iresearch_tpu.exec.candidates import candidate_body
 
-    def one(rowsets, leaf_min, nreal):
+    def one(xs):
+        rowsets, leaf_min, nreal = xs
         return candidate_body(
             pools,
             rowsets,
@@ -154,13 +209,24 @@ def _run_batch_candidates(
             sample=sample,
         )
 
-    return jax.vmap(one)(rowsets_b, leaf_min_b, nreal_b)
+    q = leaf_min_b.shape[0]
+    # per-query live width in ~24B lane units: sort carries ~6 operands
+    # per decoded lane; join materializes [P_driver, 128] probe blocks
+    # per probed span
+    lanes = sum(rs[0].shape[-1] * 128 for rs in rowsets_b)
+    if mode == "join":
+        pd = rowsets_b[driver_gi][0].shape[-1] * 128
+        width = pd * 64 * max(1, len(rowsets_b) - 1)
+    else:
+        width = lanes * (6 if mode == "sort" else 2)
+    return _chunked_vmap(one, (rowsets_b, leaf_min_b, nreal_b), q, width)
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample"
+        "tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample",
+        "dense_static",
     ),
 )
 def _run_batch_wand(
@@ -169,6 +235,8 @@ def _run_batch_wand(
     avgdl,  # f32 [G]
     leaf_min_b,  # i32 [Q, L]
     alive,  # bool [nd]
+    dense_shared=(),  # per dense span: (pool, norms, avgdl) — shared
+    dense_dyn=(),  # per dense span: (start [Q], w [Q], ub [Q,ndrows], other [Q])
     *,
     tree,
     gbits,
@@ -177,10 +245,16 @@ def _run_batch_wand(
     k: int,
     nd: int,
     sample: int,
+    dense_static=(),
 ):
     """Vmapped block-max WAND: per-query θ and pruning in one dispatch."""
 
-    def one(rowsets, leaf_min):
+    def one(xs):
+        rowsets, leaf_min, ddyn = xs
+        dense_args = tuple(
+            (sh[0], dd[0], dd[1], sh[1], sh[2], dd[2], dd[3])
+            for sh, dd in zip(dense_shared, ddyn)
+        )
         return wand_body(
             pools,
             rowsets,
@@ -194,9 +268,17 @@ def _run_batch_wand(
             k=k,
             nd=nd,
             sample=sample,
+            dense_args=dense_args,
+            dense_static=dense_static,
         )
 
-    return jax.vmap(one)(rowsets_b, leaf_min_b)
+    q = leaf_min_b.shape[0]
+    return _chunked_vmap(
+        one,
+        (rowsets_b, leaf_min_b, dense_dyn),
+        q,
+        nd * max(1, num_leaves) * 2,  # two fold passes live per query
+    )
 
 
 class QueryBatch:
@@ -266,19 +348,25 @@ class QueryBatch:
                 p.num_leaves,
                 tuple((g.field_name, g.dcls, g.fcls, g.ncls) for g in p.groups),
                 0 if p.aux_match is None else p.aux_match.shape[0],
-                bool(p.groups) and p.groups[0].ub is not None,
+                (bool(p.groups) and p.groups[0].ub is not None)
+                or any(d.ub is not None for d in p.dense_spans),
                 p.exec_mode,
                 p.driver_gi,
                 p.driver_leaf,
                 # bucketed row counts join the signature (see _bucket4)
                 tuple(_bucket4(len(g.rows_d)) for g in p.groups),
+                # dense-grid spans: shared pool identity + leaf wiring
+                tuple(
+                    (d.field_name, d.cls, d.leaf, d.ndrows)
+                    for d in p.dense_spans
+                ),
             )
             groups_by_sig[sig].append(qi)
 
         calls = []
         for sig, qis in groups_by_sig.items():
             tree, num_leaves, gkeys, A, use_wand, exec_mode, driver_gi, \
-                driver_leaf, _buckets = sig
+                driver_leaf, _buckets, dkeys = sig
             reps = [plans[qi] for qi in qis]
             Q = len(qis)
             nd = reps[0].nd_pad
@@ -377,6 +465,36 @@ class QueryBatch:
                     asc[j] = p.aux_score
             else:
                 am = asc = None
+            # dense-grid spans: pool/norms shared; start/w (+ub/other for
+            # WAND) stack along the query axis
+            dense_shared = []
+            dense_dyn = []
+            dense_static = []
+            for di, (fname, cls, leaf, ndrows) in enumerate(dkeys):
+                dfield = sr.device_field(fname)
+                cache = sr.dense_cache(fname)
+                dense_shared.append(
+                    (
+                        dfield.dense_words(cache, cls),
+                        dfield.norms,
+                        np.float32(reps[0].dense_spans[di].avgdl),
+                    )
+                )
+                starts = np.asarray(
+                    [p.dense_spans[di].start for p in reps], np.int32
+                )
+                ws = np.asarray(
+                    [p.dense_spans[di].w for p in reps], np.float32
+                )
+                if use_wand:
+                    ub = np.stack([p.dense_spans[di].ub for p in reps])
+                    other = np.asarray(
+                        [p.dense_spans[di].other for p in reps], np.float32
+                    )
+                    dense_dyn.append((starts, ws, ub, other))
+                else:
+                    dense_dyn.append((starts, ws))
+                dense_static.append((BITS[cls], leaf, ndrows))
             if use_wand:
                 args = (
                     tuple(pools),
@@ -384,6 +502,8 @@ class QueryBatch:
                     reps[0].group_avgdl,
                     np.stack([p.leaf_min_match for p in reps]),
                     sr.device().alive,
+                    tuple(dense_shared),
+                    tuple(dense_dyn),
                 )
                 kwargs = dict(
                     tree=tree,
@@ -393,6 +513,7 @@ class QueryBatch:
                     k=min(k, nd),
                     nd=nd,
                     sample=self.wand_sample,
+                    dense_static=tuple(dense_static),
                 )
                 calls.append((qis, args, kwargs, _run_batch_wand))
                 continue
@@ -404,6 +525,8 @@ class QueryBatch:
                 am,
                 asc,
                 sr.device().alive,
+                tuple(dense_shared),
+                tuple(dense_dyn),
             )
             kwargs = dict(
                 tree=tree,
@@ -413,6 +536,7 @@ class QueryBatch:
                 k=min(k, nd),
                 nd=nd,
                 has_aux=bool(A),
+                dense_static=tuple(dense_static),
             )
             calls.append((qis, args, kwargs, _run_batch))
         return PreparedBatch(len(plans), calls)

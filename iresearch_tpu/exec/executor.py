@@ -141,6 +141,31 @@ def _group_contrib(
     return docs, sc, f > 0
 
 
+def _dense_contrib(dargs, dstat, scorer, nd, jnp, keep=None):
+    """One dense-grid span's (score, match) over the [nd] doc axis.
+
+    The span's freqs live in grid order (formats/dense.py): rows
+    [start, start+ndrows) of its class pool unpack to [ndrows, 128] =
+    the doc axis — placement is the identity, so the contribution is a
+    sequential unpack + elementwise score at HBM stream speed. ``keep``
+    optionally masks rows (WAND pruning — monotone-safe: masking can
+    only shrink matches and scores)."""
+    from jax import lax
+
+    from iresearch_tpu.formats.bitpack import unpack_jnp
+
+    pool, start, w, norms_g, avgdl_d = dargs[:5]
+    bits, _leaf, ndrows = dstat
+    words = lax.dynamic_slice_in_dim(pool, start, ndrows)
+    freq = unpack_jnp(words, bits).astype(jnp.float32)  # [ndrows, 128]
+    if keep is not None:
+        freq = freq * keep[:, None].astype(jnp.float32)
+    f = freq.reshape(nd)
+    sc = score_block(scorer, w, f, norms_g, avgdl_d, xp=jnp)
+    m = f > 0
+    return jnp.where(m, sc, 0.0), m
+
+
 def wand_body(
     pools,  # tuple per group: (doc_words, freq_words, base, norms)
     rowsets,  # tuple per group: (rows_d, rows_f, w, leaf, ub, other) each [R]
@@ -155,6 +180,8 @@ def wand_body(
     k: int,
     nd: int,
     sample: int,
+    dense_args=(),  # per dense span: (pool, start, w, norms, avgdl, ub, other)
+    dense_static=(),  # per dense span: (bits, leaf, ndrows) — static
 ):
     """Block-max WAND top-k for sum-merged positive boolean trees.
 
@@ -173,7 +200,7 @@ def wand_body(
     import jax.numpy as jnp
     from jax import lax
 
-    def fold_pass(sets, slicer):
+    def fold_pass(sets, slicer, dense_keep):
         leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
         leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
         for gi, (pool, rs) in enumerate(zip(pools, sets)):
@@ -187,6 +214,12 @@ def wand_body(
             leaf_count = leaf_count.at[leaf_ix, docs].add(
                 m.astype(jnp.int32), mode="drop"
             )
+        for di, (dargs, dstat) in enumerate(zip(dense_args, dense_static)):
+            sc, m = _dense_contrib(
+                dargs, dstat, scorer, nd, jnp, keep=dense_keep(di, dargs)
+            )
+            leaf_score = leaf_score.at[dstat[1]].add(sc)
+            leaf_count = leaf_count.at[dstat[1]].add(m.astype(jnp.int32))
         leaf_match = leaf_count >= leaf_min[:, None]
         leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
         match, score = _fold_tree(
@@ -202,12 +235,22 @@ def wand_body(
              leaf[order], ub[order], other[order])
         )
 
-    # phase 1: θ from the highest-bound `sample` blocks of each group
+    # phase 1: θ from the highest-bound `sample` blocks of each group.
+    # Dense spans mask to their top-`sample` rows by row upper bound
+    # (ties keep extra rows — more sampled decode only tightens θ, which
+    # stays a lower bound of the true k-th)
+    def dense_sample_keep(di, dargs):
+        ub = dargs[5]
+        s = min(sample, ub.shape[0])
+        thresh = lax.top_k(ub, s)[0][s - 1]
+        return ub >= thresh
+
     pm, ps = fold_pass(
         sorted_sets,
         lambda rs: tuple(
             r[: min(sample, r.shape[0])] for r in rs[:5]
         ),
+        dense_sample_keep,
     )
     theta = wide_top_k(jnp.where(pm, ps, _NEG_INF), k)[0][k - 1]
     # Safety margin: the sampled pass sums contributions in a different
@@ -231,14 +274,21 @@ def wand_body(
             leaf,
         )
 
-    match, score = fold_pass(sorted_sets, prune)
+    match, score = fold_pass(
+        sorted_sets,
+        prune,
+        lambda di, dargs: (dargs[5] + dargs[6]) >= theta,
+    )
     vals, docs = wide_top_k(jnp.where(match, score, _NEG_INF), k)
     return vals, docs
 
 
 @partial(
     jax.jit,
-    static_argnames=("tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample"),
+    static_argnames=(
+        "tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample",
+        "dense_static",
+    ),
 )
 def _run_segment_wand(
     pools,
@@ -246,6 +296,7 @@ def _run_segment_wand(
     avgdl,
     leaf_min,
     alive,
+    dense_args=(),
     *,
     tree,
     gbits,
@@ -254,6 +305,7 @@ def _run_segment_wand(
     k: int,
     nd: int,
     sample: int,
+    dense_static=(),
 ):
     return wand_body(
         pools,
@@ -268,6 +320,8 @@ def _run_segment_wand(
         k=k,
         nd=nd,
         sample=sample,
+        dense_args=dense_args,
+        dense_static=dense_static,
     )
 
 
@@ -334,6 +388,8 @@ def segment_body(
     scorer: Scorer,
     num_leaves: int,
     nd: int,
+    dense_args=(),  # per dense span: (pool, start, w, norms, avgdl)
+    dense_static=(),  # per dense span: (bits, leaf, ndrows) — static
 ):
     """Dense (match, score) over one segment's padded doc axis.
 
@@ -358,6 +414,10 @@ def segment_body(
         leaf_count = leaf_count.at[leaf_ix, docs].add(
             matched.astype(jnp.int32), mode="drop"
         )
+    for dargs, dstat in zip(dense_args, dense_static):
+        sc, m = _dense_contrib(dargs, dstat, scorer, nd, jnp)
+        leaf_score = leaf_score.at[dstat[1]].add(sc)
+        leaf_count = leaf_count.at[dstat[1]].add(m.astype(jnp.int32))
 
     leaf_match = leaf_count >= leaf_min[:, None]
     leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
@@ -371,7 +431,9 @@ def segment_body(
 
 @partial(
     jax.jit,
-    static_argnames=("tree", "gbits", "scorer", "num_leaves", "k", "nd"),
+    static_argnames=(
+        "tree", "gbits", "scorer", "num_leaves", "k", "nd", "dense_static"
+    ),
 )
 def _run_segment(
     pools,
@@ -381,6 +443,7 @@ def _run_segment(
     aux_match,
     aux_score,
     alive,
+    dense_args=(),
     *,
     tree,
     gbits,
@@ -388,6 +451,7 @@ def _run_segment(
     num_leaves: int,
     k: int,
     nd: int,
+    dense_static=(),
 ):
     import jax.numpy as jnp
     from jax import lax
@@ -405,6 +469,8 @@ def _run_segment(
         scorer=scorer,
         num_leaves=num_leaves,
         nd=nd,
+        dense_args=dense_args,
+        dense_static=dense_static,
     )
     masked = jnp.where(match, score, _NEG_INF)
     vals, docs = wide_top_k(masked, k)
@@ -509,6 +575,25 @@ class DeviceQuery:
             ]
         avgdl_j = jnp.asarray(plan.group_avgdl)
         leafmin_j = jnp.asarray(plan.leaf_min_match)
+        # dense-grid spans (plan.dense_spans): pool upload is lazy and
+        # shared per (field, class); per-span scalars ride the pytree
+        dense_args = []
+        dense_static = []
+        for ds in plan.dense_spans:
+            dfield = sr.device_field(ds.field_name)
+            cache = sr.dense_cache(ds.field_name)
+            pool = dfield.dense_words(cache, ds.cls)
+            args = (
+                pool,
+                jnp.int32(ds.start),
+                jnp.float32(ds.w),
+                dfield.norms,
+                jnp.float32(ds.avgdl),
+            )
+            if ds.ub is not None:
+                args = args + (jnp.asarray(ds.ub), jnp.float32(ds.other))
+            dense_args.append(args)
+            dense_static.append((BITS[ds.cls], ds.leaf, ds.ndrows))
         return (
             tuple(pools),
             tuple(rowsets),
@@ -518,6 +603,8 @@ class DeviceQuery:
             dseg.alive,
             avgdl_j,
             leafmin_j,
+            tuple(dense_args),
+            tuple(dense_static),
         )
 
     def execute_segment(self, seg_idx: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -542,9 +629,13 @@ class DeviceQuery:
             alive,
             avgdl_j,
             leafmin_j,
+            dense_args,
+            dense_static,
         ) = self._device_inputs(plan)
         kk = min(k, plan.nd_pad)
-        wand_on = bool(plan.groups) and plan.groups[0].ub is not None
+        wand_on = (bool(plan.groups) and plan.groups[0].ub is not None) or any(
+            ds.ub is not None for ds in plan.dense_spans
+        )
         if plan.exec_mode != "dense":
             import jax.numpy as jnp
 
@@ -588,6 +679,7 @@ class DeviceQuery:
                 avgdl_j,
                 leafmin_j,
                 alive,
+                dense_args,
                 tree=plan.tree,
                 gbits=gbits,
                 scorer=self.scorer,
@@ -595,6 +687,7 @@ class DeviceQuery:
                 k=kk,
                 nd=plan.nd_pad,
                 sample=self.wand_sample,
+                dense_static=dense_static,
             )
             return vals, docs
         vals, docs = _run_segment(
@@ -605,12 +698,14 @@ class DeviceQuery:
             am,
             asc,
             alive,
+            dense_args,
             tree=plan.tree,
             gbits=gbits,
             scorer=self.scorer,
             num_leaves=plan.num_leaves,
             k=kk,
             nd=plan.nd_pad,
+            dense_static=dense_static,
         )
         return vals, docs
 

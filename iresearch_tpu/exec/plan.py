@@ -69,6 +69,9 @@ def _pow2(n: int) -> int:
 SORT_MAX_RATIO = float(os.environ.get("IRS_SORT_MAX_RATIO", "64.0"))
 JOIN_MAX_RATIO = float(os.environ.get("IRS_JOIN_MAX_RATIO", "64.0"))
 JOIN_MAX_SPANS = int(os.environ.get("IRS_JOIN_MAX_SPANS", "8"))
+# grid-order execution of high-df terms (formats/dense.py): a dense span
+# contributes elementwise on the [nd] grid with no sort/scatter at all
+USE_DENSE_TERMS = os.environ.get("IRS_DENSE_TERMS", "1") != "0"
 
 
 def _wand_tree_ok(tree) -> bool:
@@ -130,6 +133,28 @@ class RowGroup:
 
 
 @dataclass
+class DenseSpan:
+    """One high-df term served from the doc-grid cache (formats/dense.py).
+
+    The executor streams rows [start, start+ndrows) of the field's dense
+    pool of class ``cls`` — a sequential unpack + elementwise score over
+    the [nd_pad] grid, placed for free (grid order IS doc order)."""
+
+    field_name: str
+    cls: int
+    start: int
+    ndrows: int
+    w: float
+    leaf: int
+    tid: int
+    # index-wide avgdl of the field (shared prepare — must match the
+    # sparse path's group_avgdl, NOT the segment-local average)
+    avgdl: float = 1.0
+    ub: Optional[np.ndarray] = None  # f32 [ndrows] WAND row upper bounds
+    other: float = 0.0  # sum of other spans' max ub (WAND)
+
+
+@dataclass
 class SegmentPlan:
     """Everything the executor needs for one segment, host-side numpy."""
 
@@ -154,6 +179,7 @@ class SegmentPlan:
     exec_mode: str = "dense"
     driver_gi: int = -1  # group index of the join driver (mode == "join")
     driver_leaf: int = -1
+    dense_spans: Tuple[DenseSpan, ...] = ()
 
     def signature(self) -> tuple:
         """Hashable jit cache key component (shapes drive the rest)."""
@@ -168,6 +194,10 @@ class SegmentPlan:
             self.exec_mode,
             self.driver_gi,
             self.driver_leaf,
+            tuple(
+                (d.field_name, d.cls, d.leaf, d.ndrows, d.ub is not None)
+                for d in self.dense_spans
+            ),
         )
 
 
@@ -192,6 +222,7 @@ class PlanCompiler:
         device_phrase: bool = True,
         modes: bool = True,  # False: force the dense tier (exec_mode="dense")
         force_mode: Optional[str] = None,  # "sort"|"dense": override tier
+        dense: bool = True,  # False: never use the dense-term grid cache
     ) -> SegmentPlan:
         sr = self.prepared.segments[seg_idx]
         self._sr = sr
@@ -204,6 +235,18 @@ class PlanCompiler:
         tree = self._walk(flt, 1.0)
         nd = sr.num_docs
         nd_pad = pad_docs(nd)
+
+        # high-df terms with a grid representation (formats/dense.py):
+        # eligible spans execute elementwise on the [nd] grid under the
+        # dense tier — no sort, no scatter. The sharded batch path stacks
+        # plans across shards whose dense sets differ, so it opts out.
+        self._elig: Dict[Tuple[tuple, int], tuple] = {}
+        if USE_DENSE_TERMS and dense and force_mode != "sort":
+            for key, spans in self._groups.items():
+                for si, s in enumerate(spans):
+                    info = sr.dense_span(key[0], s[6])
+                    if info is not None:
+                        self._elig[(key, si)] = info
 
         # scale-proportional tier selection (exec/candidates.py): pick the
         # cheapest exact executor for this tree/postings shape
@@ -254,6 +297,33 @@ class PlanCompiler:
                 new_groups[key[:4] + (i + 1,)] = [span]
             self._groups = new_groups
 
+        # dense-term extraction: under the dense (grid-fold) tier, spans
+        # with a grid representation leave the row groups and stream
+        # elementwise instead (exec/executor.py dense_spans path)
+        dense_spans: List[DenseSpan] = []
+        if exec_mode == "dense" and self._elig:
+            new_groups: Dict[tuple, List[tuple]] = {}
+            for key, spans in self._groups.items():
+                kept = []
+                for si, s in enumerate(spans):
+                    info = self._elig.get((key, si))
+                    if info is None:
+                        kept.append(s)
+                        continue
+                    cls, start, ndrows = info
+                    dwf, ttf = self.prepared._field(key[0])
+                    dense_spans.append(
+                        DenseSpan(
+                            key[0], cls, start, ndrows, s[4], s[5], s[6],
+                            avgdl=(ttf / dwf) if dwf else 1.0,
+                        )
+                    )
+                if kept:
+                    new_groups[key] = kept
+            self._groups = new_groups
+            # deterministic order for jit-signature stability
+            dense_spans.sort(key=lambda d: (d.leaf, d.tid))
+
         # WAND applies to sum-merged positive trees of term leaves — no
         # Not, no aux, no max/min mergers (reference: WandContext +
         # BlockConjunction, index_reader_options.hpp:48-55,
@@ -268,6 +338,7 @@ class PlanCompiler:
             and _wand_tree_ok(tree)
             and not self._aux
             and all(s[4] >= 0.0 for spans in self._groups.values() for s in spans)
+            and all(d.w >= 0.0 for d in dense_spans)
         )
 
         # per-span block upper bounds (host precompute from block metadata)
@@ -277,6 +348,18 @@ class PlanCompiler:
             from iresearch_tpu.formats.bitpack import BITS as _B  # noqa: F401
             from iresearch_tpu.search.scorers import max_score_blocks
 
+            for ds in dense_spans:
+                fp = sr.field(ds.field_name)
+                cache = sr.dense_cache(ds.field_name)
+                dwf, ttf = self.prepared._field(ds.field_name)
+                avgdl = (ttf / dwf) if dwf else 1.0
+                bm = cache.bmaxf[ds.cls][
+                    ds.start : ds.start + ds.ndrows
+                ].astype(np.float32)
+                min_norm = max(float(fp.entries[ds.tid, TermCols.MIN_NORM]), 1.0)
+                ub = max_score_blocks(self.scorer, ds.w, bm, min_norm, avgdl)
+                ds.ub = ub.astype(np.float32)
+                total_gmax += float(ub.max(initial=0.0))
             for key, spans in self._groups.items():
                 fname = key[0]
                 fp = sr.field(fname)
@@ -354,6 +437,10 @@ class PlanCompiler:
             dwf, ttf = self.prepared._field(fname)
             avgdls.append((ttf / dwf) if dwf else 1.0)
 
+        if wand:
+            for ds in dense_spans:
+                ds.other = total_gmax - float(ds.ub.max(initial=0.0))
+
         L = max(1, len(self._leaf_mm))
         leaf_mm = np.ones(L, np.int32)
         leaf_mm[: len(self._leaf_mm)] = np.asarray(self._leaf_mm or [1], np.int32)
@@ -382,6 +469,7 @@ class PlanCompiler:
             exec_mode=exec_mode,
             driver_gi=driver_gi,
             driver_leaf=driver_leaf,
+            dense_spans=tuple(dense_spans),
         )
 
     def _select_mode(self, tree, nd_pad: int):
@@ -395,11 +483,14 @@ class PlanCompiler:
             return "dense", None
         spans_per_leaf: Dict[int, List[tuple]] = {}
         total_blocks = 0
+        dense_blocks = 0
         for key, spans in self._groups.items():
             for si, s in enumerate(spans):
                 # span = (dstart, fstart, nstart, nblocks, w, leaf, tid)
                 spans_per_leaf.setdefault(s[5], []).append((key, si, s[3]))
                 total_blocks += s[3]
+                if (key, si) in self._elig:
+                    dense_blocks += s[3]
         nspans = sum(len(v) for v in spans_per_leaf.values())
         if nspans == 0:
             return "dense", None  # no postings at all: trivial either way
@@ -410,7 +501,9 @@ class PlanCompiler:
             and self._leaf_mm
             and self._leaf_mm[0] <= 1
         ):
-            return "direct", None
+            # a lone dense term streams the grid with no base-gather or
+            # prefix-sum — cheaper than decoding its (≈grid-sized) blocks
+            return ("dense", None) if dense_blocks else ("direct", None)
         if tree[0] == "and" and nspans <= JOIN_MAX_SPANS:
             # the leapfrog analog: smallest single-span required leaf
             # drives; its df bounds the candidate count
@@ -429,6 +522,11 @@ class PlanCompiler:
                 1, len(self._leaf_mm)
             ):
                 return "join", best
+        # when the grid cache covers most decoded lanes, the dense tier
+        # wins: dense spans stream elementwise (free placement) and only
+        # the sparse remainder pays the scatter
+        if dense_blocks * BLOCK >= max(1, (total_blocks - dense_blocks) * BLOCK):
+            return "dense", None
         # disjunctions go to the sort tier: an all-lanes block-probe merge
         # was measured strictly worse (random row gathers ~7ns/word make it
         # ∝ lanes x spans x block-words, vs the sort's 3-operand P log P)

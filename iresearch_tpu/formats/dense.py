@@ -1,0 +1,111 @@
+"""Dense (doc-grid) representation for high-df terms.
+
+A term whose df approaches the corpus size makes candidate-space
+execution O(corpus) *with sort constants*: the 3-operand lax.sort over
+an OrHighHigh's ~16M decoded lanes measured ~400 ms on v5e, and the
+dense tier's scatter-adds are no better (~30 ns/lane serialized).
+TPU-natively, such a term is better stored **in doc-grid order**: one
+packed freq lane per doc (freq 0 = absent), rows of 128 docs in the
+same planar pow2-width classes as the delta pools. Placement in the
+[nd] fold then costs *nothing* — the data is already grid-aligned, so
+a leaf's contribution is a sequential unpack + elementwise score at
+HBM stream speed, with no sort, no scatter and no gather.
+
+This mirrors what roaring bitmaps / Lucene dense blocks do for high-df
+postings (reference: sparse_bitmap.hpp ALL/dense containers), taken one
+step further: frequencies, not just membership, live on the grid.
+
+The cache is reader-side acceleration: on-disk postings stay in delta
+blocks; the grid pools are derived per segment at open (vectorized
+numpy) and uploaded once. The host oracle never reads them, so the
+device==oracle exactness gate also validates this path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from iresearch_tpu.formats.bitpack import BITS, bits_class, pack_blocks
+from iresearch_tpu.formats.postings import FieldPostings
+from iresearch_tpu.formats.spec import BLOCK, NUM_CLASSES, TermCols, pad_docs
+
+# df >= nd / DENSE_MIN_RATIO qualifies a term for the grid representation
+DENSE_MIN_RATIO = 8
+# grid rows cost nd/128 rows per term; cap the cache size per field
+DENSE_MAX_TERMS = 192
+
+
+@dataclass
+class DenseCache:
+    """Grid-order freq pools for one field's high-df terms (host numpy)."""
+
+    ndrows: int  # rows per term == nd_pad / 128
+    # tid -> (width class, first row in that class's pool)
+    spans: Dict[int, Tuple[int, int]]
+    pools: List[np.ndarray]  # u32 [rows_c, words_per_block(BITS[c])]
+    bmaxf: List[np.ndarray]  # u32 [rows_c] max freq per 128-doc row
+    host_bytes: int = 0
+
+
+def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
+    """Select high-df terms and repack their freqs in doc-grid order.
+
+    Returns None when the field has no qualifying terms or the doc axis
+    is too small to align to 128-lane rows (pad_docs(nd) % 128 != 0).
+    """
+    nd_pad = pad_docs(num_docs)
+    if nd_pad % BLOCK != 0:
+        return None
+    T = fp.num_terms
+    if T == 0:
+        return None
+    df = fp.entries[:, TermCols.DF].astype(np.int64)
+    thresh = max(4, num_docs // DENSE_MIN_RATIO)
+    sel = np.flatnonzero(df >= thresh)
+    if len(sel) == 0:
+        return None
+    if len(sel) > DENSE_MAX_TERMS:
+        sel = sel[np.argsort(-df[sel], kind="stable")[:DENSE_MAX_TERMS]]
+        sel.sort()
+    ndrows = nd_pad // BLOCK
+
+    from iresearch_tpu.formats.postings import decode_term
+
+    grids: Dict[int, np.ndarray] = {}
+    cls_of: Dict[int, int] = {}
+    per_class: List[List[int]] = [[] for _ in range(NUM_CLASSES)]
+    for tid in sel.tolist():
+        docs, freqs = decode_term(fp, tid)
+        grid = np.zeros(nd_pad, np.uint32)
+        grid[docs.astype(np.int64)] = freqs
+        c = int(bits_class(np.uint32(fp.entries[tid, TermCols.MAX_FREQ])))
+        grids[tid] = grid
+        cls_of[tid] = c
+        per_class[c].append(tid)
+
+    spans: Dict[int, Tuple[int, int]] = {}
+    pools: List[np.ndarray] = []
+    bmaxf: List[np.ndarray] = []
+    host_bytes = 0
+    for c in range(NUM_CLASSES):
+        tids = per_class[c]
+        rows_c = 1 + ndrows * len(tids)  # row 0: zero sentinel
+        mat = np.zeros((rows_c, BLOCK), np.uint32)
+        bm = np.zeros(rows_c, np.uint32)
+        for i, tid in enumerate(tids):
+            start = 1 + i * ndrows
+            g = grids[tid].reshape(ndrows, BLOCK)
+            mat[start : start + ndrows] = g
+            bm[start : start + ndrows] = g.max(axis=1)
+            spans[tid] = (c, start)
+        packed = pack_blocks(mat, BITS[c])
+        pools.append(packed)
+        bmaxf.append(bm)
+        host_bytes += packed.nbytes + bm.nbytes
+    return DenseCache(
+        ndrows=ndrows, spans=spans, pools=pools, bmaxf=bmaxf,
+        host_bytes=host_bytes,
+    )

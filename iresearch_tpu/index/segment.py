@@ -156,6 +156,7 @@ class DeviceField:
         # transfer — don't pay it on plain term queries
         self._fp = fp
         self._pos_words: Dict[int, "object"] = {}
+        self._dense_words: Dict[int, "object"] = {}
         if fp.docs_with_field > 0:
             self.avgdl = float(fp.total_term_freq) / float(fp.docs_with_field)
         else:
@@ -175,6 +176,23 @@ class DeviceField:
             padded[: src.shape[0]] = src
             cached = jnp.asarray(padded)
             self._pos_words[c] = cached
+            self.device_bytes += cached.nbytes
+            resource.manager().increase(resource.CATEGORY_DEVICE, cached.nbytes)
+        return cached
+
+    def dense_words(self, dense_cache, c: int):
+        """Device-resident dense grid pool of class ``c`` (lazy, cached).
+
+        ``dense_cache`` is the host DenseCache (formats/dense.py) owned by
+        the SegmentReader; pools upload on first use like pos_words."""
+        cached = self._dense_words.get(c)
+        if cached is None:
+            import jax.numpy as jnp
+
+            from iresearch_tpu.utils import resource
+
+            cached = jnp.asarray(dense_cache.pools[c])
+            self._dense_words[c] = cached
             self.device_bytes += cached.nbytes
             resource.manager().increase(resource.CATEGORY_DEVICE, cached.nbytes)
         return cached
@@ -218,6 +236,7 @@ class SegmentReader:
             self._alive[np.asarray(masked_docs, np.int64)] = False
         self._term_lists: Dict[str, TermDictView] = {}
         self._device: Optional[DeviceSegment] = None
+        self._dense: Dict[str, "object"] = {}  # field -> DenseCache | None
 
     # --- stats ---------------------------------------------------------
 
@@ -304,6 +323,32 @@ class SegmentReader:
         succ = _prefix_successor(prefix)
         hi = len(tl) if succ is None else bisect.bisect_left(tl, succ)
         return lo, max(lo, hi)
+
+    # --- dense high-df term cache (formats/dense.py) -------------------
+
+    def dense_cache(self, field_name: str):
+        """Host DenseCache for this field (built lazily; None if no term
+        qualifies). Pure acceleration: the oracle never reads it."""
+        if field_name in self._dense:
+            return self._dense[field_name]
+        fp = self.data.fields.get(field_name)
+        cache = None
+        if fp is not None:
+            from iresearch_tpu.formats.dense import build_dense_cache
+
+            cache = build_dense_cache(fp, self.num_docs)
+        self._dense[field_name] = cache
+        return cache
+
+    def dense_span(self, field_name: str, tid: int):
+        """(class, start_row, ndrows) of a term's grid rows, or None."""
+        cache = self.dense_cache(field_name)
+        if cache is None:
+            return None
+        span = cache.spans.get(tid)
+        if span is None:
+            return None
+        return (span[0], span[1], cache.ndrows)
 
     # --- device --------------------------------------------------------
 

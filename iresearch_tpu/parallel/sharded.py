@@ -262,7 +262,9 @@ class ShardedSearcher:
             prepared = HostQuery(flt, self.segments, scorer)
             compiler = PlanCompiler(prepared, scorer)
             plans = [
-                compiler.compile(flt, s, wand=wand, device_phrase=False)
+                # dense=False: shards stack one plan structure; per-shard
+                # dense-term sets differ, so the grid cache is off here
+                compiler.compile(flt, s, wand=wand, device_phrase=False, dense=False)
                 for s in range(S)
             ]
             active = [p for p in plans if p.groups]
@@ -277,7 +279,7 @@ class ShardedSearcher:
                 plans = [
                     compiler.compile(
                         flt, s, wand=wand, device_phrase=False,
-                        force_mode=mode,
+                        force_mode=mode, dense=False,
                     )
                     for s in range(S)
                 ]
@@ -446,7 +448,7 @@ class ShardedSearcher:
         prepared = HostQuery(flt, self.segments, scorer)
         compiler = PlanCompiler(prepared, scorer)
         plans = [
-            compiler.compile(flt, s, device_phrase=False, modes=False)
+            compiler.compile(flt, s, device_phrase=False, modes=False, dense=False)
             for s in range(len(self.segments))
         ]
         tree = plans[0].tree

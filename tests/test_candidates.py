@@ -46,6 +46,10 @@ def reader():
 def forced_tiers(monkeypatch):
     monkeypatch.setattr(planmod, "SORT_MAX_RATIO", 1e9)
     monkeypatch.setattr(planmod, "JOIN_MAX_RATIO", 1e9)
+    # these tests pin specific candidate tiers; the dense-grid cache would
+    # otherwise steal high-df spans into the dense tier (tested separately
+    # in test_dense_exec.py)
+    monkeypatch.setattr(planmod, "USE_DENSE_TERMS", False)
 
 
 def _check(reader, flt, scorer, wand=False, expect_mode=None):

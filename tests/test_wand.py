@@ -52,7 +52,9 @@ def test_wand_equals_exhaustive(reader, flt, scorer, k, monkeypatch):
     exact = DeviceQuery(flt, segs, scorer, wand=False)
     wand = DeviceQuery(flt, segs, scorer, wand=True, wand_sample=8)
     p = wand.plan(0)
-    assert p.groups[0].ub is not None, "wand must be active for this plan"
+    assert (bool(p.groups) and p.groups[0].ub is not None) or any(
+        d.ub is not None for d in p.dense_spans
+    ), "wand must be active for this plan"
     ev, ed = exact.execute_segment(0, k)
     wv, wd = wand.execute_segment(0, k)
     finite = np.isfinite(ev)
@@ -100,11 +102,14 @@ def test_tree_wand_equals_exhaustive(reader, flt, k, force_wand, monkeypatch):
     exact = DeviceQuery(flt, segs, BM25(), wand=False)
     wand = DeviceQuery(flt, segs, BM25(), wand=True, wand_sample=8)
     p = wand.plan(0)
-    assert p.groups[0].ub is not None or p.exec_mode == "join", (
+    has_ub = (bool(p.groups) and p.groups[0].ub is not None) or any(
+        d.ub is not None for d in p.dense_spans
+    )
+    assert has_ub or p.exec_mode == "join", (
         "an accelerated tier (tree-wand or join) must engage"
     )
     if force_wand:
-        assert p.groups[0].ub is not None, "tree-wand must engage"
+        assert has_ub, "tree-wand must engage"
     ev, ed = exact.execute_segment(0, k)
     wv, wd = wand.execute_segment(0, k)
     finite = np.isfinite(ev)
