@@ -211,13 +211,16 @@ def main():
         extras.append(("PrefixHot", F.ByPrefix("body", "t00")))
     for name, flt in extras:
         reps = 3 if name == "PrefixHot" else 20
-        dq = DeviceQuery(flt, [sr], scorer, wand=(name == "OrHigh4+WAND"))
-        sync(dq.execute_segment_async(0, K)[0])
-        t2 = time.time()
-        for _ in range(reps):
-            v, _d = dq.execute_segment_async(0, K)
-        sync(v)
-        log(f"{name}: {(time.time()-t2-rtt)/reps*1000:.3f} ms/query (completion-synced)")
+        try:
+            dq = DeviceQuery(flt, [sr], scorer, wand=(name == "OrHigh4+WAND"))
+            sync(dq.execute_segment_async(0, K)[0])
+            t2 = time.time()
+            for _ in range(reps):
+                v, _d = dq.execute_segment_async(0, K)
+            sync(v)
+            log(f"{name}: {(time.time()-t2-rtt)/reps*1000:.3f} ms/query (completion-synced)")
+        except Exception as e:  # a tail category must not kill the QPS phases
+            log(f"{name}: FAILED ({type(e).__name__}: {str(e)[:200]})")
 
     qb = QueryBatch([flt for _, flt in tasks], [sr], scorer, wand=True)
     prep = qb.prepare(0, K)

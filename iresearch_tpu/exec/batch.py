@@ -162,7 +162,7 @@ def _run_batch(
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "mode",
-        "driver_gi", "group_leaf", "wand", "sample",
+        "driver_gi", "group_leaf", "wand", "sample", "nd", "dense_static",
     ),
 )
 def _run_batch_candidates(
@@ -172,6 +172,8 @@ def _run_batch_candidates(
     leaf_min_b,  # i32 [Q, L]
     alive,  # bool [nd]
     nreal_b,  # i32 [Q, G]
+    dense_shared=(),  # per dense span: (pool, norms, avgdl) — shared
+    dense_dyn=(),  # per dense span: (start [Q], w [Q]) — per query
     *,
     tree,
     gbits,
@@ -183,13 +185,19 @@ def _run_batch_candidates(
     group_leaf: tuple,
     wand: bool,
     sample: int,
+    nd: int = 0,
+    dense_static=(),
 ):
     """Vmapped scale-proportional tiers (exec/candidates.py): per-batch
     work ∝ Q × postings, independent of corpus size."""
     from iresearch_tpu.exec.candidates import candidate_body
 
     def one(xs):
-        rowsets, leaf_min, nreal = xs
+        rowsets, leaf_min, nreal, ddyn = xs
+        dense_args = tuple(
+            (sh[0], dd[0], dd[1], sh[1], sh[2])
+            for sh, dd in zip(dense_shared, ddyn)
+        )
         return candidate_body(
             pools,
             rowsets,
@@ -207,19 +215,27 @@ def _run_batch_candidates(
             group_leaf=group_leaf,
             wand=wand,
             sample=sample,
+            nd=nd,
+            dense_args=dense_args,
+            dense_static=dense_static,
         )
 
     q = leaf_min_b.shape[0]
     # per-query live width in ~24B lane units: sort carries ~6 operands
-    # per decoded lane; join materializes [P_driver, 128] probe blocks
-    # per probed span
+    # per decoded lane; join probes are single-word gathers per candidate
+    # (plus [P,128] blocks for sparse probed spans); gridmix streams the
+    # grid per dense span
     lanes = sum(rs[0].shape[-1] * 128 for rs in rowsets_b)
     if mode == "join":
         pd = rowsets_b[driver_gi][0].shape[-1] * 128
-        width = pd * 64 * max(1, len(rowsets_b) - 1)
+        width = pd * (4 + 64 * max(0, len(rowsets_b) - 1))
+    elif mode == "gridmix":
+        width = nd * max(1, num_leaves) + lanes * 6
     else:
         width = lanes * (6 if mode == "sort" else 2)
-    return _chunked_vmap(one, (rowsets_b, leaf_min_b, nreal_b), q, width)
+    return _chunked_vmap(
+        one, (rowsets_b, leaf_min_b, nreal_b, dense_dyn), q, width
+    )
 
 
 @partial(
@@ -418,53 +434,6 @@ class QueryBatch:
                 if use_wand:
                     rowset = rowset + (ub, other)
                 rowsets_b.append(rowset)
-            if exec_mode != "dense":
-                lanes = (
-                    Rs[driver_gi] if exec_mode == "join" else sum(Rs)
-                ) * 128
-                nreal_b = np.stack(
-                    [
-                        np.asarray(
-                            [g.real_rows * 128 for g in p.groups], np.int32
-                        )
-                        for p in reps
-                    ]
-                )
-                args = (
-                    tuple(pools),
-                    tuple(rowsets_b),
-                    reps[0].group_avgdl,
-                    np.stack([p.leaf_min_match for p in reps]),
-                    # skip the per-lane alive gather when nothing is deleted
-                    sr.device().alive if sr.has_deletes else None,
-                    nreal_b,
-                )
-                kwargs = dict(
-                    tree=tree,
-                    gbits=tuple(gbits),
-                    scorer=self.scorer,
-                    num_leaves=num_leaves,
-                    k=min(k, nd, lanes),
-                    mode=exec_mode,
-                    driver_gi=driver_gi,
-                    group_leaf=tuple(
-                        int(g.leaf[0]) for g in reps[0].groups
-                    ),
-                    # θ pruning is useless when the sampled phase would
-                    # already decode every row
-                    wand=use_wand and max(Rs) > self.wand_sample,
-                    sample=self.wand_sample,
-                )
-                calls.append((qis, args, kwargs, _run_batch_candidates))
-                continue
-            if A:
-                am = np.zeros((Q, A, nd), np.bool_)
-                asc = np.zeros((Q, A, nd), np.float32)
-                for j, p in enumerate(reps):
-                    am[j] = p.aux_match
-                    asc[j] = p.aux_score
-            else:
-                am = asc = None
             # dense-grid spans: pool/norms shared; start/w (+ub/other for
             # WAND) stack along the query axis
             dense_shared = []
@@ -495,6 +464,60 @@ class QueryBatch:
                 else:
                     dense_dyn.append((starts, ws))
                 dense_static.append((BITS[cls], leaf, ndrows))
+            if exec_mode != "dense":
+                if exec_mode == "join":
+                    lanes = Rs[driver_gi] * 128
+                elif exec_mode == "gridmix":
+                    lanes = nd
+                else:
+                    lanes = sum(Rs) * 128
+                nreal_b = np.stack(
+                    [
+                        np.asarray(
+                            [g.real_rows * 128 for g in p.groups], np.int32
+                        )
+                        for p in reps
+                    ]
+                )
+                args = (
+                    tuple(pools),
+                    tuple(rowsets_b),
+                    reps[0].group_avgdl,
+                    np.stack([p.leaf_min_match for p in reps]),
+                    # skip the per-lane alive gather when nothing is deleted
+                    sr.device().alive if sr.has_deletes else None,
+                    nreal_b,
+                    tuple(dense_shared),
+                    tuple(dense_dyn),
+                )
+                kwargs = dict(
+                    tree=tree,
+                    gbits=tuple(gbits),
+                    scorer=self.scorer,
+                    num_leaves=num_leaves,
+                    k=min(k, nd, lanes),
+                    mode=exec_mode,
+                    driver_gi=driver_gi,
+                    group_leaf=tuple(
+                        int(g.leaf[0]) for g in reps[0].groups
+                    ),
+                    # θ pruning is useless when the sampled phase would
+                    # already decode every row
+                    wand=use_wand and max(Rs) > self.wand_sample,
+                    sample=self.wand_sample,
+                    nd=nd,
+                    dense_static=tuple(dense_static),
+                )
+                calls.append((qis, args, kwargs, _run_batch_candidates))
+                continue
+            if A:
+                am = np.zeros((Q, A, nd), np.bool_)
+                asc = np.zeros((Q, A, nd), np.float32)
+                for j, p in enumerate(reps):
+                    am[j] = p.aux_match
+                    asc[j] = p.aux_score
+            else:
+                am = asc = None
             if use_wand:
                 args = (
                     tuple(pools),
@@ -569,6 +592,19 @@ def _pack_args(calls):
     buf: Dict[str, list] = {"i32": [], "f32": [], "u8": []}
     off: Dict[str, int] = {"i32": 0, "f32": 0, "u8": 0}
     dev_args: list = []
+    # dedup device arrays by identity: many signature groups reference the
+    # SAME pool arrays, and XLA's hbm budget counts every parameter — at
+    # 5M docs duplicated pool params summed to 13.8 GB of "arguments" and
+    # failed compile. One parameter per distinct buffer.
+    dev_index: Dict[int, int] = {}
+
+    def place_dev(x):
+        idx = dev_index.get(id(x))
+        if idx is None:
+            dev_args.append(x)
+            idx = len(dev_args) - 1
+            dev_index[id(x)] = idx
+        return ("dev", idx)
 
     def place(x):
         if x is None:
@@ -584,8 +620,7 @@ def _pack_args(calls):
                 kk = "u8"
                 flat = x.ravel().astype(np.uint8)
             else:  # rare dtypes upload directly
-                dev_args.append(jnp.asarray(x))
-                return ("dev", len(dev_args) - 1)
+                return place_dev(jnp.asarray(x))
             o = off[kk]
             buf[kk].append(flat)
             off[kk] += flat.size
@@ -593,8 +628,7 @@ def _pack_args(calls):
         if isinstance(x, tuple):
             return tuple(place(e) for e in x)
         # already a device array (pools, alive, previously uploaded rows)
-        dev_args.append(x)
-        return ("dev", len(dev_args) - 1)
+        return place_dev(x)
 
     templates = tuple(
         (qis, place(args), tuple(sorted(kwargs.items())), fn)

@@ -73,6 +73,36 @@ def topk_docs(masked, doc_arr, k: int):
     return vals, out_docs
 
 
+def dense_probe(dargs, dstat, cdocs, scorer: Scorer, jnp):
+    """(score f32 [P], hit bool [P]) of a dense-grid span at candidate docs.
+
+    The grid representation makes probing trivial: doc d lives in row
+    ``start + d//128`` lane ``d%128``, and the planar packing puts lane j
+    in word ``j % (4b)`` at bit ``(j // (4b)) * b`` — ONE u32 word gather
+    per candidate plus a norms gather, vs the sparse probe's whole-row
+    decode (~wpb words/candidate)."""
+    from iresearch_tpu.formats.bitpack import words_per_block
+    from iresearch_tpu.formats.spec import BLOCK
+    from iresearch_tpu.search.scorers import score_block
+
+    pool, start, w, norms_g, avgdl_d = dargs[:5]
+    bits, _leaf, ndrows = dstat
+    nd = ndrows * BLOCK
+    cd = jnp.clip(cdocs, 0, nd - 1)
+    row = start + (cd >> 7)
+    lane = cd & (BLOCK - 1)
+    wpb = words_per_block(bits)
+    word_ix = lane % wpb
+    shift = ((lane // wpb) * bits).astype(jnp.uint32)
+    mask = jnp.uint32(0xFFFFFFFF if bits == 32 else (1 << bits) - 1)
+    w32 = pool[row, word_ix]
+    freq = ((w32 >> shift) & mask).astype(jnp.float32)
+    hit = (freq > 0) & (cdocs < nd) & (cdocs >= 0)
+    dl = norms_g[cd]
+    sc = score_block(scorer, w, freq, dl, avgdl_d, xp=jnp)
+    return jnp.where(hit, sc, 0.0), hit
+
+
 def decode_flat(pools, rowsets, avgdl, gbits, scorer: Scorer, slicer=None):
     """Decode every row group into flat per-lane arrays.
 
@@ -126,6 +156,7 @@ def direct_topk(pools, rowsets, avgdl, alive, *, gbits, scorer, k):
 def sorted_topk(
     pools, rowsets, avgdl, leaf_min, alive,
     *, tree, gbits, scorer, num_leaves, k, slicer=None,
+    dense_args=(), dense_static=(),
 ):
     """Sort + segmented-scan candidate top-k for covering trees.
 
@@ -172,6 +203,14 @@ def sorted_topk(
     leaf_count = jnp.stack(
         [jnp.where(is_end, chans[2 * l + 1], 0.0).astype(jnp.int32) for l in range(num_leaves)]
     )
+    # dense-grid spans probed at the candidate docs (gridmix view B):
+    # added at run-end lanes only, so each doc counts each span once
+    for dargs, dstat in zip(dense_args, dense_static):
+        sc_p, hit_p = dense_probe(dargs, dstat, sdocs, scorer, jnp)
+        on = hit_p & is_end
+        lj = dstat[1]
+        leaf_score = leaf_score.at[lj].add(jnp.where(on, sc_p, 0.0))
+        leaf_count = leaf_count.at[lj].add(on.astype(jnp.int32))
     leaf_match = leaf_count >= leaf_min[:, None]
     leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
     match, score = _fold_tree(tree, leaf_match, leaf_score, None, None, P, jnp)
@@ -186,6 +225,7 @@ def sorted_topk(
 def join_topk(
     pools, rowsets, avgdl, leaf_min, alive, nreal,
     *, tree, gbits, scorer, num_leaves, k, driver_gi, group_leaf,
+    dense_args=(), dense_static=(),
 ):
     """Block-probe conjunction join: the leapfrog AND at full VPU speed
     (reference: conjunction.hpp:155-230).
@@ -285,6 +325,12 @@ def join_topk(
             leaf_count[lj] = leaf_count[lj] + hit.astype(jnp.int32)
             if driver_gi < 0 and gi < ci:
                 valid = valid & ~hit  # dedup: earlier span owns the doc
+        # dense-grid probed spans: one word gather per candidate
+        for dargs, dstat in zip(dense_args, dense_static):
+            sc_at, hit = dense_probe(dargs, dstat, cdocs, scorer, jnp)
+            lj = dstat[1]
+            leaf_score[lj] = leaf_score[lj] + jnp.where(hit, sc_at, 0.0)
+            leaf_count[lj] = leaf_count[lj] + hit.astype(jnp.int32)
 
         leaf_score_s = jnp.stack(leaf_score)
         leaf_count_s = jnp.stack(leaf_count)
@@ -303,6 +349,71 @@ def join_topk(
     return topk_docs(
         jnp.concatenate(out_masked), jnp.concatenate(out_docs), k
     )
+
+
+def merge_topk_lists(va, da, vb, db, k: int):
+    """Exact union of two per-view top-k lists, deduped by doc (max
+    score wins — views only ever underestimate), ordered (-score, doc)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    vals = jnp.concatenate([va, vb])
+    docs = jnp.concatenate([da, db])
+    # -inf slots carry arbitrary docs; park them on IMAX so they can't
+    # collide with a real doc during dedup
+    docs = jnp.where(jnp.isfinite(vals), docs, jnp.int32(_IMAX32))
+    sd, nsv = lax.sort((docs, -vals), num_keys=2)  # doc asc, score desc
+    sv = -nsv
+    first = jnp.concatenate([jnp.ones(1, bool), sd[1:] != sd[:-1]])
+    keep = jnp.where(first & (sd != _IMAX32), sv, _NEG_INF)
+    return topk_docs(keep, sd, k)
+
+
+def gridmix_topk(
+    pools, rowsets, avgdl, leaf_min, alive,
+    *, tree, gbits, scorer, num_leaves, k, nd,
+    dense_args, dense_static,
+):
+    """Dual-view execution for sum-merged trees mixing dense-grid and
+    sparse spans — no sort of the dense mass, no scatter of the sparse.
+
+    View A evaluates the tree on the [nd] grid from the dense spans only
+    (sparse contributions missing). View B evaluates it exactly at the
+    sparse spans' candidate docs (dense spans probed per lane). Every doc
+    is exact in >=1 view, and a view can only UNDERestimate (positive
+    sum-merged contributions), so the union of the two top-k lists
+    contains the true top-k; dedup keeps the max (= exact) score.
+    Proof sketch: if doc X is true top-k and not sparse-hit, its grid
+    score is exact; any doc preceding X in view A has true score >= its
+    grid score >= X's — so k docs preceding X in A means X isn't true
+    top-k. Sparse-hit docs are exact in view B by the same argument."""
+    import jax.numpy as jnp
+
+    from iresearch_tpu.exec.executor import _dense_contrib, _fold_tree
+
+    leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
+    leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
+    for dargs, dstat in zip(dense_args, dense_static):
+        sc, m = _dense_contrib(dargs, dstat, scorer, nd, jnp)
+        leaf_score = leaf_score.at[dstat[1]].add(sc)
+        leaf_count = leaf_count.at[dstat[1]].add(m.astype(jnp.int32))
+    leaf_match = leaf_count >= leaf_min[:, None]
+    leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
+    match, score = _fold_tree(tree, leaf_match, leaf_score, None, None, nd, jnp)
+    grid_ids = jnp.arange(nd, dtype=jnp.int32)
+    if alive is not None:
+        match = match & alive
+    va, da = topk_docs(jnp.where(match, score, _NEG_INF), grid_ids, k)
+
+    # view B's candidate space is only the sparse lanes — its k caps there
+    p_sp = sum(rs[0].shape[0] for rs in rowsets) * 128
+    vb, db = sorted_topk(
+        pools, rowsets, avgdl, leaf_min, alive,
+        tree=tree, gbits=gbits, scorer=scorer, num_leaves=num_leaves,
+        k=min(k, p_sp),
+        dense_args=dense_args, dense_static=dense_static,
+    )
+    return merge_topk_lists(va, da, vb, db, k)
 
 
 def wand_theta(
@@ -356,14 +467,24 @@ def candidate_body(
     scorer: Scorer,
     num_leaves: int,
     k: int,
-    mode: str,  # "direct" | "sort" | "join"
+    mode: str,  # "direct" | "sort" | "join" | "gridmix"
     driver_gi: int = 0,
     group_leaf: tuple = (),
     wand: bool = False,
     sample: int = 16,
+    nd: int = 0,  # gridmix: padded doc-axis length
+    dense_args=(),
+    dense_static=(),
 ):
     """Unified scale-proportional executor body (shared single/batch/shard)."""
     import jax.numpy as jnp
+
+    if mode == "gridmix":
+        return gridmix_topk(
+            pools, rowsets, avgdl, leaf_min, alive,
+            tree=tree, gbits=gbits, scorer=scorer, num_leaves=num_leaves,
+            k=k, nd=nd, dense_args=dense_args, dense_static=dense_static,
+        )
 
     sets = rowsets
     if wand:
@@ -403,6 +524,7 @@ def candidate_body(
             pools, sets, avgdl, leaf_min, alive, nreal,
             tree=tree, gbits=gbits, scorer=scorer, num_leaves=num_leaves,
             k=k, driver_gi=driver_gi, group_leaf=group_leaf,
+            dense_args=dense_args, dense_static=dense_static,
         )
     return sorted_topk(
         pools, sets, avgdl, leaf_min, alive,

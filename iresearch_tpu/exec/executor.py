@@ -329,7 +329,7 @@ def _run_segment_wand(
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "mode",
-        "driver_gi", "group_leaf", "wand", "sample",
+        "driver_gi", "group_leaf", "wand", "sample", "nd", "dense_static",
     ),
 )
 def _run_segment_candidates(
@@ -339,6 +339,7 @@ def _run_segment_candidates(
     leaf_min,
     alive,
     nreal,
+    dense_args=(),
     *,
     tree,
     gbits,
@@ -350,6 +351,8 @@ def _run_segment_candidates(
     group_leaf: tuple,
     wand: bool,
     sample: int,
+    nd: int = 0,
+    dense_static=(),
 ):
     """Scale-proportional tiers (exec/candidates.py): work ∝ postings."""
     from iresearch_tpu.exec.candidates import candidate_body
@@ -371,6 +374,9 @@ def _run_segment_candidates(
         group_leaf=group_leaf,
         wand=wand,
         sample=sample,
+        nd=nd,
+        dense_args=dense_args,
+        dense_static=dense_static,
     )
 
 
@@ -641,6 +647,8 @@ class DeviceQuery:
 
             if plan.exec_mode == "join":
                 lanes = len(plan.groups[plan.driver_gi].rows_d) * 128
+            elif plan.exec_mode == "gridmix":
+                lanes = plan.nd_pad  # the grid view covers every doc
             else:
                 lanes = sum(len(g.rows_d) for g in plan.groups) * 128
             max_rows = max(len(g.rows_d) for g in plan.groups)
@@ -660,6 +668,7 @@ class DeviceQuery:
                 # skip the per-lane alive gather when nothing is deleted
                 alive if sr.has_deletes else None,
                 nreal,
+                dense_args,
                 tree=plan.tree,
                 gbits=gbits,
                 scorer=self.scorer,
@@ -670,6 +679,8 @@ class DeviceQuery:
                 group_leaf=group_leaf,
                 wand=wand_eff,
                 sample=self.wand_sample,
+                nd=plan.nd_pad,
+                dense_static=dense_static,
             )
             return vals, docs
         if wand_on:

@@ -240,13 +240,14 @@ class PlanCompiler:
         # eligible spans execute elementwise on the [nd] grid under the
         # dense tier — no sort, no scatter. The sharded batch path stacks
         # plans across shards whose dense sets differ, so it opts out.
-        self._elig: Dict[Tuple[tuple, int], tuple] = {}
+        # keyed by (field, tid): survives the join-mode regroup
+        self._elig: Dict[Tuple[str, int], tuple] = {}
         if USE_DENSE_TERMS and dense and force_mode != "sort":
             for key, spans in self._groups.items():
-                for si, s in enumerate(spans):
+                for s in spans:
                     info = sr.dense_span(key[0], s[6])
                     if info is not None:
-                        self._elig[(key, si)] = info
+                        self._elig[(key[0], s[6])] = info
 
         # scale-proportional tier selection (exec/candidates.py): pick the
         # cheapest exact executor for this tree/postings shape
@@ -297,17 +298,26 @@ class PlanCompiler:
                 new_groups[key[:4] + (i + 1,)] = [span]
             self._groups = new_groups
 
-        # dense-term extraction: under the dense (grid-fold) tier, spans
-        # with a grid representation leave the row groups and stream
-        # elementwise instead (exec/executor.py dense_spans path)
+        # dense-term extraction. Under the dense (grid-fold) tier and the
+        # gridmix dual-view tier, spans with a grid representation leave
+        # the row groups and stream elementwise; under the join tier,
+        # probed (non-driver) dense spans leave the groups and are probed
+        # with single-lane word gathers instead of whole-row searchsorted
+        # gathers (exec/candidates.py). The driver span always stays
+        # sparse — its decoded docs ARE the candidates.
         dense_spans: List[DenseSpan] = []
-        if exec_mode == "dense" and self._elig:
+        if exec_mode in ("dense", "gridmix", "join") and self._elig:
             new_groups: Dict[tuple, List[tuple]] = {}
             for key, spans in self._groups.items():
                 kept = []
-                for si, s in enumerate(spans):
-                    info = self._elig.get((key, si))
-                    if info is None:
+                for s in spans:
+                    info = self._elig.get((key[0], s[6]))
+                    # join regroup tags the driver's group key with 0 —
+                    # the driver must stay sparse (its docs drive)
+                    keep_sparse = info is None or (
+                        exec_mode == "join" and key[4] == 0
+                    )
+                    if keep_sparse:
                         kept.append(s)
                         continue
                     cls, start, ndrows = info
@@ -334,7 +344,10 @@ class PlanCompiler:
         # would break — join is already ∝ postings, so WAND is off there.
         wand = (
             wand
-            and exec_mode != "join"
+            # join is already ∝ driver postings; gridmix's dense streams
+            # read every row regardless, and its sparse side is small —
+            # θ pruning buys nothing in either
+            and exec_mode not in ("join", "gridmix")
             and _wand_tree_ok(tree)
             and not self._aux
             and all(s[4] >= 0.0 for spans in self._groups.values() for s in spans)
@@ -489,7 +502,7 @@ class PlanCompiler:
                 # span = (dstart, fstart, nstart, nblocks, w, leaf, tid)
                 spans_per_leaf.setdefault(s[5], []).append((key, si, s[3]))
                 total_blocks += s[3]
-                if (key, si) in self._elig:
+                if (key[0], s[6]) in self._elig:
                     dense_blocks += s[3]
         nspans = sum(len(v) for v in spans_per_leaf.values())
         if nspans == 0:
@@ -502,8 +515,12 @@ class PlanCompiler:
             and self._leaf_mm[0] <= 1
         ):
             # a lone dense term streams the grid with no base-gather or
-            # prefix-sum — cheaper than decoding its (≈grid-sized) blocks
-            return ("dense", None) if dense_blocks else ("direct", None)
+            # prefix-sum — cheaper than decoding its (≈grid-sized) blocks.
+            # Mid-df dense-eligible terms (lanes << grid) stay direct:
+            # decoding their blocks beats streaming the whole grid.
+            if dense_blocks and lanes * 4 >= nd_pad:
+                return ("dense", None)
+            return ("direct", None)
         if tree[0] == "and" and nspans <= JOIN_MAX_SPANS:
             # the leapfrog analog: smallest single-span required leaf
             # drives; its df bounds the candidate count
@@ -522,11 +539,25 @@ class PlanCompiler:
                 1, len(self._leaf_mm)
             ):
                 return "join", best
-        # when the grid cache covers most decoded lanes, the dense tier
-        # wins: dense spans stream elementwise (free placement) and only
-        # the sparse remainder pays the scatter
-        if dense_blocks * BLOCK >= max(1, (total_blocks - dense_blocks) * BLOCK):
-            return "dense", None
+        sparse_lanes = (total_blocks - dense_blocks) * BLOCK
+        if dense_blocks:
+            if sparse_lanes == 0:
+                return "dense", None  # pure grid streams, nothing to place
+            # dual-view gridmix: dense spans stream on the grid (view A),
+            # sparse spans evaluate in candidate space with single-lane
+            # dense probes (view B); the two top-k lists merge exactly for
+            # sum-merged positive trees — no sort of dense mass, no
+            # scatter of sparse mass (exec/candidates.py:gridmix_topk)
+            if _wand_tree_ok(tree) and sparse_lanes <= SORT_MAX_RATIO * nd_pad:
+                return "gridmix", None
+            # non-sum trees: grid fold with a scatter of the sparse
+            # remainder still wins while that remainder is modest. A huge
+            # remainder (hot-prefix expansions) sorts better than it
+            # scatters.
+            if dense_blocks * BLOCK >= sparse_lanes and (
+                sparse_lanes <= 4 * nd_pad
+            ):
+                return "dense", None
         # disjunctions go to the sort tier: an all-lanes block-probe merge
         # was measured strictly worse (random row gathers ~7ns/word make it
         # ∝ lanes x spans x block-words, vs the sort's 3-operand P log P)

@@ -45,14 +45,20 @@ def _mask(b: int) -> int:
 def pack_blocks(vals: np.ndarray, b: int) -> np.ndarray:
     """[n, 128] u32 (< 2^b) -> [n, 4*b] u32 words, planar layout: lane j
     lives in word ``j % (4*b)`` at bit ``(j // (4*b)) * b`` — so unpack is
-    tile(words) >> shift & mask, matching pltpu.repeat's tiling."""
+    tile(words) >> shift & mask, matching pltpu.repeat's tiling.
+
+    Pure u32 arithmetic: every shifted value stays inside 32 bits (val <
+    2^b shifted by <= 32-b), and the per-group loop avoids the [n, g, wpb]
+    u64 temp that dominated multi-GB encodes."""
     n = vals.shape[0]
     assert vals.shape == (n, BLOCK)
     g = 32 // b
-    v = vals.astype(np.uint64).reshape(n, g, words_per_block(b))
-    shifts = (np.arange(g, dtype=np.uint64) * b)[None, :, None]
-    words = (v << shifts).sum(axis=1)  # disjoint bit ranges: sum == OR
-    return words.astype(np.uint32)
+    wpb = words_per_block(b)
+    vals = np.asarray(vals, np.uint32)
+    words = vals[:, :wpb].copy()
+    for j in range(1, g):
+        words |= vals[:, j * wpb : (j + 1) * wpb] << np.uint32(j * b)
+    return words
 
 
 def unpack_blocks(words: np.ndarray, b: int) -> np.ndarray:

@@ -32,8 +32,11 @@ from iresearch_tpu.formats.bitpack import BITS, bits_class, pack_blocks
 from iresearch_tpu.formats.postings import FieldPostings
 from iresearch_tpu.formats.spec import BLOCK, NUM_CLASSES, TermCols, pad_docs
 
-# df >= nd / DENSE_MIN_RATIO qualifies a term for the grid representation
-DENSE_MIN_RATIO = 8
+# df >= nd / DENSE_MIN_RATIO qualifies a term for the grid representation.
+# 16 reaches the whole "high" band of a Zipf corpus (everything a
+# disjunction would pay sort constants on); storage for a df=nd/16 term
+# is ~3x its delta form, device-side only.
+DENSE_MIN_RATIO = 16
 # grid rows cost nd/128 rows per term; cap the cache size per field
 DENSE_MAX_TERMS = 192
 
@@ -74,16 +77,9 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
 
     from iresearch_tpu.formats.postings import decode_term
 
-    grids: Dict[int, np.ndarray] = {}
-    cls_of: Dict[int, int] = {}
     per_class: List[List[int]] = [[] for _ in range(NUM_CLASSES)]
     for tid in sel.tolist():
-        docs, freqs = decode_term(fp, tid)
-        grid = np.zeros(nd_pad, np.uint32)
-        grid[docs.astype(np.int64)] = freqs
         c = int(bits_class(np.uint32(fp.entries[tid, TermCols.MAX_FREQ])))
-        grids[tid] = grid
-        cls_of[tid] = c
         per_class[c].append(tid)
 
     spans: Dict[int, Tuple[int, int]] = {}
@@ -97,9 +93,12 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
         bm = np.zeros(rows_c, np.uint32)
         for i, tid in enumerate(tids):
             start = 1 + i * ndrows
-            g = grids[tid].reshape(ndrows, BLOCK)
-            mat[start : start + ndrows] = g
-            bm[start : start + ndrows] = g.max(axis=1)
+            # write freqs straight into the class matrix (the row slice is
+            # contiguous, so its flat reshape is a view — no grid copy)
+            rows = mat[start : start + ndrows]
+            docs, freqs = decode_term(fp, tid)
+            rows.reshape(-1)[docs.astype(np.int64)] = freqs
+            bm[start : start + ndrows] = rows.max(axis=1)
             spans[tid] = (c, start)
         packed = pack_blocks(mat, BITS[c])
         pools.append(packed)

@@ -33,6 +33,11 @@ def reader():
             n = int(rng.integers(4, 20))
             idx = np.minimum(rng.zipf(1.3, size=n) - 1, len(WORDS) - 1)
             text = " ".join(WORDS[j] for j in idx)
+            # guaranteed-sparse terms (df ~4-8, below the nd/16 dense bar)
+            if i % 97 == 0:
+                text += " zrare0"
+            if i % 89 == 3:
+                text += " zrare1"
             w.insert([
                 Field("body", text, analyzer="segmentation"),
                 Field("id", str(i), index=True, store=True),
@@ -50,6 +55,18 @@ def _dense_terms(reader):
     assert cache is not None and cache.spans, "fixture must have dense terms"
     tl = sr.terms("body")
     return [tl[t].decode() for t in sorted(cache.spans)]
+
+
+def _sparse_terms(reader):
+    """Terms present in the segment but NOT in the dense cache."""
+    sr = reader.segments[0]
+    cache = sr.dense_cache("body")
+    tl = sr.terms("body")
+    out = [
+        tl[t].decode() for t in range(len(tl)) if t not in cache.spans
+    ]
+    assert out, "fixture must have sparse terms"
+    return out
 
 
 def _check(reader, flt, scorer, wand=False, want_dense=True):
@@ -177,6 +194,72 @@ def test_batched_mixed_dense(reader):
         from tests.topk_util import assert_topk_equiv
 
         assert_topk_equiv(got, want)
+
+
+def test_join_probes_dense(reader):
+    """And(sparse driver, dense) takes the join tier with the dense span
+    probed per candidate lane (single-word gathers)."""
+    from iresearch_tpu.exec import DeviceQuery
+
+    t = _dense_terms(reader)[0]
+    sp = _sparse_terms(reader)[0]
+    flt = F.And(F.ByTerm("body", sp), F.ByTerm("body", t))
+    dq = DeviceQuery(flt, list(reader.segments), BM25())
+    p = dq.plan(0)
+    assert p.exec_mode == "join" and len(p.dense_spans) == 1, (
+        p.exec_mode, len(p.dense_spans)
+    )
+    _check(reader, flt, BM25())
+
+
+def test_gridmix_mixed_or(reader):
+    """Or(dense, sparse) takes the dual-view gridmix tier."""
+    from iresearch_tpu.exec import DeviceQuery
+
+    t = _dense_terms(reader)[0]
+    sp = _sparse_terms(reader)[0]
+    flt = F.Or(F.ByTerm("body", t), F.ByTerm("body", sp))
+    dq = DeviceQuery(flt, list(reader.segments), BM25())
+    p = dq.plan(0)
+    assert p.exec_mode == "gridmix" and len(p.dense_spans) == 1, (
+        p.exec_mode, len(p.dense_spans)
+    )
+    _check(reader, flt, BM25())
+
+
+def test_gridmix_collapsed_terms(reader):
+    """ByTerms mixing dense and sparse terms collapses into one leaf and
+    runs gridmix (the Fuzzy/Prefix expansion shape)."""
+    t = _dense_terms(reader)
+    sp = _sparse_terms(reader)
+    flt = F.ByTerms(
+        "body",
+        [(t[0], 1.0), (t[1], 2.0), (sp[0], 1.0), (sp[-1], 1.5)],
+    )
+    _check(reader, flt, BM25())
+
+
+def test_gridmix_min_match_mixed(reader):
+    t = _dense_terms(reader)
+    sp = _sparse_terms(reader)
+    flt = F.Or(
+        F.ByTerm("body", t[0]),
+        F.ByTerm("body", "mid2"),
+        F.ByTerm("body", sp[0]),
+        min_match=2,
+    )
+    _check(reader, flt, BM25())
+
+
+def test_gridmix_and_fallback(reader):
+    """And with multiple sparse spans per leaf (no single-span driver)
+    still evaluates exactly whatever tier is picked."""
+    t = _dense_terms(reader)
+    flt = F.And(
+        F.Or(F.ByTerm("body", t[0]), F.ByTerm("body", "mid0")),
+        F.Or(F.ByTerm("body", t[1]), F.ByTerm("body", "cool1")),
+    )
+    _check(reader, flt, BM25())
 
 
 def test_dense_disabled_env_matches(reader, monkeypatch):
