@@ -73,7 +73,7 @@ def topk_docs(masked, doc_arr, k: int):
     return vals, out_docs
 
 
-def dense_probe(dargs, dstat, cdocs, scorer: Scorer, jnp):
+def dense_probe(dargs, dstat, cdocs, scorer: Scorer, jnp, dl=None):
     """(score f32 [P], hit bool [P]) of a dense-grid span at candidate docs.
 
     The grid representation makes probing trivial: doc d lives in row
@@ -98,7 +98,11 @@ def dense_probe(dargs, dstat, cdocs, scorer: Scorer, jnp):
     w32 = pool[row, word_ix]
     freq = ((w32 >> shift) & mask).astype(jnp.float32)
     hit = (freq > 0) & (cdocs < nd) & (cdocs >= 0)
-    dl = norms_g[cd]
+    if dl is None:
+        dl = norms_g[cd]
+    # else: caller already holds this doc's length (e.g. the join driver's
+    # decoded inline norms — dl is a per-doc field property), saving the
+    # norms gather
     sc = score_block(scorer, w, freq, dl, avgdl_d, xp=jnp)
     return jnp.where(hit, sc, 0.0), hit
 
@@ -292,18 +296,21 @@ def join_topk(
     def decode_span(gi):
         bd, bf, bn = gbits[gi]
         rows_d, rows_f, rows_n, w, _leaf = rowsets[gi][:5]
-        docs, sc, m = _group_contrib(
-            pools[gi], rows_d, rows_f, rows_n, w, bd, bf, bn, avgdl[gi], scorer
+        docs, sc, m, dl = _group_contrib(
+            pools[gi], rows_d, rows_f, rows_n, w, bd, bf, bn, avgdl[gi],
+            scorer, want_dl=True,
         )
         P = docs.shape[0] * docs.shape[1]
         lane = jnp.arange(P, dtype=jnp.int32)
         cdocs = jnp.where(lane < nreal[gi], docs.reshape(-1), IMAX)
-        return cdocs, sc.reshape(-1), m.reshape(-1)
+        # dl may be [R,128] (inline norm pools) or [R,128]-broadcastable
+        # via norms[docs] (legacy) — both reshape to per-lane
+        return cdocs, sc.reshape(-1), m.reshape(-1), dl.reshape(-1)
 
     cand_gis = [driver_gi] if driver_gi >= 0 else list(range(G))
     out_docs, out_masked = [], []
     for ci in cand_gis:
-        cdocs, csc, cm = decode_span(ci)
+        cdocs, csc, cm, cdl = decode_span(ci)
         P = cdocs.shape[0]
         leaf_score = [jnp.zeros(P, jnp.float32) for _ in range(num_leaves)]
         leaf_count = [jnp.zeros(P, jnp.int32) for _ in range(num_leaves)]
@@ -325,9 +332,13 @@ def join_topk(
             leaf_count[lj] = leaf_count[lj] + hit.astype(jnp.int32)
             if driver_gi < 0 and gi < ci:
                 valid = valid & ~hit  # dedup: earlier span owns the doc
-        # dense-grid probed spans: one word gather per candidate
+        # dense-grid probed spans: one word gather per candidate (the
+        # driver's decoded dl is reused — its real lanes carry this doc's
+        # true length; pad lanes are gated by cm)
         for dargs, dstat in zip(dense_args, dense_static):
-            sc_at, hit = dense_probe(dargs, dstat, cdocs, scorer, jnp)
+            sc_at, hit = dense_probe(
+                dargs, dstat, cdocs, scorer, jnp, dl=cdl
+            )
             lj = dstat[1]
             leaf_score[lj] = leaf_score[lj] + jnp.where(hit, sc_at, 0.0)
             leaf_count[lj] = leaf_count[lj] + hit.astype(jnp.int32)

@@ -102,7 +102,8 @@ def use_pallas_decode(enable: bool = True) -> None:
 
 
 def _group_contrib(
-    pool, rows_d, rows_f, rows_n, w, bd: int, bf: int, bn: int, avgdl, scorer
+    pool, rows_d, rows_f, rows_n, w, bd: int, bf: int, bn: int, avgdl, scorer,
+    want_dl: bool = False,
 ):
     """Decode one row group -> (docs i32 [R,128], scores f32, matched bool).
 
@@ -138,6 +139,8 @@ def _group_contrib(
     else:
         dl = norms[docs]
     sc = score_block(scorer, w[:, None], f, dl, avgdl, xp=jnp)
+    if want_dl:
+        return docs, sc, f > 0, dl
     return docs, sc, f > 0
 
 

@@ -514,11 +514,11 @@ class PlanCompiler:
             and self._leaf_mm
             and self._leaf_mm[0] <= 1
         ):
-            # a lone dense term streams the grid with no base-gather or
-            # prefix-sum — cheaper than decoding its (≈grid-sized) blocks.
-            # Mid-df dense-eligible terms (lanes << grid) stay direct:
-            # decoding their blocks beats streaming the whole grid.
-            if dense_blocks and lanes * 4 >= nd_pad:
+            # a lone dense term: the grid stream costs a FIXED ~nd-pass
+            # (measured ~1.2 ms at 5M docs) while the direct tier's row
+            # gathers cost ~6 ns/lane — the stream wins once the list
+            # passes ~nd/16 lanes, below that direct decode is cheaper
+            if dense_blocks and lanes * 16 >= nd_pad:
                 return ("dense", None)
             return ("direct", None)
         if tree[0] == "and" and nspans <= JOIN_MAX_SPANS:

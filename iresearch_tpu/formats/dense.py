@@ -33,12 +33,14 @@ from iresearch_tpu.formats.postings import FieldPostings
 from iresearch_tpu.formats.spec import BLOCK, NUM_CLASSES, TermCols, pad_docs
 
 # df >= nd / DENSE_MIN_RATIO qualifies a term for the grid representation.
-# 16 reaches the whole "high" band of a Zipf corpus (everything a
-# disjunction would pay sort constants on); storage for a df=nd/16 term
-# is ~3x its delta form, device-side only.
-DENSE_MIN_RATIO = 16
+# Measured on v5e (scripts/bench_placement.py): grid streaming costs
+# ~0.7 ns/lane while the gather/scatter/sort alternatives cost 4-10
+# ns/lane — so any term whose lists disjunctions/conjunctions routinely
+# touch should live on the grid. 64 reaches the luceneutil "Med" band;
+# storage is device-side only and capped below.
+DENSE_MIN_RATIO = 128
 # grid rows cost nd/128 rows per term; cap the cache size per field
-DENSE_MAX_TERMS = 192
+DENSE_MAX_TERMS = 512
 
 
 @dataclass
@@ -66,7 +68,8 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
     if T == 0:
         return None
     df = fp.entries[:, TermCols.DF].astype(np.int64)
-    thresh = max(4, num_docs // DENSE_MIN_RATIO)
+    # floor of 32: a shorter list gains nothing from a grid of nd lanes
+    thresh = max(32, num_docs // DENSE_MIN_RATIO)
     sel = np.flatnonzero(df >= thresh)
     if len(sel) == 0:
         return None
@@ -82,25 +85,29 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
         c = int(bits_class(np.uint32(fp.entries[tid, TermCols.MAX_FREQ])))
         per_class[c].append(tid)
 
+    from iresearch_tpu.formats.bitpack import words_per_block
+
     spans: Dict[int, Tuple[int, int]] = {}
     pools: List[np.ndarray] = []
     bmaxf: List[np.ndarray] = []
     host_bytes = 0
+    grid = np.zeros((ndrows, BLOCK), np.uint32)  # reused per term
     for c in range(NUM_CLASSES):
         tids = per_class[c]
         rows_c = 1 + ndrows * len(tids)  # row 0: zero sentinel
-        mat = np.zeros((rows_c, BLOCK), np.uint32)
+        # pack per term into the preallocated word pool: one [ndrows, 128]
+        # unpacked temp at a time (a single class matrix for hundreds of
+        # 5M-doc terms would be a multi-GB host allocation)
+        packed = np.zeros((rows_c, words_per_block(BITS[c])), np.uint32)
         bm = np.zeros(rows_c, np.uint32)
         for i, tid in enumerate(tids):
             start = 1 + i * ndrows
-            # write freqs straight into the class matrix (the row slice is
-            # contiguous, so its flat reshape is a view — no grid copy)
-            rows = mat[start : start + ndrows]
+            grid[:] = 0
             docs, freqs = decode_term(fp, tid)
-            rows.reshape(-1)[docs.astype(np.int64)] = freqs
-            bm[start : start + ndrows] = rows.max(axis=1)
+            grid.reshape(-1)[docs.astype(np.int64)] = freqs
+            packed[start : start + ndrows] = pack_blocks(grid, BITS[c])
+            bm[start : start + ndrows] = grid.max(axis=1)
             spans[tid] = (c, start)
-        packed = pack_blocks(mat, BITS[c])
         pools.append(packed)
         bmaxf.append(bm)
         host_bytes += packed.nbytes + bm.nbytes

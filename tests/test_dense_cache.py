@@ -61,7 +61,7 @@ def test_every_qualifying_term_selected():
     fp, nd = _zipf_field()
     cache = build_dense_cache(fp, nd)
     df = fp.entries[:, 0].astype(np.int64)
-    want = set(np.flatnonzero(df >= max(4, nd // DENSE_MIN_RATIO)).tolist())
+    want = set(np.flatnonzero(df >= max(32, nd // DENSE_MIN_RATIO)).tolist())
     assert set(cache.spans) == want
 
 
