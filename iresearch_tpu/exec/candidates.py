@@ -160,7 +160,7 @@ def direct_topk(pools, rowsets, avgdl, alive, *, gbits, scorer, k):
 def sorted_topk(
     pools, rowsets, avgdl, leaf_min, alive,
     *, tree, gbits, scorer, num_leaves, k, slicer=None,
-    dense_args=(), dense_static=(),
+    dense_leaf=None,  # (score_d [L,nd], count_d [L,nd], leaves tuple)
 ):
     """Sort + segmented-scan candidate top-k for covering trees.
 
@@ -207,14 +207,23 @@ def sorted_topk(
     leaf_count = jnp.stack(
         [jnp.where(is_end, chans[2 * l + 1], 0.0).astype(jnp.int32) for l in range(num_leaves)]
     )
-    # dense-grid spans probed at the candidate docs (gridmix view B):
-    # added at run-end lanes only, so each doc counts each span once
-    for dargs, dstat in zip(dense_args, dense_static):
-        sc_p, hit_p = dense_probe(dargs, dstat, sdocs, scorer, jnp)
-        on = hit_p & is_end
-        lj = dstat[1]
-        leaf_score = leaf_score.at[lj].add(jnp.where(on, sc_p, 0.0))
-        leaf_count = leaf_count.at[lj].add(on.astype(jnp.int32))
+    # dense-grid contributions at the candidate docs (gridmix view B):
+    # gathered from the pre-accumulated per-leaf grid arrays — two
+    # gathers per DENSE LEAF, independent of how many dense spans feed it
+    # (a fuzzy expansion can have dozens). Added at run-end lanes only,
+    # so each doc counts once.
+    if dense_leaf is not None:
+        score_d, count_d, dense_leaves = dense_leaf
+        ndg = score_d.shape[1]
+        cd = jnp.clip(sdocs, 0, ndg - 1)
+        on = (sdocs >= 0) & (sdocs < ndg) & is_end
+        for l in dense_leaves:
+            leaf_score = leaf_score.at[l].add(
+                jnp.where(on, score_d[l][cd], 0.0)
+            )
+            leaf_count = leaf_count.at[l].add(
+                jnp.where(on, count_d[l][cd], 0)
+            )
     leaf_match = leaf_count >= leaf_min[:, None]
     leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
     match, score = _fold_tree(tree, leaf_match, leaf_score, None, None, P, jnp)
@@ -402,14 +411,17 @@ def gridmix_topk(
 
     from iresearch_tpu.exec.executor import _dense_contrib, _fold_tree
 
-    leaf_score = jnp.zeros((num_leaves, nd), jnp.float32)
-    leaf_count = jnp.zeros((num_leaves, nd), jnp.int32)
+    # per-leaf dense grid accumulations, shared by both views
+    score_d = jnp.zeros((num_leaves, nd), jnp.float32)
+    count_d = jnp.zeros((num_leaves, nd), jnp.int32)
     for dargs, dstat in zip(dense_args, dense_static):
         sc, m = _dense_contrib(dargs, dstat, scorer, nd, jnp)
-        leaf_score = leaf_score.at[dstat[1]].add(sc)
-        leaf_count = leaf_count.at[dstat[1]].add(m.astype(jnp.int32))
-    leaf_match = leaf_count >= leaf_min[:, None]
-    leaf_score = jnp.where(leaf_match, leaf_score, 0.0)
+        score_d = score_d.at[dstat[1]].add(sc)
+        count_d = count_d.at[dstat[1]].add(m.astype(jnp.int32))
+    dense_leaves = tuple(sorted({dstat[1] for dstat in dense_static}))
+
+    leaf_match = count_d >= leaf_min[:, None]
+    leaf_score = jnp.where(leaf_match, score_d, 0.0)
     match, score = _fold_tree(tree, leaf_match, leaf_score, None, None, nd, jnp)
     grid_ids = jnp.arange(nd, dtype=jnp.int32)
     if alive is not None:
@@ -422,7 +434,7 @@ def gridmix_topk(
         pools, rowsets, avgdl, leaf_min, alive,
         tree=tree, gbits=gbits, scorer=scorer, num_leaves=num_leaves,
         k=min(k, p_sp),
-        dense_args=dense_args, dense_static=dense_static,
+        dense_leaf=(score_d, count_d, dense_leaves),
     )
     return merge_topk_lists(va, da, vb, db, k)
 

@@ -547,15 +547,29 @@ class PlanCompiler:
             # sparse spans evaluate in candidate space with single-lane
             # dense probes (view B); the two top-k lists merge exactly for
             # sum-merged positive trees — no sort of dense mass, no
-            # scatter of sparse mass (exec/candidates.py:gridmix_topk)
-            if _wand_tree_ok(tree) and sparse_lanes <= SORT_MAX_RATIO * nd_pad:
+            # scatter of sparse mass (exec/candidates.py:gridmix_topk).
+            # Bounded: a hot-prefix expansion with hundreds of dense spans
+            # would stream hundreds of [nd] grids in one program.
+            n_dense_spans = sum(
+                1
+                for key, spans in self._groups.items()
+                for s in spans
+                if (key[0], s[6]) in self._elig
+            )
+            if (
+                _wand_tree_ok(tree)
+                and n_dense_spans <= 32
+                and sparse_lanes <= 8 * nd_pad
+            ):
                 return "gridmix", None
             # non-sum trees: grid fold with a scatter of the sparse
             # remainder still wins while that remainder is modest. A huge
             # remainder (hot-prefix expansions) sorts better than it
             # scatters.
-            if dense_blocks * BLOCK >= sparse_lanes and (
-                sparse_lanes <= 4 * nd_pad
+            if (
+                dense_blocks * BLOCK >= sparse_lanes
+                and sparse_lanes <= 4 * nd_pad
+                and n_dense_spans <= 64
             ):
                 return "dense", None
         # disjunctions go to the sort tier: an all-lanes block-probe merge
