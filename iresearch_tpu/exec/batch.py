@@ -91,7 +91,7 @@ def _bucket4(n: int) -> int:
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "nd", "has_aux",
-        "dense_static",
+        "dense_static", "use_scan", "scan_conj",
     ),
 )
 def _run_batch(
@@ -113,11 +113,47 @@ def _run_batch(
     nd: int,
     has_aux: bool,
     dense_static=(),
+    use_scan: bool = False,
+    scan_conj: bool = False,
 ):
     import jax.numpy as jnp
     from jax import lax
 
+    from iresearch_tpu.formats.spec import BLOCK as BLOCK_LANES
     from iresearch_tpu.ops.topk import wide_top_k
+
+    if use_scan:
+        # fused row-max scan (ops/dense_scan.py): single-leaf sum trees
+        # whose spans are all grid-resident skip the [nd] fold entirely
+        from iresearch_tpu.ops.dense_scan import dense_scan_topk
+
+        ndrows = dense_static[0][2]
+        norms_g = dense_shared[0][1].reshape(ndrows, BLOCK_LANES)
+        avgdl_s = dense_shared[0][2]
+        span_bits = tuple(d[0] for d in dense_static)
+
+        def one_scan(xs):
+            _rowsets, _leaf_min, _am, _asc, ddyn = xs
+            words = tuple(
+                lax.dynamic_slice(
+                    sh[0], (dd[0], jnp.int32(0)), (ndrows, sh[0].shape[1])
+                )
+                for sh, dd in zip(dense_shared, ddyn)
+            )
+            return dense_scan_topk(
+                words,
+                tuple(dd[1] for dd in ddyn),
+                norms_g,
+                avgdl_s,
+                scorer=scorer,
+                span_bits=span_bits,
+                k=k,
+                conj=scan_conj,
+            )
+
+        q = leaf_min_b.shape[0]
+        xs = (rowsets_b, leaf_min_b, None, None, dense_dyn)
+        return _chunked_vmap(one_scan, xs, q, nd)
 
     def one(xs):
         rowsets, leaf_min, aux_m, aux_s, ddyn = xs
@@ -518,6 +554,41 @@ class QueryBatch:
                     asc[j] = p.aux_score
             else:
                 am = asc = None
+            from iresearch_tpu.exec.executor import scan_shape
+
+            shapes = {scan_shape(p) for p in reps}
+            scan_mode = shapes.pop() if len(shapes) == 1 else None
+            use_scan = (
+                scan_mode is not None
+                and len({f for f, *_ in dkeys}) == 1
+                and not sr.has_deletes
+            )
+            if use_scan:
+                args = (
+                    tuple(pools),
+                    tuple(rowsets_b),
+                    reps[0].group_avgdl,
+                    np.stack([p.leaf_min_match for p in reps]),
+                    None,
+                    None,
+                    sr.device().alive,
+                    tuple(dense_shared),
+                    tuple(dense_dyn),
+                )
+                kwargs = dict(
+                    tree=tree,
+                    gbits=tuple(gbits),
+                    scorer=self.scorer,
+                    num_leaves=num_leaves,
+                    k=min(k, nd),
+                    nd=nd,
+                    has_aux=False,
+                    dense_static=tuple(dense_static),
+                    use_scan=True,
+                    scan_conj=scan_mode == "and",
+                )
+                calls.append((qis, args, kwargs, _run_batch))
+                continue
             if use_wand:
                 args = (
                     tuple(pools),

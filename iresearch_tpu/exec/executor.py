@@ -383,6 +383,72 @@ def _run_segment_candidates(
     )
 
 
+_USE_DENSE_SCAN = (
+    __import__("os").environ.get("IRS_DENSE_SCAN", "1") != "0"
+)
+
+
+def scan_shape(plan):
+    """Fused-scan eligibility of a plan: None, "or" (any-hit, spans sum
+    into one leaf), or "and" (all-hit, one span per leaf)."""
+    if (
+        plan.exec_mode != "dense"
+        or plan.groups
+        or not plan.dense_spans
+        or plan.aux_match is not None
+        or plan.device_aux
+    ):
+        return None
+    L = plan.num_leaves
+    if any(int(m) > 1 for m in plan.leaf_min_match[:L]):
+        return None
+    if plan.tree == ("leaf", 0) and L == 1:
+        return "or"
+    t = plan.tree
+    if (
+        t[0] == "and"
+        and not t[2]
+        and t[3] == "sum"
+        and all(c[0] == "leaf" for c in t[1])
+        and sorted(c[1] for c in t[1]) == list(range(L))
+        and [ds.leaf for ds in plan.dense_spans] == list(range(L))
+    ):
+        return "and"
+    return None
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scorer", "span_bits", "k", "interpret", "conj"),
+)
+def _run_dense_scan(
+    span_pools, span_starts, span_w, norms_grid, avgdl,
+    *, scorer, span_bits, k, interpret, conj=False,
+):
+    """Fused scan fast path (ops/dense_scan.py): sum trees whose spans
+    are all dense-grid resident — disjunctive or conjunctive."""
+    from jax import lax
+
+    from iresearch_tpu.ops.dense_scan import dense_scan_topk
+
+    ndrows = norms_grid.shape[0]
+    words = tuple(
+        lax.dynamic_slice(p, (s, jnp_zero()), (ndrows, p.shape[1]))
+        for p, s in zip(span_pools, span_starts)
+    )
+    return dense_scan_topk(
+        words, span_w, norms_grid, avgdl,
+        scorer=scorer, span_bits=span_bits, k=k, interpret=interpret,
+        conj=conj,
+    )
+
+
+def jnp_zero():
+    import jax.numpy as jnp
+
+    return jnp.int32(0)
+
+
 def segment_body(
     pools,  # tuple per group: (doc_words, freq_words, base, norms)
     rowsets,  # tuple per group: (rows_d i32[R], rows_f i32[R], w f32[R], leaf i32[R])
@@ -511,6 +577,7 @@ class DeviceQuery:
         self.compiler = PlanCompiler(self.prepared, self.scorer)
         self._plans: Dict[int, SegmentPlan] = {}
         self._dev_inputs: Dict[int, tuple] = {}  # uploaded once per segment
+        self._scan_inputs: Dict[int, tuple] = {}  # dense-scan fast path
 
     def plan(self, seg_idx: int) -> SegmentPlan:
         p = self._plans.get(seg_idx)
@@ -645,6 +712,48 @@ class DeviceQuery:
         wand_on = (bool(plan.groups) and plan.groups[0].ub is not None) or any(
             ds.ub is not None for ds in plan.dense_spans
         )
+        sr0 = self.prepared.segments[plan.seg_idx]
+        shape = scan_shape(plan) if _USE_DENSE_SCAN else None
+        if (
+            shape is not None
+            # single spans run faster through the plain fused fold; the
+            # scan's row-max+refine wins once spans multiply
+            and (len(plan.dense_spans) >= 2 or shape == "and")
+            and not sr0.has_deletes
+            and len({ds.field_name for ds in plan.dense_spans}) == 1
+        ):
+            cached = self._scan_inputs.get(plan.seg_idx)
+            if cached is None:
+                import jax.numpy as jnp
+
+                dfield = sr0.device_field(plan.dense_spans[0].field_name)
+                ndrows = plan.dense_spans[0].ndrows
+                cached = (
+                    tuple(
+                        sr0.device_field(ds.field_name).dense_words(
+                            sr0.dense_cache(ds.field_name), ds.cls
+                        )
+                        for ds in plan.dense_spans
+                    ),
+                    tuple(jnp.int32(ds.start) for ds in plan.dense_spans),
+                    tuple(jnp.float32(ds.w) for ds in plan.dense_spans),
+                    dfield.norms.reshape(ndrows, 128),
+                    jnp.float32(plan.dense_spans[0].avgdl),
+                )
+                self._scan_inputs[plan.seg_idx] = cached
+            span_pools, starts, ws, norms_g, avgdl_s = cached
+            return _run_dense_scan(
+                span_pools,
+                starts,
+                ws,
+                norms_g,
+                avgdl_s,
+                scorer=self.scorer,
+                span_bits=tuple(BITS[ds.cls] for ds in plan.dense_spans),
+                k=kk,
+                interpret=jax.default_backend() == "cpu",
+                conj=shape == "and",
+            )
         if plan.exec_mode != "dense":
             import jax.numpy as jnp
 
