@@ -128,7 +128,7 @@ def _run_batch(
         from iresearch_tpu.ops.dense_scan import dense_scan_topk
 
         ndrows = dense_static[0][2]
-        norms_g = dense_shared[0][1].reshape(ndrows, BLOCK_LANES)
+        norms_g = dense_shared[0][3].reshape(ndrows, BLOCK_LANES)
         avgdl_s = dense_shared[0][2]
         span_bits = tuple(d[0] for d in dense_static)
 
@@ -153,7 +153,11 @@ def _run_batch(
 
         q = leaf_min_b.shape[0]
         xs = (rowsets_b, leaf_min_b, None, None, dense_dyn)
-        return _chunked_vmap(one_scan, xs, q, nd)
+        # the scan keeps no [nd] operand live (fused reduction), only the
+        # sliced packed rows (~nd/4 lanes of u32 at 8 bits) per span —
+        # wider vmap chunks are safe and buy real parallelism
+        width = (nd // 4) * max(1, len(dense_static))
+        return _chunked_vmap(one_scan, xs, q, width)
 
     def one(xs):
         rowsets, leaf_min, aux_m, aux_s, ddyn = xs
@@ -483,6 +487,10 @@ class QueryBatch:
                         dfield.dense_words(cache, cls),
                         dfield.norms,
                         np.float32(reps[0].dense_spans[di].avgdl),
+                        # u16 norms for the fused scan (None -> f32)
+                        dfield.norms_u16
+                        if dfield.norms_u16 is not None
+                        else dfield.norms,
                     )
                 )
                 starts = np.asarray(

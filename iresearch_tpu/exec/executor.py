@@ -728,6 +728,11 @@ class DeviceQuery:
 
                 dfield = sr0.device_field(plan.dense_spans[0].field_name)
                 ndrows = plan.dense_spans[0].ndrows
+                nrm = (
+                    dfield.norms_u16
+                    if dfield.norms_u16 is not None
+                    else dfield.norms
+                )
                 cached = (
                     tuple(
                         sr0.device_field(ds.field_name).dense_words(
@@ -737,7 +742,7 @@ class DeviceQuery:
                     ),
                     tuple(jnp.int32(ds.start) for ds in plan.dense_spans),
                     tuple(jnp.float32(ds.w) for ds in plan.dense_spans),
-                    dfield.norms.reshape(ndrows, 128),
+                    nrm.reshape(ndrows, 128),
                     jnp.float32(plan.dense_spans[0].avgdl),
                 )
                 self._scan_inputs[plan.seg_idx] = cached

@@ -140,6 +140,13 @@ class DeviceField:
         norms = np.ones(nd_pad, np.float32)
         norms[: len(fp.norms)] = np.maximum(fp.norms, 1).astype(np.float32)
         self.norms = jnp.asarray(norms)
+        # u16 twin for the fused dense scan (halves its norms traffic);
+        # exact only while every doc length fits 16 bits
+        self.norms_u16 = (
+            jnp.asarray(norms.astype(np.uint16))
+            if norms.max(initial=1.0) < 65536.0
+            else None
+        )
         # device-memory accounting (reference: IResourceManager categories,
         # core/resource_manager.hpp:61-70 + CountMappedMemory)
         from iresearch_tpu.utils import resource

@@ -80,6 +80,9 @@ def dense_scan_rowmax_xla(
     from iresearch_tpu.formats.bitpack import unpack_jnp
 
     ndrows = norms.shape[0]
+    if not jnp.issubdtype(norms.dtype, jnp.floating):
+        # u16 doc lengths: exact integer convert (via i32 — no u16->f32)
+        norms = norms.astype(jnp.int32).astype(jnp.float32)
     score = jnp.zeros((ndrows, BLOCK), jnp.float32)
     # disjunction: hit when any span has f > 0; conjunction: all spans
     fagg = None
@@ -209,6 +212,8 @@ def _score_rows(
     import jax.numpy as jnp
 
     m = rows.shape[0]
+    if not jnp.issubdtype(norms_rows.dtype, jnp.floating):
+        norms_rows = norms_rows.astype(jnp.int32).astype(jnp.float32)
     score = jnp.zeros((m, BLOCK), jnp.float32)
     fagg = None
     lane = jnp.arange(BLOCK, dtype=jnp.uint32)
