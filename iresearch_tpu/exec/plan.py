@@ -556,8 +556,17 @@ class PlanCompiler:
                 return "join", best
         sparse_lanes = (total_blocks - dense_blocks) * BLOCK
         if dense_blocks:
+            n_dense_spans = sum(
+                1
+                for key, spans in self._groups.items()
+                for s in spans
+                if (key[0], s[6]) in self._elig
+            )
             if sparse_lanes == 0:
-                return "dense", None  # pure grid streams, nothing to place
+                # pure grid streams, nothing to place — but hundreds of
+                # streams in one program (a prefix over the whole dense
+                # band) still sort better
+                return ("dense" if n_dense_spans <= 64 else "sort"), None
             # dual-view gridmix: dense spans stream on the grid (view A),
             # sparse spans evaluate in candidate space with single-lane
             # dense probes (view B); the two top-k lists merge exactly for
@@ -565,12 +574,6 @@ class PlanCompiler:
             # scatter of sparse mass (exec/candidates.py:gridmix_topk).
             # Bounded: a hot-prefix expansion with hundreds of dense spans
             # would stream hundreds of [nd] grids in one program.
-            n_dense_spans = sum(
-                1
-                for key, spans in self._groups.items()
-                for s in spans
-                if (key[0], s[6]) in self._elig
-            )
             if (
                 _wand_tree_ok(tree)
                 and n_dense_spans <= 32
