@@ -479,6 +479,14 @@ class QueryBatch:
             dense_shared = []
             dense_dyn = []
             dense_static = []
+            # join tier: probed spans reuse the candidate span's decoded
+            # dl only when every candidate group is in the span's field
+            cand_fields = None
+            if exec_mode == "join":
+                cand_fields = (
+                    {gkeys[driver_gi][0]} if driver_gi >= 0
+                    else {g[0] for g in gkeys}
+                )
             for di, (fname, cls, leaf, ndrows) in enumerate(dkeys):
                 dfield = sr.device_field(fname)
                 cache = sr.dense_cache(fname)
@@ -507,7 +515,8 @@ class QueryBatch:
                     dense_dyn.append((starts, ws, ub, other))
                 else:
                     dense_dyn.append((starts, ws))
-                dense_static.append((BITS[cls], leaf, ndrows))
+                same_dl = cand_fields is None or cand_fields == {fname}
+                dense_static.append((BITS[cls], leaf, ndrows, same_dl))
             if exec_mode != "dense":
                 if exec_mode == "join":
                     lanes = Rs[driver_gi] * 128
@@ -648,8 +657,19 @@ class QueryBatch:
 # PreparedBatch per incoming request batch; without this cache every
 # request would re-trace + re-compile the fused program (seconds through
 # the relay). Keyed by the full static structure of the batch — same
-# category mix and row buckets => cache hit.
-_FUSED_CACHE: Dict[tuple, object] = {}
+# category mix and row buckets => cache hit. LRU-bounded: a long-lived
+# server with a drifting query mix must not accumulate programs forever.
+from collections import OrderedDict as _OrderedDict
+
+_FUSED_CACHE: "_OrderedDict[tuple, object]" = _OrderedDict()
+_FUSED_CACHE_MAX = int(
+    __import__("os").environ.get("IRS_FUSED_CACHE_MAX", "256")
+)
+
+
+def clear_fused_cache() -> None:
+    """Drop every cached fused batch program (frees XLA executables)."""
+    _FUSED_CACHE.clear()
 
 
 def _pack_args(calls):
@@ -789,6 +809,8 @@ class PreparedBatch:
         """[(  (vals [Q,k], docs [Q,k]), query_indices ), ...] — one entry
         per signature group, computed in ONE device dispatch."""
         fn_cached = _FUSED_CACHE.get(self._key) if fused else None
+        if fn_cached is not None:
+            _FUSED_CACHE.move_to_end(self._key)
         if fused and fn_cached is None:
             templates = tuple(
                 (args, kw_items, fn)
@@ -804,6 +826,8 @@ class PreparedBatch:
 
             fn_cached = jax.jit(_all)
             _FUSED_CACHE[self._key] = fn_cached
+            while len(_FUSED_CACHE) > _FUSED_CACHE_MAX:
+                _FUSED_CACHE.popitem(last=False)
         if fn_cached is not None:
             outs = fn_cached(self._dev_args, self._buffers)
             return [

@@ -86,7 +86,7 @@ def dense_probe(dargs, dstat, cdocs, scorer: Scorer, jnp, dl=None):
     from iresearch_tpu.search.scorers import score_block
 
     pool, start, w, norms_g, avgdl_d = dargs[:5]
-    bits, _leaf, ndrows = dstat
+    bits, _leaf, ndrows = dstat[:3]
     nd = ndrows * BLOCK
     cd = jnp.clip(cdocs, 0, nd - 1)
     row = start + (cd >> 7)
@@ -341,12 +341,15 @@ def join_topk(
             leaf_count[lj] = leaf_count[lj] + hit.astype(jnp.int32)
             if driver_gi < 0 and gi < ci:
                 valid = valid & ~hit  # dedup: earlier span owns the doc
-        # dense-grid probed spans: one word gather per candidate (the
-        # driver's decoded dl is reused — its real lanes carry this doc's
-        # true length; pad lanes are gated by cm)
+        # dense-grid probed spans: one word gather per candidate. The
+        # driver's decoded dl is reused ONLY when the span lives in the
+        # same field (dl is per-(doc, field) — dstat[3] is the static
+        # same-field flag); otherwise dense_probe gathers from the span's
+        # own norms. Pad lanes are gated by cm.
         for dargs, dstat in zip(dense_args, dense_static):
             sc_at, hit = dense_probe(
-                dargs, dstat, cdocs, scorer, jnp, dl=cdl
+                dargs, dstat, cdocs, scorer, jnp,
+                dl=cdl if dstat[3] else None,
             )
             lj = dstat[1]
             leaf_score[lj] = leaf_score[lj] + jnp.where(hit, sc_at, 0.0)

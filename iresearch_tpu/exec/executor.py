@@ -158,7 +158,7 @@ def _dense_contrib(dargs, dstat, scorer, nd, jnp, keep=None):
     from iresearch_tpu.formats.bitpack import unpack_jnp
 
     pool, start, w, norms_g, avgdl_d = dargs[:5]
-    bits, _leaf, ndrows = dstat
+    bits, _leaf, ndrows = dstat[:3]
     words = lax.dynamic_slice_in_dim(pool, start, ndrows)
     freq = unpack_jnp(words, bits).astype(jnp.float32)  # [ndrows, 128]
     if keep is not None:
@@ -652,7 +652,17 @@ class DeviceQuery:
         avgdl_j = jnp.asarray(plan.group_avgdl)
         leafmin_j = jnp.asarray(plan.leaf_min_match)
         # dense-grid spans (plan.dense_spans): pool upload is lazy and
-        # shared per (field, class); per-span scalars ride the pytree
+        # shared per (field, class); per-span scalars ride the pytree.
+        # same_dl: under the join tier, probed spans may reuse the
+        # candidate span's decoded doc length ONLY if every candidate-
+        # generating group is in the span's own field (dl is per-(doc,
+        # field)).
+        cand_fields = None
+        if plan.exec_mode == "join":
+            if plan.driver_gi >= 0:
+                cand_fields = {plan.groups[plan.driver_gi].field_name}
+            else:
+                cand_fields = {g.field_name for g in plan.groups}
         dense_args = []
         dense_static = []
         for ds in plan.dense_spans:
@@ -669,7 +679,8 @@ class DeviceQuery:
             if ds.ub is not None:
                 args = args + (jnp.asarray(ds.ub), jnp.float32(ds.other))
             dense_args.append(args)
-            dense_static.append((BITS[ds.cls], ds.leaf, ds.ndrows))
+            same_dl = cand_fields is None or cand_fields == {ds.field_name}
+            dense_static.append((BITS[ds.cls], ds.leaf, ds.ndrows, same_dl))
         return (
             tuple(pools),
             tuple(rowsets),

@@ -212,6 +212,34 @@ def test_join_probes_dense(reader):
     _check(reader, flt, BM25())
 
 
+def test_join_cross_field_dense(reader):
+    """A join whose dense span lives in a DIFFERENT field than the driver
+    must gather the span's own norms (dl is per-(doc, field)), not reuse
+    the driver's decoded doc lengths (ADVICE r2 high)."""
+    from iresearch_tpu.exec import DeviceQuery
+    from iresearch_tpu.exec.batch import QueryBatch
+
+    from tests.topk_util import assert_topk_equiv
+
+    t = _dense_terms(reader)[0]
+    hq = HostQuery(F.ByTerm("body", t), list(reader.segments), BM25())
+    hits = np.flatnonzero(hq.execute(0).match)
+    assert len(hits), "fixture must have a hot-term hit"
+    # ids are insertion-order strings; the id field's dl is 1 for every
+    # doc while body dls vary, so a wrongly reused driver dl skews BM25
+    flt = F.And(F.ByTerm("id", str(int(hits[0]))), F.ByTerm("body", t))
+    dq = DeviceQuery(flt, list(reader.segments), BM25())
+    p = dq.plan(0)
+    assert p.exec_mode == "join" and len(p.dense_spans) == 1, (
+        p.exec_mode, len(p.dense_spans)
+    )
+    _check(reader, flt, BM25())
+    # the batched path builds its own dense_static — check it too
+    qb = QueryBatch([flt], list(reader.segments), BM25())
+    want = HostQuery(flt, list(reader.segments), BM25()).top_k(8)
+    assert_topk_equiv(qb.search(k=8)[0], want)
+
+
 def test_gridmix_mixed_or(reader):
     """Or(dense, sparse) takes the dual-view gridmix tier."""
     from iresearch_tpu.exec import DeviceQuery
