@@ -142,6 +142,64 @@ def decode_flat(pools, rowsets, avgdl, gbits, scorer: Scorer, slicer=None):
     )
 
 
+def dslice_topk(
+    pool, starts, nreal, w, avgdl, alive,
+    *, gbits, scorer, k, R: int,
+):
+    """Single-term top-k via CONTIGUOUS slice decode.
+
+    A term's postings rows are contiguous in each class pool by
+    construction (formats/postings.py appends per class in tid order), so
+    the decode needs no row gather at all: three dynamic_slices stream the
+    rows at HBM speed. Measured on v5e at 5M docs: 27x faster than the
+    row-gather decode for a 713-block term (the luceneutil MedTerm shape).
+    Rows past the term's real count decode other terms' data and are
+    masked by ``nreal``; block-max pruning is NOT applied here — in
+    candidate space pruning only redirects rows to the sentinel (same
+    lane count), so for a single span it saves nothing and costs a sort.
+
+    Reference: term_query.cpp:35-75 + the postings_reader refill loop
+    (formats_10.cpp:2089-2120).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from iresearch_tpu.exec.executor import _group_contrib
+    from iresearch_tpu.formats.bitpack import unpack_jnp, words_per_block
+    from iresearch_tpu.search.scorers import score_block
+
+    bd, bf, bn = gbits
+    doc_words, freq_words, nrm_words, base, norms = pool
+    dwords = lax.dynamic_slice(
+        doc_words, (starts[0], 0), (R, words_per_block(bd))
+    )
+    fwords = lax.dynamic_slice(
+        freq_words, (starts[1], 0), (R, words_per_block(bf))
+    )
+    base_r = lax.dynamic_slice(base, (starts[0],), (R,))
+    d = unpack_jnp(dwords, bd).astype(jnp.int32)
+    docs = base_r.astype(jnp.int32)[:, None] + jnp.cumsum(d, axis=1)
+    f = unpack_jnp(fwords, bf).astype(jnp.float32)
+    if bn >= 0:
+        nwords = lax.dynamic_slice(
+            nrm_words, (starts[2], 0), (R, words_per_block(bn))
+        )
+        dl = jnp.maximum(unpack_jnp(nwords, bn).astype(jnp.float32), 1.0)
+    else:
+        dl = norms[jnp.clip(docs, 0, norms.shape[0] - 1)]
+    sc = score_block(scorer, w, f, dl, avgdl, xp=jnp)
+    rowix = jnp.arange(R, dtype=jnp.int32)
+    live = (rowix < nreal)[:, None] & (f > 0)
+    if alive is not None:
+        live = live & alive[jnp.clip(docs, 0, alive.shape[0] - 1)]
+    # out-of-range rows may decode wild doc ids; they are masked, but park
+    # their ids so tie-break dedup can't collide with real docs
+    docs = jnp.where(live, docs, jnp.int32(_IMAX32))
+    return topk_docs(
+        jnp.where(live, sc, _NEG_INF).reshape(-1), docs.reshape(-1), k
+    )
+
+
 def direct_topk(pools, rowsets, avgdl, alive, *, gbits, scorer, k):
     """Single-span top-k: decoded docs are unique, so no combine is needed.
 

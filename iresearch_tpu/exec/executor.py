@@ -386,6 +386,60 @@ def _run_segment_candidates(
 _USE_DENSE_SCAN = (
     __import__("os").environ.get("IRS_DENSE_SCAN", "1") != "0"
 )
+_USE_SKYLINE = (
+    __import__("os").environ.get("IRS_SKYLINE", "1") != "0"
+)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scorer", "span_bits", "Ms", "k", "ndrows"),
+)
+def _run_segment_skyline(
+    span_pools, perm_pools, norms_grid, starts, counts, ws, avgdl,
+    *, scorer, span_bits, Ms, k, ndrows,
+):
+    """Survivor-row gather + exact rescore (exec/skyline.py): the θ-pruned
+    analog of the reference wanderator's block skipping
+    (formats_10.cpp:2426-2825) for dense-grid sum trees."""
+    from iresearch_tpu.exec.skyline import skyline_topk
+
+    return skyline_topk(
+        span_pools, perm_pools, norms_grid, starts, counts, ws, avgdl,
+        scorer=scorer, span_bits=span_bits, Ms=Ms, k=k, ndrows=ndrows,
+    )
+
+
+def dslice_shape(plan, pool):
+    """(R, starts) for the contiguous-slice decode: the group's pow2 row
+    bucket clamped to the (pow2-padded) pool row counts — tiny pools in
+    test segments can be smaller than the minimum bucket of 8; ``nreal``
+    masks the clamp's slack either way."""
+    g = plan.groups[0]
+    doc_words, freq_words, nrm_words, _base, _norms = pool
+    R = min(
+        len(g.rows_d),
+        doc_words.shape[0],
+        freq_words.shape[0],
+        nrm_words.shape[0],
+    )
+    starts = np.asarray(
+        [g.rows_d[0], g.rows_f[0], g.rows_n[0]], np.int32
+    )
+    return R, starts
+
+
+@partial(jax.jit, static_argnames=("gbits", "scorer", "k", "R"))
+def _run_segment_dslice(
+    pool, starts, nreal, w, avgdl, alive, *, gbits, scorer, k, R
+):
+    """Contiguous-slice single-term top-k (exec/candidates.py:dslice_topk)."""
+    from iresearch_tpu.exec.candidates import dslice_topk
+
+    return dslice_topk(
+        pool, starts, nreal, w, avgdl, alive,
+        gbits=gbits, scorer=scorer, k=k, R=R,
+    )
 
 
 def scan_shape(plan):
@@ -578,6 +632,7 @@ class DeviceQuery:
         self._plans: Dict[int, SegmentPlan] = {}
         self._dev_inputs: Dict[int, tuple] = {}  # uploaded once per segment
         self._scan_inputs: Dict[int, tuple] = {}  # dense-scan fast path
+        self._skyline_inputs: Dict[tuple, tuple] = {}  # (seg, k) -> args
 
     def plan(self, seg_idx: int) -> SegmentPlan:
         p = self._plans.get(seg_idx)
@@ -725,6 +780,54 @@ class DeviceQuery:
         )
         sr0 = self.prepared.segments[plan.seg_idx]
         shape = scan_shape(plan) if _USE_DENSE_SCAN else None
+        if shape == "or" and _USE_SKYLINE and not sr0.has_deletes:
+            # device inputs cached per (segment, k): through a relay every
+            # fresh scalar upload costs a fixed h2d round-trip, so the
+            # serving loop must not rebuild them per call
+            sky = self._skyline_inputs.get((plan.seg_idx, kk))
+            if sky is None:
+                from iresearch_tpu.exec.skyline import skyline_spec
+
+                spec = skyline_spec(plan, sr0, self.scorer, kk)
+                if spec is None:
+                    sky = (None, None)
+                else:
+                    import jax.numpy as jnp
+
+                    ski = sr0.skyline_index(
+                        spec.field_name, self.scorer, spec.avgdl
+                    )
+                    dfield = sr0.device_field(spec.field_name)
+                    cache = sr0.dense_cache(spec.field_name)
+                    nrm = (
+                        dfield.norms_u16
+                        if dfield.norms_u16 is not None
+                        else dfield.norms
+                    )
+                    args = (
+                        tuple(
+                            dfield.dense_words(cache, c)
+                            for c in spec.classes
+                        ),
+                        tuple(ski.device_perm(c) for c in spec.classes),
+                        nrm.reshape(spec.ndrows, 128),
+                        tuple(jnp.int32(s) for s in spec.starts),
+                        tuple(jnp.int32(c) for c in spec.counts),
+                        tuple(jnp.float32(w) for w in spec.ws),
+                        jnp.float32(spec.avgdl),
+                    )
+                    sky = (args, spec)
+                self._skyline_inputs[(plan.seg_idx, kk)] = sky
+            if sky[0] is not None:
+                args, spec = sky
+                return _run_segment_skyline(
+                    *args,
+                    scorer=self.scorer,
+                    span_bits=tuple(BITS[c] for c in spec.classes),
+                    Ms=spec.Ms,
+                    k=kk,
+                    ndrows=spec.ndrows,
+                )
         if (
             shape is not None
             # single spans run faster through the plain fused fold; the
@@ -770,6 +873,25 @@ class DeviceQuery:
                 interpret=jax.default_backend() == "cpu",
                 conj=shape == "and",
             )
+        if plan.exec_mode == "dslice":
+            import jax.numpy as jnp
+
+            g = plan.groups[0]
+            R, starts = dslice_shape(plan, pools[0])
+            sr = self.prepared.segments[plan.seg_idx]
+            vals, docs = _run_segment_dslice(
+                pools[0],
+                jnp.asarray(starts),
+                jnp.int32(g.real_rows),
+                jnp.float32(g.weight[0]),
+                avgdl_j[0],
+                alive if sr.has_deletes else None,
+                gbits=gbits[0],
+                scorer=self.scorer,
+                k=min(kk, R * 128),
+                R=R,
+            )
+            return vals, docs
         if plan.exec_mode != "dense":
             import jax.numpy as jnp
 

@@ -346,8 +346,10 @@ class PlanCompiler:
             wand
             # join is already ∝ driver postings; gridmix's dense streams
             # read every row regardless, and its sparse side is small —
-            # θ pruning buys nothing in either
-            and exec_mode not in ("join", "gridmix")
+            # θ pruning buys nothing in either; dslice decodes its fixed
+            # contiguous row range either way (pruning would only redirect
+            # rows to the sentinel, same lane count, plus a sort)
+            and exec_mode not in ("join", "gridmix", "dslice")
             and _wand_tree_ok(tree)
             and not self._aux
             and all(s[4] >= 0.0 for spans in self._groups.values() for s in spans)
@@ -514,12 +516,19 @@ class PlanCompiler:
             and self._leaf_mm
             and self._leaf_mm[0] <= 1
         ):
-            # a lone dense term: the grid stream costs a FIXED ~nd-pass
-            # (measured ~1.2 ms at 5M docs) while the direct tier's row
-            # gathers cost ~6 ns/lane — the stream wins once the list
-            # passes ~nd/16 lanes, below that direct decode is cheaper
-            if dense_blocks and lanes * 16 >= nd_pad:
+            # a lone dense-cached term: the skyline tier (survivor-row
+            # gather + exact rescore, exec/skyline.py) makes grid
+            # execution near-free, so prefer "dense" whenever the term
+            # has a grid span; without a grid span the contiguous-slice
+            # decode (dslice) streams the postings at HBM speed — its
+            # single dynamic_slice is bounded by the pools' DSLICE_PAD
+            # zero tail, so bigger lists fall back to the gather decode
+            from iresearch_tpu.index.segment import DSLICE_PAD
+
+            if dense_blocks:
                 return ("dense", None)
+            if total_blocks <= DSLICE_PAD:
+                return ("dslice", None)
             return ("direct", None)
         if tree[0] == "and" and nspans <= JOIN_MAX_SPANS:
             # a conjunction whose every leaf is ONE dense-grid span runs

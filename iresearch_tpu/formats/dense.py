@@ -52,6 +52,24 @@ class DenseCache:
     spans: Dict[int, Tuple[int, int]]
     pools: List[np.ndarray]  # u32 [rows_c, words_per_block(BITS[c])]
     bmaxf: List[np.ndarray]  # u32 [rows_c] max freq per 128-doc row
+    # per-row skyline summaries (exec/skyline.py): scorer-independent
+    # (f, dl) pairs bounding each row's best score for any scorer that is
+    # monotone increasing in freq and decreasing in doc length.
+    #   upper bound:  score(bmaxf[r], dl_min[r])  — not necessarily achieved
+    #   lower bounds: (f_c, dl_c)   the best lane under default BM25, and
+    #                 (f_mdl, dl_min) the min-dl hit lane — both are REAL
+    #                 lanes, so their scores are achieved by actual docs
+    # dl values are clipped to u16; clipping dl_min DOWN keeps the upper
+    # bound valid (looser), and lb pairs are zeroed if their dl overflows
+    # (a zero lb is always valid). f_c/f_mdl clip down — monotone-safe.
+    dl_min: Optional[List[np.ndarray]] = None  # u16 [rows_c]
+    f_c: Optional[List[np.ndarray]] = None  # u16 [rows_c]
+    dl_c: Optional[List[np.ndarray]] = None  # u16 [rows_c]
+    f_mdl: Optional[List[np.ndarray]] = None  # u16 [rows_c]
+    # the avgdl the champion lanes were selected under: when a query
+    # scores with default BM25 at exactly this avgdl, (f_c, dl_c) is the
+    # row's true argmax and score(f_c, dl_c) an EXACT row-max bound
+    avgdl: float = 1.0
     host_bytes: int = 0
 
 
@@ -90,8 +108,27 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
     spans: Dict[int, Tuple[int, int]] = {}
     pools: List[np.ndarray] = []
     bmaxf: List[np.ndarray] = []
+    dl_min_l: List[np.ndarray] = []
+    f_c_l: List[np.ndarray] = []
+    dl_c_l: List[np.ndarray] = []
+    f_mdl_l: List[np.ndarray] = []
     host_bytes = 0
     grid = np.zeros((ndrows, BLOCK), np.uint32)  # reused per term
+    # doc-length grid for the skyline summaries (pad lanes dl=1, freq 0)
+    dl_grid = np.ones(ndrows * BLOCK, np.float32)
+    dl_grid[: len(fp.norms)] = np.maximum(fp.norms, 1).astype(np.float32)
+    dl_grid = dl_grid.reshape(ndrows, BLOCK)
+    # champion lane selection uses default-BM25 constants; the pair it
+    # picks is a REAL lane, hence a valid lower bound for ANY monotone
+    # scorer (TFIDF's own best lane may differ — the min-dl pair covers
+    # the low-dl end of the frontier)
+    avgdl = (
+        float(fp.total_term_freq) / float(fp.docs_with_field)
+        if fp.docs_with_field
+        else 1.0
+    )
+    _c0, _c1 = 1.2 - 0.9, 0.9 / max(avgdl, 1e-9)
+    row_ix = np.arange(ndrows)
     for c in range(NUM_CLASSES):
         tids = per_class[c]
         rows_c = 1 + ndrows * len(tids)  # row 0: zero sentinel
@@ -100,6 +137,10 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
         # 5M-doc terms would be a multi-GB host allocation)
         packed = np.zeros((rows_c, words_per_block(BITS[c])), np.uint32)
         bm = np.zeros(rows_c, np.uint32)
+        dl_min = np.zeros(rows_c, np.uint16)
+        f_c_a = np.zeros(rows_c, np.uint16)
+        dl_c_a = np.ones(rows_c, np.uint16)
+        f_mdl_a = np.zeros(rows_c, np.uint16)
         for i, tid in enumerate(tids):
             start = 1 + i * ndrows
             grid[:] = 0
@@ -108,10 +149,47 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
             packed[start : start + ndrows] = pack_blocks(grid, BITS[c])
             bm[start : start + ndrows] = grid.max(axis=1)
             spans[tid] = (c, start)
+            # skyline row summaries (see DenseCache docstring)
+            hit = grid > 0
+            dl_hit = np.where(hit, dl_grid, np.float32(np.inf))
+            jmin = np.argmin(dl_hit, axis=1)
+            dmin = dl_hit[row_ix, jmin]
+            dmin_u = np.minimum(
+                np.where(np.isfinite(dmin), dmin, 1.0), 65535.0
+            )
+            dl_min[start : start + ndrows] = dmin_u.astype(np.uint16)
+            # the (f_mdl, dl_min) LB pair must quote the REAL dl; if that
+            # overflows u16, zero the pair (clipping dl down would claim
+            # an unachievable score)
+            f_mdl_a[start : start + ndrows] = np.where(
+                np.isfinite(dmin) & (dmin <= 65535.0),
+                np.minimum(grid[row_ix, jmin], 65535),
+                0,
+            ).astype(np.uint16)
+            gf = grid.astype(np.float32)
+            s = np.where(hit, gf / (gf + _c0 + _c1 * dl_grid), -1.0)
+            jc = np.argmax(s, axis=1)
+            fc = np.minimum(grid[row_ix, jc], 65535)
+            dc = dl_grid[row_ix, jc]
+            bad = dc > 65535.0  # overflowing dl: zero the pair (valid lb)
+            f_c_a[start : start + ndrows] = np.where(bad, 0, fc).astype(
+                np.uint16
+            )
+            dl_c_a[start : start + ndrows] = np.where(
+                bad, 1.0, dc
+            ).astype(np.uint16)
         pools.append(packed)
         bmaxf.append(bm)
-        host_bytes += packed.nbytes + bm.nbytes
+        dl_min_l.append(dl_min)
+        f_c_l.append(f_c_a)
+        dl_c_l.append(dl_c_a)
+        f_mdl_l.append(f_mdl_a)
+        host_bytes += (
+            packed.nbytes + bm.nbytes + dl_min.nbytes + f_c_a.nbytes
+            + dl_c_a.nbytes + f_mdl_a.nbytes
+        )
     return DenseCache(
         ndrows=ndrows, spans=spans, pools=pools, bmaxf=bmaxf,
-        host_bytes=host_bytes,
+        dl_min=dl_min_l, f_c=f_c_l, dl_c=dl_c_l, f_mdl=f_mdl_l,
+        avgdl=float(avgdl), host_bytes=host_bytes,
     )

@@ -94,8 +94,17 @@ def _pow2(n: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
 
 
+# zero-row tail appended to every doc/freq/norm pool: the dslice tier
+# (exec/candidates.py:dslice_topk) reads a term's contiguous rows with ONE
+# dynamic_slice of up to DSLICE_PAD rows, and XLA's dynamic_slice CLAMPS
+# out-of-bounds starts (silently shifting the window) — the tail guarantees
+# start + R never exceeds the padded row count, so the slice never shifts.
+DSLICE_PAD = 1024
+
+
 class DeviceField:
-    """One field's pools resident on device, shapes padded to powers of two.
+    """One field's pools resident on device, shapes padded to powers of two
+    plus a DSLICE_PAD zero-row tail (see above).
 
     Padding rows are zero blocks (same semantics as the row-0 sentinel), and
     norm padding lanes are 1 to keep tf/idf math finite; padded docs carry
@@ -120,7 +129,7 @@ class DeviceField:
         # which fall back to the per-lane norms[docs] gather
         self.nrm_words = [] if fp.nrm_words is not None else None
         for c in range(NUM_CLASSES):
-            rp = _pow2(fp.doc_words[c].shape[0])
+            rp = _pow2(fp.doc_words[c].shape[0]) + DSLICE_PAD
             self.doc_words.append(jnp.asarray(pad_rows(fp.doc_words[c], rp)))
             self.base.append(
                 jnp.asarray(pad_rows(fp.base[c], rp).astype(np.int32))
@@ -128,13 +137,13 @@ class DeviceField:
             self.bmax.append(
                 jnp.asarray(pad_rows(fp.bmax[c], rp).astype(np.int32))
             )
-            rpf = _pow2(fp.freq_words[c].shape[0])
+            rpf = _pow2(fp.freq_words[c].shape[0]) + DSLICE_PAD
             self.freq_words.append(jnp.asarray(pad_rows(fp.freq_words[c], rpf)))
             self.bmaxf.append(
                 jnp.asarray(pad_rows(fp.bmaxf[c], rpf).astype(np.int32))
             )
             if self.nrm_words is not None:
-                rpn = _pow2(fp.nrm_words[c].shape[0])
+                rpn = _pow2(fp.nrm_words[c].shape[0]) + DSLICE_PAD
                 self.nrm_words.append(jnp.asarray(pad_rows(fp.nrm_words[c], rpn)))
         nd_pad = pad_docs(len(fp.norms))
         norms = np.ones(nd_pad, np.float32)
@@ -346,6 +355,32 @@ class SegmentReader:
             cache = build_dense_cache(fp, self.num_docs)
         self._dense[field_name] = cache
         return cache
+
+    def skyline_index(self, field_name: str, scorer, avgdl: float):
+        """Per-(field, scorer, avgdl) SkylineIndex (exec/skyline.py) over
+        this segment's dense cache; None when the field has no dense
+        cache or doc lengths exceed u16 (the row summaries are u16).
+
+        Keyed by the INDEX-WIDE avgdl the query scores with — a reopen
+        that shifts avgdl rebuilds the permutation (prepare shares avgdl
+        between oracle and device, so the key is exact by construction).
+        """
+        key = (field_name, scorer, float(avgdl))
+        cached = getattr(self, "_skyline", None)
+        if cached is None:
+            cached = self._skyline = {}
+        if key in cached:
+            return cached[key]
+        idx = None
+        cache = self.dense_cache(field_name)
+        if cache is not None and cache.dl_min is not None:
+            fp = self.data.fields[field_name]
+            if len(fp.norms) == 0 or fp.norms.max(initial=0) < 65536:
+                from iresearch_tpu.exec.skyline import SkylineIndex
+
+                idx = SkylineIndex(cache, scorer, avgdl)
+        cached[key] = idx
+        return idx
 
     def dense_span(self, field_name: str, tid: int):
         """(class, start_row, ndrows) of a term's grid rows, or None."""

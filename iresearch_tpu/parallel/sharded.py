@@ -268,14 +268,17 @@ class ShardedSearcher:
                 for s in range(S)
             ]
             active = [p for p in plans if p.groups]
-            modes = {p.exec_mode for p in active}
+            # dslice (contiguous-slice decode) shares the direct tier's
+            # rowset structure; the sharded executor runs it as "direct"
+            _norm = lambda m: "direct" if m == "dslice" else m  # noqa: E731
+            modes = {_norm(p.exec_mode) for p in active}
             if not active or "dense" in modes:
                 mode = "dense"
             elif modes == {"direct"}:
                 mode = "direct"
             else:
                 mode = "sort"
-            if any(p.exec_mode != mode for p in plans):
+            if any(_norm(p.exec_mode) != mode for p in plans):
                 plans = [
                     compiler.compile(
                         flt, s, wand=wand, device_phrase=False,

@@ -81,7 +81,7 @@ def test_mode_selection(reader, forced_tiers):
 
     segs = list(reader.segments)
     cases = [
-        (F.ByTerm("body", "t00"), "direct"),
+        (F.ByTerm("body", "t00"), "dslice"),
         (F.Or(F.ByTerm("body", "t00"), F.ByTerm("body", "t03")), "sort"),
         (F.And(F.ByTerm("body", "t00"), F.ByTerm("body", "t05")), "join"),
         # Not at root can match entry-less docs: must stay dense
@@ -97,13 +97,13 @@ def test_mode_selection(reader, forced_tiers):
 
 @pytest.mark.parametrize("scorer", [BM25(), TFIDF()], ids=["bm25", "tfidf"])
 def test_direct_tier(reader, forced_tiers, scorer):
-    _check(reader, F.ByTerm("body", "t00"), scorer, expect_mode="direct")
-    _check(reader, F.ByTerm("body", "t17"), scorer, expect_mode="direct")
+    _check(reader, F.ByTerm("body", "t00"), scorer, expect_mode="dslice")
+    _check(reader, F.ByTerm("body", "t17"), scorer, expect_mode="dslice")
 
 
 @pytest.mark.parametrize("wand", [False, True], ids=["plain", "wand"])
 def test_direct_tier_wand(reader, forced_tiers, wand):
-    _check(reader, F.ByTerm("body", "t00"), BM25(), wand=wand, expect_mode="direct")
+    _check(reader, F.ByTerm("body", "t00"), BM25(), wand=wand, expect_mode="dslice")
 
 
 def test_join_tier(reader, forced_tiers):

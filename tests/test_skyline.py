@@ -1,0 +1,169 @@
+"""Skyline tier (exec/skyline.py): θ-pruned survivor-row execution.
+
+The skyline path must be a PURE acceleration of the fused dense scan:
+top-k results identical to the host oracle for every eligible shape, and
+exact fallback for every ineligible one. The fixture corpus is large
+enough (ndrows >= k hit rows per hot term) that θ > 0 actually engages
+the pruning — the 400-doc fixtures elsewhere can never reach it.
+
+Reference parity: wanderator block skipping, formats_10.cpp:2426-2825.
+"""
+
+import numpy as np
+import pytest
+
+from iresearch_tpu.index.reader import DirectoryReader
+from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+from iresearch_tpu.search import filters as F
+from iresearch_tpu.search.host_eval import HostQuery
+from iresearch_tpu.search.scorers import BM25, TFIDF, BoostScore
+from iresearch_tpu.store.directory import MemoryDirectory
+
+from tests.topk_util import assert_topk_equiv
+
+ND = 3000  # 24 grid rows: k=10 << hit rows of a hot term
+
+
+@pytest.fixture(autouse=True)
+def _force_skyline(monkeypatch):
+    """Disable the scan-ratio cost gate: production grids have 40k rows
+    where a ~k-row gather beats the scan 1000x, but this fixture's
+    24-row grid would always fail the relative-cost check."""
+    from iresearch_tpu.exec import skyline as sky
+
+    monkeypatch.setattr(sky, "SKYLINE_SCAN_RATIO", 0.0)
+
+
+@pytest.fixture(scope="module")
+def reader():
+    rng = np.random.default_rng(29)
+    words = [f"w{i:03d}" for i in range(300)]
+    d = MemoryDirectory()
+    with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
+        for i in range(ND):
+            n = int(rng.integers(5, 40))
+            idx = np.minimum(rng.zipf(1.25, size=n) - 1, len(words) - 1)
+            text = " ".join(words[j] for j in idx)
+            w.insert([Field("body", text, analyzer="segmentation")])
+        w.commit()
+    return DirectoryReader.open(d)
+
+
+def _hot_terms(reader, n=4):
+    sr = reader.segments[0]
+    cache = sr.dense_cache("body")
+    assert cache is not None and len(cache.spans) >= n
+    tl = sr.terms("body")
+    # heaviest terms first (span insertion order is tid order; use df)
+    from iresearch_tpu.formats.spec import TermCols
+
+    fp = sr.data.fields["body"]
+    df = fp.entries[:, TermCols.DF]
+    tids = sorted(cache.spans, key=lambda t: -int(df[t]))
+    return [tl[t].decode() for t in tids[:n]]
+
+
+def _spec(reader, flt, scorer, k):
+    from iresearch_tpu.exec import DeviceQuery
+    from iresearch_tpu.exec.skyline import skyline_spec
+
+    dq = DeviceQuery(flt, list(reader.segments), scorer)
+    plan = dq.plan(0)
+    return skyline_spec(plan, reader.segments[0], scorer, k), dq
+
+
+def test_spec_engages_and_prunes(reader):
+    t = _hot_terms(reader)
+    spec, _ = _spec(reader, F.ByTerm("body", t[0]), BM25(), 10)
+    assert spec is not None, "skyline must engage for a hot term at k=10"
+    assert len(spec.classes) == 1
+    # pruning power: the survivor cut must not be the whole grid for a
+    # skewed Zipf corpus (if this ever flakes the corpus lost its skew)
+    assert spec.counts[0] <= spec.ndrows
+
+
+@pytest.mark.parametrize("scorer", [BM25(), TFIDF()], ids=["bm25", "tfidf"])
+@pytest.mark.parametrize("k", [1, 10])
+def test_single_term_exact(reader, scorer, k):
+    t = _hot_terms(reader)
+    for term in t[:2]:
+        flt = F.ByTerm("body", term)
+        spec, dq = _spec(reader, flt, scorer, k)
+        assert spec is not None
+        want = HostQuery(flt, list(reader.segments), scorer).top_k(k)
+        assert_topk_equiv(dq.top_k(k), want)
+
+
+@pytest.mark.parametrize("scorer", [BM25(), TFIDF()], ids=["bm25", "tfidf"])
+def test_or_dense_exact(reader, scorer):
+    t = _hot_terms(reader)
+    for flt in [
+        F.Or(F.ByTerm("body", t[0]), F.ByTerm("body", t[1])),
+        F.Or(*[F.ByTerm("body", x) for x in t]),
+        F.Or(
+            F.ByTerm("body", t[0], boost=2.5),
+            F.ByTerm("body", t[2], boost=0.5),
+        ),
+    ]:
+        spec, dq = _spec(reader, flt, scorer, 10)
+        assert spec is not None, "OR of hot terms must take skyline"
+        want = HostQuery(flt, list(reader.segments), scorer).top_k(10)
+        assert_topk_equiv(dq.top_k(10), want)
+
+
+def test_k_exceeds_hit_rows_falls_back(reader):
+    """k past the per-span lb table (ndrows < k) must fall back to the
+    scan and stay exact — the θ lower bound is unavailable there."""
+    t = _hot_terms(reader)
+    flt = F.ByTerm("body", t[0])
+    spec, dq = _spec(reader, flt, BM25(), 2000)
+    assert spec is None
+    want = HostQuery(flt, list(reader.segments), BM25()).top_k(200)
+    assert_topk_equiv(dq.top_k(200)[:200], want)
+
+
+def test_unsupported_scorer_falls_back(reader):
+    t = _hot_terms(reader)
+    flt = F.ByTerm("body", t[0])
+    spec, dq = _spec(reader, flt, BoostScore(), 10)
+    assert spec is None  # flat ub — no pruning power
+    want = HostQuery(flt, list(reader.segments), BoostScore()).top_k(10)
+    assert_topk_equiv(dq.top_k(10), want)
+
+
+def test_batched_skyline_exact(reader):
+    from iresearch_tpu.exec import batch as batch_mod
+    from iresearch_tpu.exec.batch import QueryBatch
+
+    t = _hot_terms(reader)
+    filters = [
+        F.ByTerm("body", t[0]),
+        F.ByTerm("body", t[1]),
+        F.ByTerm("body", t[2]),
+        F.Or(F.ByTerm("body", t[0]), F.ByTerm("body", t[1])),
+        F.Or(F.ByTerm("body", t[2]), F.ByTerm("body", t[3])),
+    ]
+    qb = QueryBatch(filters, list(reader.segments), BM25(), wand=True)
+    pb = qb.prepare(0, 10)
+    assert any(
+        c[3] is batch_mod._run_batch_skyline for c in pb._calls
+    ), "batch must route hot-term groups through the skyline kernel"
+    res = qb.search(k=10)
+    for flt, got in zip(filters, res):
+        want = HostQuery(flt, list(reader.segments), BM25()).top_k(10)
+        assert_topk_equiv(got, want)
+
+
+def test_skyline_disabled_env_matches(reader, monkeypatch):
+    """IRS_SKYLINE=0 path and skyline path agree (pure acceleration)."""
+    from iresearch_tpu.exec import DeviceQuery
+    from iresearch_tpu.exec import executor as ex
+
+    t = _hot_terms(reader)
+    flt = F.Or(F.ByTerm("body", t[0]), F.ByTerm("body", t[1]))
+    on = DeviceQuery(flt, list(reader.segments), BM25()).top_k(10)
+    monkeypatch.setattr(ex, "_USE_SKYLINE", False)
+    off = DeviceQuery(flt, list(reader.segments), BM25()).top_k(10)
+    assert [d for d, _ in on] == [d for d, _ in off]
+    for (da, sa), (db, sb) in zip(on, off):
+        assert sa == pytest.approx(sb, rel=1e-6)
