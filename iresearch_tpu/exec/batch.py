@@ -310,20 +310,18 @@ def _run_batch_dslice(
 
 @partial(
     jax.jit,
-    static_argnames=("scorer", "span_bits", "Ms", "k", "ndrows"),
+    static_argnames=("scorer", "span_bits", "k", "ndrows"),
 )
 def _run_batch_skyline(
     span_pools,  # per span: u32 dense pool (shared across queries)
-    perm_pools,  # per span: i32 ub-descending row offsets (shared)
     norms_grid,  # [ndrows, 128] doc lengths (shared)
+    rows_b,  # i32 [Q, M] survivor rows, IMAX-padded
     starts_b,  # i32 [Q, S]
-    counts_b,  # i32 [Q, S]
     ws_b,  # f32 [Q, S]
     avgdl,  # f32 [1]
     *,
     scorer: Scorer,
     span_bits,
-    Ms,
     k: int,
     ndrows: int,
 ):
@@ -335,25 +333,24 @@ def _run_batch_skyline(
     S = len(span_pools)
 
     def one(xs):
-        st, cnt, w = xs
+        rows, st, w = xs
         return skyline_topk(
             span_pools,
-            perm_pools,
             norms_grid,
+            rows,
             tuple(st[s] for s in range(S)),
-            tuple(cnt[s] for s in range(S)),
             tuple(w[s] for s in range(S)),
             avgdl[0],
             scorer=scorer,
             span_bits=span_bits,
-            Ms=Ms,
             k=k,
             ndrows=ndrows,
         )
 
     q = starts_b.shape[0]
+    M = rows_b.shape[1]
     return _chunked_vmap(
-        one, (starts_b, counts_b, ws_b), q, sum(Ms) * 128 * 4
+        one, (rows_b, starts_b, ws_b), q, M * 128 * 4
     )
 
 
@@ -477,7 +474,28 @@ class QueryBatch:
         sr = self.segments[seg_idx]
 
         groups_by_sig: Dict[tuple, List[int]] = defaultdict(list)
+        # skyline specs computed up front: eligibility is per QUERY (the θ
+        # cut and cost gate depend on the term), so a signature group must
+        # split by skyline bucket — one ineligible query must not drag its
+        # whole category to the full scan
+        from iresearch_tpu.exec import skyline as _sky
+
+        sky_specs: Dict[int, object] = {}
         for qi, p in enumerate(plans):
+            sp = None
+            if (
+                _USE_SKYLINE
+                and p.exec_mode == "dense"
+                and not p.groups
+                and not sr.has_deletes
+            ):
+                sp = _sky.skyline_spec(
+                    p, sr, self.scorer, min(k, p.nd_pad)
+                )
+            sky_specs[qi] = sp
+
+        for qi, p in enumerate(plans):
+            sp = sky_specs[qi]
             sig = (
                 p.tree,
                 p.num_leaves,
@@ -495,16 +513,54 @@ class QueryBatch:
                     (d.field_name, d.cls, d.leaf, d.ndrows)
                     for d in p.dense_spans
                 ),
+                # skyline (classes, row-budget bucket); None = scan/fold
+                None
+                if sp is None
+                else (sp.classes, _pow2(max(8, len(sp.row_ids)))),
             )
             groups_by_sig[sig].append(qi)
 
         calls = []
         for sig, qis in groups_by_sig.items():
             tree, num_leaves, gkeys, A, use_wand, exec_mode, driver_gi, \
-                driver_leaf, _buckets, dkeys = sig
+                driver_leaf, _buckets, dkeys, sky_M = sig
             reps = [plans[qi] for qi in qis]
             Q = len(qis)
             nd = reps[0].nd_pad
+            if sky_M is not None:
+                # survivor-row skyline kernel: each query ships only its
+                # θ-surviving row ids (exec/skyline.py)
+                specs = [sky_specs[qi] for qi in qis]
+                s0 = specs[0]
+                _classes, M = sky_M
+                dfield = sr.device_field(s0.field_name)
+                cache = sr.dense_cache(s0.field_name)
+                nrm = (
+                    dfield.norms_u16
+                    if dfield.norms_u16 is not None
+                    else dfield.norms
+                )
+                rows_b = np.full((Q, M), 2**31 - 1, np.int32)
+                for j, sp in enumerate(specs):
+                    rows_b[j, : len(sp.row_ids)] = sp.row_ids
+                args = (
+                    tuple(
+                        dfield.dense_words(cache, c) for c in s0.classes
+                    ),
+                    nrm.reshape(s0.ndrows, 128),
+                    rows_b,
+                    np.asarray([sp.starts for sp in specs], np.int32),
+                    np.asarray([sp.ws for sp in specs], np.float32),
+                    np.asarray([s0.avgdl], np.float32),
+                )
+                kwargs = dict(
+                    scorer=self.scorer,
+                    span_bits=tuple(BITS[c] for c in s0.classes),
+                    k=min(k, nd),
+                    ndrows=s0.ndrows,
+                )
+                calls.append((qis, args, kwargs, _run_batch_skyline))
+                continue
             # pad each group to the max row count within this bucket
             Rs = [
                 _pow2(max(len(p.groups[gi].rows_d) for p in reps))
@@ -713,71 +769,6 @@ class QueryBatch:
                 and len({f for f, *_ in dkeys}) == 1
                 and not sr.has_deletes
             )
-            if use_scan and scan_mode == "or" and _USE_SKYLINE:
-                # skyline: survivor-row gather instead of the full grid
-                # scan — per-query Ms pad to the group max (pow2 bucket)
-                from iresearch_tpu.exec import skyline as _sky
-
-                specs = [
-                    _sky.skyline_spec(p, sr, self.scorer, min(k, nd))
-                    for p in reps
-                ]
-                if all(s is not None for s in specs):
-                    s0 = specs[0]
-                    S = len(s0.classes)
-                    Ms = tuple(
-                        min(
-                            _pow2(
-                                max(8, max(sp.counts[s] for sp in specs))
-                            ),
-                            s0.ndrows,
-                        )
-                        for s in range(S)
-                    )
-                    if (
-                        sum(Ms) <= _sky.SKYLINE_MAX_ROWS
-                        and sum(Ms) * _sky.SKYLINE_SCAN_RATIO
-                        <= S * s0.ndrows
-                    ):
-                        ski = sr.skyline_index(
-                            s0.field_name, self.scorer, s0.avgdl
-                        )
-                        dfield = sr.device_field(s0.field_name)
-                        cache = sr.dense_cache(s0.field_name)
-                        nrm = (
-                            dfield.norms_u16
-                            if dfield.norms_u16 is not None
-                            else dfield.norms
-                        )
-                        args = (
-                            tuple(
-                                dfield.dense_words(cache, c)
-                                for c in s0.classes
-                            ),
-                            tuple(
-                                ski.device_perm(c) for c in s0.classes
-                            ),
-                            nrm.reshape(s0.ndrows, 128),
-                            np.asarray(
-                                [sp.starts for sp in specs], np.int32
-                            ),
-                            np.asarray(
-                                [sp.counts for sp in specs], np.int32
-                            ),
-                            np.asarray([sp.ws for sp in specs], np.float32),
-                            np.asarray([s0.avgdl], np.float32),
-                        )
-                        kwargs = dict(
-                            scorer=self.scorer,
-                            span_bits=tuple(BITS[c] for c in s0.classes),
-                            Ms=Ms,
-                            k=min(k, nd),
-                            ndrows=s0.ndrows,
-                        )
-                        calls.append(
-                            (qis, args, kwargs, _run_batch_skyline)
-                        )
-                        continue
             if use_scan:
                 args = (
                     tuple(pools),

@@ -393,11 +393,11 @@ _USE_SKYLINE = (
 
 @partial(
     jax.jit,
-    static_argnames=("scorer", "span_bits", "Ms", "k", "ndrows"),
+    static_argnames=("scorer", "span_bits", "k", "ndrows"),
 )
 def _run_segment_skyline(
-    span_pools, perm_pools, norms_grid, starts, counts, ws, avgdl,
-    *, scorer, span_bits, Ms, k, ndrows,
+    span_pools, norms_grid, row_ids, starts, ws, avgdl,
+    *, scorer, span_bits, k, ndrows,
 ):
     """Survivor-row gather + exact rescore (exec/skyline.py): the θ-pruned
     analog of the reference wanderator's block skipping
@@ -405,8 +405,8 @@ def _run_segment_skyline(
     from iresearch_tpu.exec.skyline import skyline_topk
 
     return skyline_topk(
-        span_pools, perm_pools, norms_grid, starts, counts, ws, avgdl,
-        scorer=scorer, span_bits=span_bits, Ms=Ms, k=k, ndrows=ndrows,
+        span_pools, norms_grid, row_ids, starts, ws, avgdl,
+        scorer=scorer, span_bits=span_bits, k=k, ndrows=ndrows,
     )
 
 
@@ -794,9 +794,6 @@ class DeviceQuery:
                 else:
                     import jax.numpy as jnp
 
-                    ski = sr0.skyline_index(
-                        spec.field_name, self.scorer, spec.avgdl
-                    )
                     dfield = sr0.device_field(spec.field_name)
                     cache = sr0.dense_cache(spec.field_name)
                     nrm = (
@@ -809,10 +806,9 @@ class DeviceQuery:
                             dfield.dense_words(cache, c)
                             for c in spec.classes
                         ),
-                        tuple(ski.device_perm(c) for c in spec.classes),
                         nrm.reshape(spec.ndrows, 128),
+                        jnp.asarray(spec.row_ids),
                         tuple(jnp.int32(s) for s in spec.starts),
-                        tuple(jnp.int32(c) for c in spec.counts),
                         tuple(jnp.float32(w) for w in spec.ws),
                         jnp.float32(spec.avgdl),
                     )
@@ -824,7 +820,6 @@ class DeviceQuery:
                     *args,
                     scorer=self.scorer,
                     span_bits=tuple(BITS[c] for c in spec.classes),
-                    Ms=spec.Ms,
                     k=kk,
                     ndrows=spec.ndrows,
                 )

@@ -4,32 +4,34 @@ The fused row-max scan (ops/dense_scan.py) reads every grid row of every
 span — ~16 MB of HBM per term query at 5M docs. But the top-k threshold
 θ prunes almost all of that: the reference's wanderator skips sub-θ
 blocks via skip-list bounds (formats_10.cpp:2426-2825). The TPU-native
-analog precomputes, per (field, scorer), a PERMUTATION of each dense
-span's rows sorted by a per-row score UPPER bound; at query time the
-host derives
+analog precomputes, per (field, scorer), row-aligned score UPPER bounds
+for each dense span; at query time the host derives
 
-  * θ_s — a provable lower bound of the true k-th score, from per-row
+  * θ — a provable lower bound of the true k-th score, from per-row
     ACHIEVABLE score pairs (real lanes recorded at cache build), and
-  * per-span survivor counts — how many rows can possibly beat θ_s,
-    one `searchsorted` over the span's descending ub array,
+  * the survivor row set — all dense spans of a field share ONE grid row
+    space (row r = docs [128r, 128r+128)), so a row can host a winner
+    only if Σ_s w_s·ub_s[r] ≥ θ; a vectorized row-sum + flatnonzero
+    yields the exact minimal row set (single spans take an O(log n)
+    searchsorted over a precomputed ub-descending permutation instead),
 
-so the device only gathers the first `count` rows of each span's
-permutation and rescores them EXACTLY. Typical counts are O(k·slack):
-a HighTerm query at 5M docs touches a few dozen rows instead of 40960.
+so the device only gathers those M rows and rescores them EXACTLY.
+With default BM25 at the cache build avgdl the recorded champion pair is
+the row's true argmax, making ub tight: M collapses to ~k rows even for
+the hottest 5M-doc terms (measured 4000x pruning).
 
 Exactness proof (disjunctive sum tree, no deletes):
-  θ: the k rows with the largest achievable row scores contribute k
-  DISTINCT docs whose total score ≥ their own span contribution ≥ θ_s
-  (other contributions are ≥ 0), so the true k-th score θ ≥ θ_s.
-  Coverage: a winner doc d has Σ_s w_s·ub_s[row(d)] ≥ score(d) ≥ θ ≥
-  θ_s, hence max_s w_s·ub_s[row(d)] ≥ θ_s/S — row(d) is inside span
-  s's cut at θ_s/(S·w_s), which the survivor count includes (ties
-  inclusive). A relative epsilon absorbs float-order drift between the
-  host-computed θ_s and device-computed scores (the same guard as WAND,
-  reference formats_10.cpp:2434-2441).
+  θ: span s's k best achievable row scores belong to k DISTINCT docs
+  (one champion lane per row) whose total score ≥ their s-contribution,
+  so the true k-th score θ* ≥ max_s w_s·lb_top_s[k-1] = θ.
+  Coverage: a winner doc d has Σ_s w_s·ub_s[row(d)] ≥ score(d) ≥ θ* ≥
+  θ — row(d) is in the survivor set (ties inclusive). A relative
+  epsilon absorbs float-order drift between the host-computed θ and
+  device-computed scores (the same guard as WAND, formats_10.cpp:2434).
 
-Ineligible shapes (conjunctions, deletes, k > 128, zero θ, oversized
-survivor sets) fall back to the fused scan — exact either way.
+Ineligible shapes (conjunctions, deletes, k > 128, zero θ, weak pruning
+per the scan-ratio cost gate) fall back to the fused scan — exact either
+way.
 """
 
 from __future__ import annotations
@@ -70,12 +72,12 @@ def _pow2(n: int) -> int:
 
 
 class SkylineIndex:
-    """Per-(field, scorer, avgdl) ub permutation over a DenseCache.
+    """Per-(field, scorer, avgdl) row bounds over a DenseCache.
 
-    Host side: per class, `perm[rows_c]` (row offsets 0..ndrows-1 within
-    each span, ub-descending) and the parallel descending `s_ub` array
-    for survivor counts; per term, the top-K_MAX achievable row scores.
-    Device side: the perm arrays upload lazily per class.
+    Host side, per class: ``ub`` f32 [rows_c] row-aligned upper bounds;
+    ``perm``/``ub_sorted`` the ub-descending permutation per span (for
+    O(log n) single-span selection); per term the top-K_MAX achievable
+    row scores (θ source).
     """
 
     def __init__(self, cache, scorer: Scorer, avgdl: float) -> None:
@@ -83,8 +85,9 @@ class SkylineIndex:
         self.scorer = scorer
         self.avgdl = float(avgdl)
         ndrows = cache.ndrows
+        self.ub: List[np.ndarray] = []
         self.perm: List[np.ndarray] = []
-        self.s_ub: List[np.ndarray] = []
+        self.ub_sorted: List[np.ndarray] = []
         self.lb_top: Dict[int, np.ndarray] = {}
         self.host_bytes = 0
         # exact row-max bound: the champion pair (f_c, dl_c) was selected
@@ -101,8 +104,9 @@ class SkylineIndex:
         )
         for c in range(NUM_CLASSES):
             n = len(cache.bmaxf[c])
-            perm_c = np.zeros(n, np.int32)
             ub_c = np.zeros(n, np.float32)
+            perm_c = np.zeros(n, np.int32)
+            ubs_c = np.zeros(n, np.float32)
             if n > 1:
                 f_ub = cache.bmaxf[c].astype(np.float32)
                 dl_min = np.maximum(
@@ -135,37 +139,32 @@ class SkylineIndex:
                     valid = (f_c > 0.0) & (f_c < 65535.0)
                     ub_c = np.where(valid, s_champ, ub_c)
                 kk = min(K_MAX, ndrows)
-                for tid, (cc, start) in cache.spans.items():
-                    if cc != c:
-                        continue
-                    seg = slice(start, start + ndrows)
-                    order = np.argsort(
-                        -ub_c[seg], kind="stable"
-                    ).astype(np.int32)
-                    perm_c[seg] = order
-                    ub_c[seg] = ub_c[seg][order]
-                    top = -np.partition(-s_lb[seg], kk - 1)[:kk]
-                    top[::-1].sort()
-                    self.lb_top[tid] = top
+                # vectorized per-span sort: [T, ndrows] argsort in one go
+                tids = sorted(
+                    t for t, (cc, _s) in cache.spans.items() if cc == c
+                )
+                if tids:
+                    starts = np.asarray(
+                        [cache.spans[t][1] for t in tids], np.int64
+                    )
+                    ix = starts[:, None] + np.arange(ndrows)[None, :]
+                    u2 = ub_c[ix]  # [T, ndrows]
+                    order = np.argsort(-u2, axis=1, kind="stable").astype(
+                        np.int32
+                    )
+                    srt = np.take_along_axis(u2, order, axis=1)
+                    perm_c.reshape(-1)[ix.reshape(-1)] = order.reshape(-1)
+                    ubs_c.reshape(-1)[ix.reshape(-1)] = srt.reshape(-1)
+                    l2 = s_lb[ix]
+                    kk2 = min(kk, ndrows)
+                    topv = -np.partition(-l2, kk2 - 1, axis=1)[:, :kk2]
+                    topv = -np.sort(-topv, axis=1)
+                    for j, t in enumerate(tids):
+                        self.lb_top[t] = topv[j]
+            self.ub.append(ub_c)
             self.perm.append(perm_c)
-            self.s_ub.append(ub_c)
-            self.host_bytes += perm_c.nbytes + ub_c.nbytes
-        self._dev_perm: Dict[int, object] = {}
-
-    def device_perm(self, c: int):
-        """Device-resident perm array of class ``c`` (lazy, cached)."""
-        cached = self._dev_perm.get(c)
-        if cached is None:
-            import jax.numpy as jnp
-
-            from iresearch_tpu.utils import resource
-
-            cached = jnp.asarray(self.perm[c])
-            self._dev_perm[c] = cached
-            resource.manager().increase(
-                resource.CATEGORY_DEVICE, cached.nbytes
-            )
-        return cached
+            self.ub_sorted.append(ubs_c)
+            self.host_bytes += ub_c.nbytes + perm_c.nbytes + ubs_c.nbytes
 
     def theta(self, spans, k: int) -> float:
         """Lower bound of the k-th best score for these scored spans
@@ -178,10 +177,27 @@ class SkylineIndex:
             th = max(th, float(ds.w) * float(top[k - 1]))
         return th
 
-    def count(self, cls: int, start: int, ndrows: int, cut: float) -> int:
-        """#rows of the span whose ub ≥ cut (ties inclusive)."""
-        sub = self.s_ub[cls][start : start + ndrows]  # descending
-        return int(np.searchsorted(-sub, -np.float32(cut), side="right"))
+    def survivors(self, spans, ws, theta_eps: float) -> np.ndarray:
+        """Row offsets (0..ndrows-1) whose Σ_s w_s·ub_s ≥ theta_eps.
+
+        Single span: O(log n) searchsorted over the precomputed
+        ub-descending permutation. Multi span: vectorized row sum.
+        """
+        nd = self.cache.ndrows
+        if len(spans) == 1:
+            ds = spans[0]
+            seg = slice(ds.start, ds.start + nd)
+            sub = self.ub_sorted[ds.cls][seg]  # descending
+            cut = np.float32(theta_eps / max(ws[0], 1e-30))
+            cnt = int(np.searchsorted(-sub, -cut, side="right"))
+            return self.perm[ds.cls][seg][:cnt].copy()
+        acc = np.zeros(nd, np.float32)
+        for ds, w in zip(spans, ws):
+            seg = slice(ds.start, ds.start + nd)
+            acc += np.float32(w) * self.ub[ds.cls][seg]
+        return np.flatnonzero(acc >= np.float32(theta_eps)).astype(
+            np.int32
+        )
 
 
 @dataclass(frozen=True)
@@ -190,12 +206,12 @@ class SkylineSpec:
 
     field_name: str
     ndrows: int
-    # per scored span: static (cls, bits, M) and dynamic (start, count, w)
+    # per scored span: static class and dynamic (start, w)
     classes: Tuple[int, ...]
-    Ms: Tuple[int, ...]
     starts: Tuple[int, ...]
-    counts: Tuple[int, ...]
     ws: Tuple[float, ...]
+    # survivor row offsets within [0, ndrows), padded to M with IMAX
+    row_ids: np.ndarray  # i32 [M]
     avgdl: float
     k: int
 
@@ -203,7 +219,7 @@ class SkylineSpec:
         return (
             self.field_name,
             self.classes,
-            self.Ms,
+            len(self.row_ids),
             self.ndrows,
             self.k,
         )
@@ -219,7 +235,8 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
 
     Eligibility: single-leaf disjunctive sum tree whose spans are all
     dense-grid resident in ONE field (scan_shape == "or"), no deletes,
-    1 ≤ k ≤ K_MAX, supported scorer, positive θ, bounded survivors.
+    1 ≤ k ≤ K_MAX, supported scorer, positive θ, strong enough pruning
+    (the scan-ratio cost gate).
     """
     from iresearch_tpu.exec.executor import scan_shape
 
@@ -245,29 +262,20 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
     theta_eps = theta * (1.0 - 1e-5) - 1e-30
     S = len(scored)
     ndrows = scored[0].ndrows
-    classes, Ms, starts, counts, ws = [], [], [], [], []
-    total = 0
-    for ds in scored:
-        cut = theta_eps / (S * ds.w)
-        cnt = ski.count(ds.cls, ds.start, ndrows, cut)
-        cnt = min(cnt, ndrows)
-        M = min(_pow2(max(8, cnt)), ndrows)
-        total += M
-        classes.append(ds.cls)
-        Ms.append(M)
-        starts.append(ds.start)
-        counts.append(cnt)
-        ws.append(float(ds.w))
-    if total > SKYLINE_MAX_ROWS or total * SKYLINE_SCAN_RATIO > S * ndrows:
+    ws = [float(ds.w) for ds in scored]
+    rows = ski.survivors(scored, ws, theta_eps)
+    M = min(_pow2(max(8, len(rows))), _pow2(ndrows))
+    if len(rows) > SKYLINE_MAX_ROWS or M * SKYLINE_SCAN_RATIO > S * ndrows:
         return None
+    padded = np.full(M, _IMAX32, np.int32)
+    padded[: len(rows)] = rows
     return SkylineSpec(
         field_name=fname,
         ndrows=ndrows,
-        classes=tuple(classes),
-        Ms=tuple(Ms),
-        starts=tuple(starts),
-        counts=tuple(counts),
+        classes=tuple(ds.cls for ds in scored),
+        starts=tuple(ds.start for ds in scored),
         ws=tuple(ws),
+        row_ids=padded,
         avgdl=float(scored[0].avgdl),
         k=k,
     )
@@ -275,49 +283,32 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
 
 def skyline_topk(
     span_pools,  # per span: u32 [rows_c, wpb] dense grid pool (shared ok)
-    perm_pools,  # per span: i32 [rows_c] ub-descending row offsets
     norms_grid,  # [ndrows, 128] u16/f32 doc lengths
+    row_ids,  # i32 [M] survivor rows, IMAX-padded (traced)
     starts,  # i32 per span (traced)
-    counts,  # i32 per span (traced)
     ws,  # f32 per span (traced)
     avgdl,  # f32 (traced)
     *,
     scorer: Scorer,
     span_bits: Tuple[int, ...],
-    Ms: Tuple[int, ...],
     k: int,
     ndrows: int,
 ):
     """Exact (vals f32 [k], docs i32 [k]) over the survivor rows only."""
     import jax.numpy as jnp
-    from jax import lax
 
     from iresearch_tpu.formats.bitpack import unpack_jnp
     from iresearch_tpu.formats.spec import BLOCK
 
     S = len(span_pools)
     IMAX = jnp.int32(_IMAX32)
-    rel_l = []
-    for s in range(S):
-        pr = lax.dynamic_slice(perm_pools[s], (starts[s],), (Ms[s],))
-        mask = jnp.arange(Ms[s], dtype=jnp.int32) < counts[s]
-        rel_l.append(jnp.where(mask, pr, IMAX))
-    rel = rel_l[0] if S == 1 else jnp.concatenate(rel_l)
-    if S > 1:
-        # dedup rows contributed by several spans (each survivor row is
-        # rescored across ALL spans, so one copy suffices)
-        rel = lax.sort(rel)
-        dup = jnp.concatenate(
-            [jnp.zeros(1, bool), rel[1:] == rel[:-1]]
-        )
-        rel = jnp.where(dup, IMAX, rel)
-    parked = rel >= ndrows
-    safe = jnp.where(parked, 0, rel)
+    parked = row_ids >= ndrows
+    safe = jnp.where(parked, 0, row_ids)
     dl = norms_grid[safe]
     if not jnp.issubdtype(dl.dtype, jnp.floating):
         dl = dl.astype(jnp.int32).astype(jnp.float32)
     dl = jnp.maximum(dl, 1.0)
-    M = rel.shape[0]
+    M = row_ids.shape[0]
     score = jnp.zeros((M, BLOCK), jnp.float32)
     fagg = None
     for s in range(S):
