@@ -470,7 +470,7 @@ class QueryBatch:
         """Stack plans into device arrays once; re-runnable cheaply."""
         import jax.numpy as jnp
 
-        plans = [q.plan(seg_idx) for q in self.queries]
+        plans = [q.plan_for_k(seg_idx, k) for q in self.queries]
         sr = self.segments[seg_idx]
 
         groups_by_sig: Dict[tuple, List[int]] = defaultdict(list)
@@ -489,9 +489,13 @@ class QueryBatch:
                 and not p.groups
                 and not sr.has_deletes
             ):
-                sp = _sky.skyline_spec(
-                    p, sr, self.scorer, min(k, p.nd_pad)
-                )
+                kk = min(k, p.nd_pad)
+                skey = ("skyspec", kk)
+                if skey in p.cache:  # shared via the prepared-plan cache
+                    sp = p.cache[skey]
+                else:
+                    sp = _sky.skyline_spec(p, sr, self.scorer, kk)
+                    p.cache[skey] = sp
             sky_specs[qi] = sp
 
         for qi, p in enumerate(plans):

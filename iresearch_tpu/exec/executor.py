@@ -630,28 +630,52 @@ class DeviceQuery:
         self.prepared = HostQuery(flt, list(segments), self.scorer)
         self.compiler = PlanCompiler(self.prepared, self.scorer)
         self._plans: Dict[int, SegmentPlan] = {}
-        self._dev_inputs: Dict[int, tuple] = {}  # uploaded once per segment
-        self._scan_inputs: Dict[int, tuple] = {}  # dense-scan fast path
-        self._skyline_inputs: Dict[tuple, tuple] = {}  # (seg, k) -> args
 
     def plan(self, seg_idx: int) -> SegmentPlan:
         p = self._plans.get(seg_idx)
         if p is None:
-            p = self.compiler.compile(
+            from iresearch_tpu.exec.plancache import get_plan
+
+            p = get_plan(
+                self.compiler,
                 self.flt,
                 seg_idx,
                 wand=self.wand,
                 device_phrase=self.device_phrase,
+                scorer=self.scorer,
             )
             self._plans[seg_idx] = p
         return p
 
+    def plan_for_k(self, seg_idx: int, k: int) -> SegmentPlan:
+        """Plan valid for a top-k of ``k``: scored-only multiterm plans
+        (plan.scored_only_kmax) fall back to the full plan beyond their
+        guard (rare: k > 128)."""
+        p = self.plan(seg_idx)
+        if 0 < p.scored_only_kmax < k:
+            full = getattr(self, "_full_plans", None)
+            if full is None:
+                full = self._full_plans = {}
+            p = full.get(seg_idx)
+            if p is None:
+                p = self.compiler.compile(
+                    self.flt,
+                    seg_idx,
+                    wand=self.wand,
+                    device_phrase=self.device_phrase,
+                    scored_only=False,
+                )
+                full[seg_idx] = p
+        return p
+
     def _device_inputs(self, plan: SegmentPlan):
-        cached = self._dev_inputs.get(plan.seg_idx)
+        # keyed on the plan itself: cached plans (exec/plancache.py) then
+        # share uploads across DeviceQuery instances
+        cached = plan.cache.get("devin")
         if cached is not None:
             return cached
         out = self._build_device_inputs(plan)
-        self._dev_inputs[plan.seg_idx] = out
+        plan.cache["devin"] = out
         return out
 
     def _build_device_inputs(self, plan: SegmentPlan):
@@ -761,7 +785,7 @@ class DeviceQuery:
         """Like execute_segment but returns device (jax) arrays without a
         host fetch — the serving hot path (results stay on device until
         the response is assembled)."""
-        plan = self.plan(seg_idx)
+        plan = self.plan_for_k(seg_idx, k)
         (
             pools,
             rowsets,
@@ -781,10 +805,10 @@ class DeviceQuery:
         sr0 = self.prepared.segments[plan.seg_idx]
         shape = scan_shape(plan) if _USE_DENSE_SCAN else None
         if shape == "or" and _USE_SKYLINE and not sr0.has_deletes:
-            # device inputs cached per (segment, k): through a relay every
+            # device inputs cached per (plan, k): through a relay every
             # fresh scalar upload costs a fixed h2d round-trip, so the
             # serving loop must not rebuild them per call
-            sky = self._skyline_inputs.get((plan.seg_idx, kk))
+            sky = plan.cache.get(("sky", kk))
             if sky is None:
                 from iresearch_tpu.exec.skyline import skyline_spec
 
@@ -813,7 +837,7 @@ class DeviceQuery:
                         jnp.float32(spec.avgdl),
                     )
                     sky = (args, spec)
-                self._skyline_inputs[(plan.seg_idx, kk)] = sky
+                plan.cache[("sky", kk)] = sky
             if sky[0] is not None:
                 args, spec = sky
                 return _run_segment_skyline(
@@ -831,7 +855,7 @@ class DeviceQuery:
             and not sr0.has_deletes
             and len({ds.field_name for ds in plan.dense_spans}) == 1
         ):
-            cached = self._scan_inputs.get(plan.seg_idx)
+            cached = plan.cache.get("scan")
             if cached is None:
                 import jax.numpy as jnp
 
@@ -854,7 +878,7 @@ class DeviceQuery:
                     nrm.reshape(ndrows, 128),
                     jnp.float32(plan.dense_spans[0].avgdl),
                 )
-                self._scan_inputs[plan.seg_idx] = cached
+                plan.cache["scan"] = cached
             span_pools, starts, ws, norms_g, avgdl_s = cached
             return _run_dense_scan(
                 span_pools,

@@ -73,6 +73,75 @@ JOIN_MAX_SPANS = int(os.environ.get("IRS_JOIN_MAX_SPANS", "8"))
 # contributes elementwise on the [nd] grid with no sort/scatter at all
 USE_DENSE_TERMS = os.environ.get("IRS_DENSE_TERMS", "1") != "0"
 
+# scored-only multiterm execution (reference analog: only the
+# scored_terms_limit sample is scored, limited_sample_collector.hpp:45;
+# the remaining bit_union contributes score 0). For top-k <= GUARD the
+# unscored union is provably irrelevant when >= GUARD docs carry a
+# positive score — see _scored_only_ok. 0 disables.
+SCORED_ONLY_GUARD = int(os.environ.get("IRS_SCORED_ONLY_GUARD", "128"))
+
+
+MULTITERM_LEAVES = (
+    F.ByPrefix,
+    F.ByRange,
+    F.ByGranularRange,
+    F.ByWildcard,
+    F.ByEditDistance,
+)
+
+
+def _scored_only_ok(prepared, flt, seg: int, sr) -> bool:
+    """True when dropping this query's unscored multiterm spans is exact
+    for any top-k with k <= SCORED_ONLY_GUARD.
+
+    Exactness argument: the query must compile to ONE sum-merged positive
+    leaf with min_match <= 1 (a lone multiterm leaf, or the Or-of-term-
+    leaves collapse in _walk). Unscored spans carry weight 0, so a doc
+    matched ONLY by unscored terms scores exactly 0; every doc matched by
+    a scored span scores > 0 (idf > 0 for BM25/TFIDF/BoostScore and all
+    boosts checked positive). A scored span with df >= GUARD therefore
+    guarantees >= GUARD docs with positive score (no deletes), and no
+    score-0 doc can appear in a top-k of k <= GUARD. The reference walks
+    the unscored bit_union because it returns iterators; a top-k executor
+    can skip it (multiterm_query.cpp bit_union + limited_sample_collector
+    score semantics)."""
+    if SCORED_ONLY_GUARD <= 0 or sr.has_deletes:
+        return False
+    if isinstance(flt, MULTITERM_LEAVES):
+        if getattr(flt, "min_match", 1) > 1 or flt.boost <= 0:
+            return False
+        leaves = [flt]
+    elif (
+        isinstance(flt, F.Or)
+        and flt.min_match == 1
+        and flt.merge == "sum"
+        and flt.boost > 0
+        and flt.filters
+        and all(
+            isinstance(c, TERM_LEAVES)
+            and getattr(c, "min_match", 1) <= 1
+            and c.boost > 0
+            for c in flt.filters
+        )
+    ):
+        leaves = list(flt.filters)
+    else:
+        return False
+    any_unscored = False
+    max_df = 0
+    for l in leaves:
+        exp = prepared._expansions[id(l)]
+        for h in exp.scored:
+            if h.seg != seg:
+                continue
+            if h.boost <= 0:
+                return False
+            if h.df > max_df:
+                max_df = h.df
+        if not any_unscored and exp.has_unscored(seg):
+            any_unscored = True
+    return any_unscored and max_df >= SCORED_ONLY_GUARD
+
 
 def _wand_tree_ok(tree) -> bool:
     """True when block-max pruning is exact for this tree: only term
@@ -180,6 +249,14 @@ class SegmentPlan:
     driver_gi: int = -1  # group index of the join driver (mode == "join")
     driver_leaf: int = -1
     dense_spans: Tuple[DenseSpan, ...] = ()
+    # > 0: unscored multiterm spans were dropped; exact for top-k up to
+    # this bound only (executors must fall back to a full plan beyond it)
+    scored_only_kmax: int = 0
+    # shared side-cache for device inputs / skyline specs: plans are
+    # reused across DeviceQuery instances via the prepared-plan cache
+    # (exec/plancache.py), so uploads and specs keyed here amortize
+    # across requests (the analog of filter::prepared reuse)
+    cache: dict = dfield(default_factory=dict, compare=False, repr=False)
 
     def signature(self) -> tuple:
         """Hashable jit cache key component (shapes drive the rest)."""
@@ -223,6 +300,7 @@ class PlanCompiler:
         modes: bool = True,  # False: force the dense tier (exec_mode="dense")
         force_mode: Optional[str] = None,  # "sort"|"dense": override tier
         dense: bool = True,  # False: never use the dense-term grid cache
+        scored_only: Optional[bool] = None,  # None = auto (_scored_only_ok)
     ) -> SegmentPlan:
         sr = self.prepared.segments[seg_idx]
         self._sr = sr
@@ -232,6 +310,9 @@ class PlanCompiler:
         self._leaf_mm: List[int] = []
         self._aux: List[Tuple[np.ndarray, np.ndarray]] = []
         self._dev_aux: List[tuple] = []  # (aux_idx, DevicePhraseSpec)
+        if scored_only is None:
+            scored_only = _scored_only_ok(self.prepared, flt, seg_idx, sr)
+        self._scored_only = bool(scored_only)
         tree = self._walk(flt, 1.0)
         nd = sr.num_docs
         nd_pad = pad_docs(nd)
@@ -485,6 +566,7 @@ class PlanCompiler:
             driver_gi=driver_gi,
             driver_leaf=driver_leaf,
             dense_spans=tuple(dense_spans),
+            scored_only_kmax=SCORED_ONLY_GUARD if self._scored_only else 0,
         )
 
     def _select_mode(self, tree, nd_pad: int):
@@ -686,10 +768,15 @@ class PlanCompiler:
             idf = self.scorer.idf(exp.stats_df[h.key], dwf)
             w = float(self.scorer.term_weight(leaf_boost * h.boost, idf))
             self._add_span(fname, fp, h.tid, w, leaf)
+        if self._scored_only:
+            return  # unscored spans provably outside top-k (see
+            # _scored_only_ok) — skip the whole band
         for h in exp.unscored:
             if h.seg != self._seg:
                 continue
             self._add_span(fname, fp, h.tid, 0.0, leaf)
+        for tid in exp.unscored_tids.get(self._seg, ()):
+            self._add_span(fname, fp, int(tid), 0.0, leaf)
 
     def _add_span(self, fname: str, fp, tid: int, w: float, leaf: int) -> None:
         e = fp.entries[tid]

@@ -235,6 +235,11 @@ class DeviceSegment:
         return df
 
 
+import itertools
+
+_SEGMENT_SERIAL = itertools.count(1)
+
+
 class SegmentReader:
     """Snapshot view of one committed segment (+ its doc mask generation)."""
 
@@ -253,6 +258,10 @@ class SegmentReader:
         self._term_lists: Dict[str, TermDictView] = {}
         self._device: Optional[DeviceSegment] = None
         self._dense: Dict[str, "object"] = {}  # field -> DenseCache | None
+        # process-unique identity token for prepared-plan caching
+        # (exec/plancache.py) — id() could alias after GC, a serial can't
+        self.serial = next(_SEGMENT_SERIAL)
+        self._lookup_memo: Dict[Tuple[str, bytes], Optional[int]] = {}
 
     # --- stats ---------------------------------------------------------
 
@@ -302,12 +311,23 @@ class SegmentReader:
         return tl
 
     def lookup_term(self, field_name: str, term: bytes) -> Optional[int]:
-        """Exact term -> tid (reference: term_reader seek, burst trie)."""
+        """Exact term -> tid (reference: term_reader seek, burst trie).
+
+        Memoized: serving workloads re-look-up a hot term set every
+        request (the reference's states_cache keeps seek cookies for the
+        same reason, core/search/states_cache.hpp)."""
+        key = (field_name, term)
+        memo = self._lookup_memo
+        hit = memo.get(key, -2)
+        if hit != -2:
+            return hit
         tl = self.terms(field_name)
         i = bisect.bisect_left(tl, term)
-        if i < len(tl) and tl[i] == term:
-            return i
-        return None
+        out = i if (i < len(tl) and tl[i] == term) else None
+        if len(memo) >= 1 << 17:  # bound host memory on adversarial streams
+            memo.clear()
+        memo[key] = out
+        return out
 
     def term_range(
         self,

@@ -38,12 +38,29 @@ class TermHit:
 class LeafExpansion:
     scored: List[TermHit] = field(default_factory=list)
     unscored: List[TermHit] = field(default_factory=list)
+    # vectorized unscored representation for contiguous-range leaves
+    # (prefix/range): seg -> sorted tid array, disjoint from `unscored`.
+    # A 10k-term prefix band stays ONE numpy array instead of 10k TermHit
+    # objects (reference analog: multiterm bit_union visits cookies
+    # without materializing per-term state, formats.hpp:228).
+    unscored_tids: Dict[int, np.ndarray] = field(default_factory=dict)
     stats_df: Dict[bytes, int] = field(default_factory=dict)
 
     def finalize_stats(self) -> None:
         self.stats_df = {}
         for h in self.scored:
             self.stats_df[h.key] = self.stats_df.get(h.key, 0) + h.df
+
+    def has_unscored(self, seg: int) -> bool:
+        tids = self.unscored_tids.get(seg)
+        if tids is not None and len(tids):
+            return True
+        return any(h.seg == seg for h in self.unscored)
+
+    def max_scored_df(self, seg: int) -> int:
+        return max(
+            (h.df for h in self.scored if h.seg == seg), default=0
+        )
 
 
 def _df_of(sr: SegmentReader, field_name: str, tid: int) -> int:
@@ -245,6 +262,14 @@ def expand_leaf(flt: F.Filter, segments: List[SegmentReader]) -> LeafExpansion:
         return exp
 
     if isinstance(flt, (F.ByPrefix, F.ByRange, F.ByWildcard, F.ByGranularRange)):
+        ranges = [
+            _matching_ranges(flt, sr) if sr.field(flt.field) is not None else []
+            for sr in segments
+        ]
+        if all(r is not None for r in ranges):
+            return _expand_ranges(flt, segments, ranges)
+        # non-range wildcard: regex scan (see automaton note in
+        # _iterate_matching)
         hits: List[TermHit] = []
         for s, sr in enumerate(segments):
             fp = sr.field(getattr(flt, "field"))
@@ -313,6 +338,101 @@ def expand_leaf(flt: F.Filter, segments: List[SegmentReader]) -> LeafExpansion:
         return exp
 
     raise TypeError(f"not an expandable leaf: {flt!r}")
+
+
+def _matching_ranges(flt, sr: SegmentReader):
+    """[(lo, hi), ...] tid ranges for a contiguous-range leaf, or None
+    when the leaf is not range-representable (general wildcard)."""
+    if isinstance(flt, F.ByPrefix):
+        return [sr.term_prefix_range(flt.field, flt.prefix)]
+    if isinstance(flt, F.ByRange):
+        return [
+            sr.term_range(
+                flt.field, flt.low, flt.high, flt.include_low, flt.include_high
+            )
+        ]
+    if isinstance(flt, F.ByGranularRange):
+        from iresearch_tpu.analysis.numeric import granular_term_ranges
+
+        return [
+            sr.term_range(flt.field, tlo, thi, True, True)
+            for tlo, thi in granular_term_ranges(
+                flt.low, flt.high, flt.include_low, flt.include_high
+            )
+        ]
+    if isinstance(flt, F.ByWildcard):
+        kind = classify_wildcard(flt.pattern)
+        if kind == "term":
+            tid = sr.lookup_term(flt.field, _unescape(flt.pattern))
+            return [] if tid is None else [(tid, tid + 1)]
+        if kind == "match_all":
+            return [(0, len(sr.terms(flt.field)))]
+        if kind == "prefix":
+            return [
+                sr.term_prefix_range(
+                    flt.field, wildcard_fixed_prefix(flt.pattern)
+                )
+            ]
+        return None
+    return None
+
+
+def _expand_ranges(
+    flt, segments: List[SegmentReader], ranges: List[List[Tuple[int, int]]]
+) -> LeafExpansion:
+    """Vectorized expansion of contiguous tid ranges.
+
+    Semantics identical to the TermHit-per-term path (same visit order,
+    same (df, visit-order) sampling — limited_sample_collector.hpp:73),
+    but a 10k-term band costs numpy array ops instead of 10k Python
+    objects; unscored terms stay as per-segment tid ARRAYS
+    (LeafExpansion.unscored_tids) for the planner to emit vectorized.
+    """
+    exp = LeafExpansion()
+    limit = flt.scored_terms_limit
+    seg_tids: List[np.ndarray] = []
+    seg_dfs: List[np.ndarray] = []
+    seg_ids: List[int] = []
+    for s, rs in enumerate(ranges):
+        if not rs:
+            continue
+        fp = segments[s].field(flt.field)
+        parts = [np.arange(lo, hi, dtype=np.int64) for lo, hi in rs if hi > lo]
+        if not parts:
+            continue
+        tids = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        seg_tids.append(tids)
+        seg_dfs.append(fp.entries[tids, TermCols.DF].astype(np.int64))
+        seg_ids.append(s)
+    if not seg_tids:
+        return exp
+    counts = [len(t) for t in seg_tids]
+    tid_g = np.concatenate(seg_tids)
+    df_g = np.concatenate(seg_dfs)
+    seg_g = np.repeat(np.asarray(seg_ids, np.int64), counts)
+    ntot = len(tid_g)
+    if ntot <= limit:
+        keep = np.arange(ntot)
+    else:
+        # top-``limit`` by (df, visit order), ties to the later visit —
+        # exactly the _sample() heap order
+        idx = np.arange(ntot)
+        keep = np.sort(np.lexsort((idx, df_g))[-limit:])
+    keep_mask = np.zeros(ntot, np.bool_)
+    keep_mask[keep] = True
+    for i in keep:
+        s = int(seg_g[i])
+        tid = int(tid_g[i])
+        term = segments[s].terms(flt.field)[tid]
+        exp.scored.append(TermHit(s, tid, int(df_g[i]), 1.0, term))
+    base = 0
+    for s, n in zip(seg_ids, counts):
+        um = ~keep_mask[base : base + n]
+        if um.any():
+            exp.unscored_tids[s] = tid_g[base : base + n][um]
+        base += n
+    exp.finalize_stats()
+    return exp
 
 
 def _iterate_matching(flt, sr: SegmentReader):

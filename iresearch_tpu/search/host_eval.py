@@ -41,6 +41,36 @@ class HostResult:
     score: np.ndarray  # f32 [nd], zero where not matched
 
 
+class _LazyExpansions:
+    """id(leaf) -> LeafExpansion, expanded on first access.
+
+    Term lookup + sampling is the dominant host cost of preparing a
+    query; when the plan comes from the prepared-plan cache
+    (exec/plancache.py) no expansion is ever needed, so it must not be
+    paid eagerly. Mapping semantics match the eager dict the planner and
+    oracle index into."""
+
+    __slots__ = ("_leaves", "_segments", "_done")
+
+    def __init__(self, segments) -> None:
+        self._leaves: Dict[int, F.Filter] = {}
+        self._segments = segments
+        self._done: Dict[int, LeafExpansion] = {}
+
+    def register(self, flt: F.Filter) -> None:
+        self._leaves[id(flt)] = flt
+
+    def __getitem__(self, fid: int) -> LeafExpansion:
+        e = self._done.get(fid)
+        if e is None:
+            e = expand_leaf(self._leaves[fid], self._segments)
+            self._done[fid] = e
+        return e
+
+    def __contains__(self, fid: int) -> bool:
+        return fid in self._leaves
+
+
 class HostQuery:
     """A prepared (compiled) query over a list of segments."""
 
@@ -53,7 +83,7 @@ class HostQuery:
         self.flt = flt
         self.segments = segments
         self.scorer = scorer or BM25()
-        self._expansions: Dict[int, LeafExpansion] = {}
+        self._expansions = _LazyExpansions(segments)
         self._field_stats: Dict[str, Tuple[int, int]] = {}
         self._collect(flt)
         self._proxy_cache: Dict[Tuple[int, int], np.ndarray] = {}
@@ -87,7 +117,7 @@ class HostQuery:
                 F.ByEditDistance,
             ),
         ):
-            self._expansions[id(flt)] = expand_leaf(flt, self.segments)
+            self._expansions.register(flt)
         elif isinstance(flt, (F.And, F.Or)):
             for c in flt.filters:
                 self._collect(c)
@@ -215,6 +245,9 @@ class HostQuery:
             if h.seg != s:
                 continue
             docs, _ = decode_term(fp, h.tid)
+            match_count[docs] += 1
+        for tid in exp.unscored_tids.get(s, ()):
+            docs, _ = decode_term(fp, int(tid))
             match_count[docs] += 1
         min_match = getattr(flt, "min_match", 1)
         match = match_count >= max(1, min_match)
