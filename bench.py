@@ -303,6 +303,12 @@ def main():
         f"{nserve/serve_el:.1f} QPS"
     )
 
+    # no-silent-caps: surface every bounded behavior hit during the run
+    from iresearch_tpu.utils.metrics import registry
+
+    for (name, labels), v in sorted(registry()._counters.items()):
+        log(f"cap counter {name}{dict(labels) or ''}: {v:g}")
+
     print(json.dumps({
         "metric": "bm25_top10_qps_single_chip",
         "value": round(qps, 1),

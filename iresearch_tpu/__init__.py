@@ -25,6 +25,7 @@ _LAZY = {
     "DirectoryReader": ("iresearch_tpu.index.reader", "DirectoryReader"),
     "Directory": ("iresearch_tpu.store.directory", "Directory"),
     "FSDirectory": ("iresearch_tpu.store.directory", "FSDirectory"),
+    "MMapDirectory": ("iresearch_tpu.store.directory", "MMapDirectory"),
     "MemoryDirectory": ("iresearch_tpu.store.directory", "MemoryDirectory"),
 }
 
@@ -48,6 +49,7 @@ __all__ = [
     "DirectoryReader",
     "Directory",
     "FSDirectory",
+    "MMapDirectory",
     "MemoryDirectory",
     "__version__",
 ]

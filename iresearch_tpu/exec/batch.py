@@ -60,6 +60,13 @@ def _chunked_vmap(one, xs, q: int, width: int):
     chunk = max(1, min(q, _BATCH_LANE_BUDGET // max(1, width)))
     if chunk >= q:
         return jax.vmap(one)(xs)
+    from iresearch_tpu.utils.metrics import registry
+
+    registry().counter(
+        "irs_batch_chunked",
+        help_="batch dispatches split by the lane budget "
+        "(IRS_BATCH_LANE_BUDGET; counted at trace time)",
+    )
     nq = -(-q // chunk)
     pad = nq * chunk - q
     if pad:
@@ -100,8 +107,8 @@ def _run_batch(
     rowsets_b,  # tuple per group: (rows_d [Q,R], rows_f [Q,R], w [Q,R], leaf [Q,R])
     avgdl,  # f32 [G]
     leaf_min_b,  # i32 [Q, L] (min_match can differ per query in a batch)
-    aux_match_b,  # bool [Q, A, nd] or None
-    aux_score_b,  # f32 [Q, A, nd] or None
+    aux_sp_b,  # tuple per aux: (docs i32 [Q,Mp] IMAX-padded, vals f32 [Q,Mp]) or None
+    _aux_unused,  # kept for arg-structure compatibility (always None)
     alive,  # bool [nd] — shared
     dense_shared=(),  # per dense span: (pool, norms, avgdl) — shared
     dense_dyn=(),  # per dense span: (start [Q], w [Q]) — per query
@@ -161,11 +168,21 @@ def _run_batch(
         return _chunked_vmap(one_scan, xs, q, width)
 
     def one(xs):
-        rowsets, leaf_min, aux_m, aux_s, ddyn = xs
+        rowsets, leaf_min, aux_sp, ddyn = xs
         dense_args = tuple(
             (sh[0], dd[0], dd[1], sh[1], sh[2])
             for sh, dd in zip(dense_shared, ddyn)
         )
+        aux_m = aux_s = None
+        if aux_sp is not None:
+            # densify the sparse (docs, vals) aux upload on device —
+            # the host never ships [A, nd] arrays (VERDICT r2 item 6)
+            A = len(aux_sp)
+            aux_m = jnp.zeros((A, nd), jnp.bool_)
+            aux_s = jnp.zeros((A, nd), jnp.float32)
+            for a, (docs_a, vals_a) in enumerate(aux_sp):
+                aux_m = aux_m.at[a, docs_a].set(True, mode="drop")
+                aux_s = aux_s.at[a, docs_a].set(vals_a, mode="drop")
         match, score = segment_body(
             pools,
             rowsets,
@@ -190,11 +207,10 @@ def _run_batch(
     xs = (
         rowsets_b,
         leaf_min_b,
-        aux_match_b if has_aux else None,
-        aux_score_b if has_aux else None,
+        aux_sp_b if has_aux else None,
         dense_dyn,
     )
-    width = nd * max(1, num_leaves)
+    width = nd * (max(1, num_leaves) + (len(aux_sp_b or ()) if has_aux else 0))
     vals, docs = _chunked_vmap(one, xs, q, width)
     return vals, docs  # [Q, k]
 
@@ -757,13 +773,24 @@ class QueryBatch:
                 calls.append((qis, args, kwargs, _run_batch_candidates))
                 continue
             if A:
-                am = np.zeros((Q, A, nd), np.bool_)
-                asc = np.zeros((Q, A, nd), np.float32)
-                for j, p in enumerate(reps):
-                    am[j] = p.aux_match
-                    asc[j] = p.aux_score
+                # sparse aux upload: per aux a pow2 bucket of match docs
+                # (IMAX pad) + scores; densified on device in _run_batch
+                aux_sp = []
+                for a in range(A):
+                    docs_l = [
+                        np.flatnonzero(p.aux_match[a]).astype(np.int32)
+                        for p in reps
+                    ]
+                    Mp = _pow2(max(8, max(len(d) for d in docs_l)))
+                    docs_b = np.full((Q, Mp), 2**31 - 1, np.int32)
+                    vals_b = np.zeros((Q, Mp), np.float32)
+                    for j, (p, da) in enumerate(zip(reps, docs_l)):
+                        docs_b[j, : len(da)] = da
+                        vals_b[j, : len(da)] = p.aux_score[a][da]
+                    aux_sp.append((docs_b, vals_b))
+                aux_sp = tuple(aux_sp)
             else:
-                am = asc = None
+                aux_sp = None
             from iresearch_tpu.exec.executor import scan_shape
 
             shapes = {scan_shape(p) for p in reps}
@@ -826,8 +853,8 @@ class QueryBatch:
                 tuple(rowsets_b),
                 reps[0].group_avgdl,
                 np.stack([p.leaf_min_match for p in reps]),
-                am,
-                asc,
+                aux_sp,
+                None,
                 sr.device().alive,
                 tuple(dense_shared),
                 tuple(dense_dyn),

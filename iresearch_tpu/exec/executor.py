@@ -712,8 +712,28 @@ class DeviceQuery:
             gbits.append(
                 (BITS[g.dcls], BITS[g.fcls], BITS[g.ncls] if has_nrm else -1)
             )
-        am = None if plan.aux_match is None else jnp.asarray(plan.aux_match)
-        asc = None if plan.aux_score is None else jnp.asarray(plan.aux_score)
+        # host-aux results upload SPARSELY: (match docs, scores) instead
+        # of [A, nd] dense arrays — a ByNested/ngram/column aux at 5M docs
+        # shipped ~42 MB per aux per query before; now O(matches)
+        # (reference analog: iterators yield only matching docs). The
+        # dense [A, nd] arrays the fold consumes are scattered ON DEVICE
+        # and cached with the rest of the device inputs.
+        am = asc = None
+        if plan.aux_match is not None:
+            A = plan.aux_match.shape[0]
+            nd_p = plan.nd_pad
+            dev_idx = {i for i, _ in plan.device_aux}
+            am = jnp.zeros((A, nd_p), jnp.bool_)
+            asc = jnp.zeros((A, nd_p), jnp.float32)
+            for a in range(A):
+                if a in dev_idx:
+                    continue  # filled by the device phrase below
+                docs_a = np.flatnonzero(plan.aux_match[a]).astype(np.int32)
+                vals_a = plan.aux_score[a][docs_a].astype(np.float32)
+                am = am.at[a, jnp.asarray(docs_a)].set(True, mode="drop")
+                asc = asc.at[a, jnp.asarray(docs_a)].set(
+                    jnp.asarray(vals_a), mode="drop"
+                )
         if plan.device_aux:
             from iresearch_tpu.exec.phrase import run_phrase_dense
 

@@ -41,6 +41,9 @@ class PhrasePartSpec:
     rows_p: np.ndarray  # i32 [NPB_pad] rows into the class-pcls pos pool
     ttf: int
     offset: int
+    # the part's own field (BySamePosition joins across fields,
+    # same_position_filter.hpp — pools come from here)
+    field_name: str = ""
 
 
 @dataclass
@@ -61,26 +64,41 @@ def _pow2(n: int) -> int:
 def compile_phrase(
     flt, sr, seg_idx: int, boost: float, prepared, scorer: Scorer
 ) -> Optional[DevicePhraseSpec]:
-    """Build a device spec for a ByPhrase of plain terms, or None."""
+    """Build a device spec for a ByPhrase of plain terms or a
+    BySamePosition (offset-0 join across fields,
+    same_position_filter.hpp), or None for host fallback."""
     from iresearch_tpu.search import filters as F
 
-    if not isinstance(flt, F.ByPhrase) or not flt.parts:
+    if isinstance(flt, F.BySamePosition):
+        if not flt.terms:
+            return None
+        raw_parts = [(0, fld, F.PhraseTerm(t)) for fld, t in flt.terms]
+    elif isinstance(flt, F.ByPhrase) and flt.parts:
+        raw_parts = [(off, flt.field, p) for off, p in flt.parts]
+    else:
         return None
-    fp = sr.field(flt.field)
-    if fp is None or not fp.has_positions:
+    score_field = raw_parts[0][1]
+    fp0 = sr.field(score_field)
+    if fp0 is None:
         return None
     nd_pad = _pow2(max(1, sr.num_docs))
-    pos_cap = _pow2(int(fp.norms.max(initial=1)) + 1)
+    pos_cap = 1
+    for _off, fld, _p in raw_parts:
+        fpx = sr.field(fld)
+        if fpx is None or not fpx.has_positions:
+            return None
+        pos_cap = max(pos_cap, _pow2(int(fpx.norms.max(initial=1)) + 1))
     if nd_pad * pos_cap >= 2**31:
         return None
-    dwf, ttf_field = prepared._field(flt.field)
+    dwf, ttf_field = prepared._field(score_field)
     avgdl = (ttf_field / dwf) if dwf else 1.0
     parts: List[PhrasePartSpec] = []
     idf_sum = 0.0
-    for off, p in flt.parts:
+    for off, fld, p in raw_parts:
         if not isinstance(p, F.PhraseTerm):
             return None
-        tid = sr.lookup_term(flt.field, p.term)
+        fp = sr.field(fld)
+        tid = sr.lookup_term(fld, p.term)
         if tid is None:
             return None  # a missing part -> empty result; host handles it
         e = fp.entries[tid]
@@ -111,18 +129,108 @@ def compile_phrase(
                 rows_p=rows_p,
                 ttf=ttf,
                 offset=int(off),
+                field_name=fld,
             )
         )
         # index-wide df of the part's term (host prepare semantics)
         df = 0
         for sr2 in prepared.segments:
-            fp2 = sr2.field(flt.field)
-            tid2 = sr2.lookup_term(flt.field, p.term)
+            fp2 = sr2.field(fld)
+            tid2 = sr2.lookup_term(fld, p.term)
             if fp2 is not None and tid2 is not None:
                 df += int(fp2.entries[tid2, TermCols.DF])
         idf_sum += scorer.idf(max(df, 1), max(dwf, 1))
     w = float(scorer.term_weight(boost * flt.boost, idf_sum))
-    return DevicePhraseSpec(flt.field, parts, w, avgdl)
+    return DevicePhraseSpec(score_field, parts, w, avgdl)
+
+
+@dataclass
+class PhraseKeysSpec:
+    """Positional keys for one segment's phrase/same-position aux leaf.
+
+    Used by the SHARDED executor (parallel/sharded.py): the host decodes
+    each part's (doc, position - offset) pairs into sorted int64 keys
+    ``doc * 2^32 + shifted_pos`` at prepare time (exactly the oracle's
+    formulation, host_eval._eval_positional); the device intersects the
+    parts, counts per-doc tf and scores — under shard_map, so the
+    per-run phrase work is on-device (reference: phrase_iterator.hpp
+    leapfrogs per doc; here whole-shard sorted-set intersection).
+    Keys re-encode to i32 with a mesh-uniform pos_cap before upload.
+    """
+
+    field_name: str  # scoring field (dl/norms source)
+    part_keys64: List[np.ndarray]  # per part: sorted int64 doc*2^32+pos
+    weight: float
+    avgdl: float
+    max_pos: int  # max shifted position over all parts (caplog source)
+
+
+def compile_phrase_keys(
+    flt, sr, seg_idx: int, boost: float, prepared, scorer: Scorer
+) -> Optional[PhraseKeysSpec]:
+    """Build the per-segment keys spec for ByPhrase/BySamePosition, or
+    None when the involved fields lack positions. Empty parts produce
+    empty key arrays (=> no matches in this segment), keeping the spec
+    structure shard-invariant."""
+    from iresearch_tpu.formats.postings import decode_term, term_positions
+    from iresearch_tpu.search import filters as F
+    from iresearch_tpu.search.expand import expand_phrase_part
+
+    if isinstance(flt, F.BySamePosition):
+        parts = []
+        for fld, t in flt.terms:
+            tid = sr.lookup_term(fld, t)
+            parts.append((0, fld, [] if tid is None else [tid]))
+    elif isinstance(flt, F.ByPhrase):
+        parts = [
+            (off, flt.field, expand_phrase_part(p, flt.field, sr))
+            for off, p in flt.parts
+        ]
+    else:
+        return None
+    if not parts:
+        return None
+    for _off, fld, _tids in parts:
+        fp = sr.field(fld)
+        if fp is not None and not fp.has_positions:
+            return None
+    score_field = parts[0][1]
+    dwf, ttf_field = prepared._field(score_field)
+    avgdl = (ttf_field / dwf) if dwf else 1.0
+    cap = np.int64(1) << 32
+    key_arrays: List[np.ndarray] = []
+    max_pos = 0
+    any_empty = any(not tids for _o, _f, tids in parts)
+    idf_sum = 0.0
+    for off, fld, tids in parts:
+        fp = sr.field(fld)
+        arrs = []
+        if fp is not None and not any_empty:
+            for tid in tids:
+                docs, freqs = decode_term(fp, tid)
+                flat = term_positions(fp, tid).astype(np.int64)
+                doc_of_pos = np.repeat(docs.astype(np.int64), freqs)
+                shifted = flat - off
+                ok = shifted >= 0
+                arrs.append(doc_of_pos[ok] * cap + shifted[ok])
+        keys = (
+            np.unique(np.concatenate(arrs))
+            if arrs
+            else np.zeros(0, np.int64)
+        )
+        if len(keys):
+            # max over ALL keys' position field — the largest KEY belongs
+            # to the largest doc, whose position need not be the largest
+            max_pos = max(max_pos, int((keys & (cap - 1)).max()))
+        key_arrays.append(keys)
+        # stats exactly as the oracle: per-part df = index-wide df of the
+        # terms this SEGMENT expanded (host_eval._phrase_part_df), so w
+        # is segment-dependent and must stack per shard
+        dwf_f, _ = prepared._field(fld)
+        df = prepared._phrase_part_df(fld, tids, sr)
+        idf_sum += scorer.idf(max(df, 1), max(dwf_f, 1))
+    w = float(scorer.term_weight(boost * flt.boost, idf_sum))
+    return PhraseKeysSpec(score_field, key_arrays, w, avgdl, max_pos)
 
 
 def _part_keys(pool, spec_arrays, bd, bf, bp, ttf, off, pos_cap_log2):
@@ -211,18 +319,22 @@ def run_phrase_dense(
     import jax.numpy as jnp
 
     dfield = sr.device_field(spec.field_name)
-    fp = sr.field(spec.field_name)
-    pos_cap_log2 = int(np.log2(_pow2(int(fp.norms.max(initial=1)) + 1)))
+    pos_cap = 1
+    for p in spec.parts:
+        fpx = sr.field(p.field_name or spec.field_name)
+        pos_cap = max(pos_cap, _pow2(int(fpx.norms.max(initial=1)) + 1))
+    pos_cap_log2 = int(np.log2(pos_cap))
     pools = []
     specs = []
     gbits = []
     for p in spec.parts:
+        dfield_p = sr.device_field(p.field_name or spec.field_name)
         pools.append(
             (
-                dfield.doc_words[p.dcls],
-                dfield.freq_words[p.fcls],
-                dfield.base[p.dcls],
-                dfield.pos_words(p.pcls),
+                dfield_p.doc_words[p.dcls],
+                dfield_p.freq_words[p.fcls],
+                dfield_p.base[p.dcls],
+                dfield_p.pos_words(p.pcls),
             )
         )
         specs.append(

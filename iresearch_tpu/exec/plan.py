@@ -75,10 +75,11 @@ USE_DENSE_TERMS = os.environ.get("IRS_DENSE_TERMS", "1") != "0"
 
 # scored-only multiterm execution (reference analog: only the
 # scored_terms_limit sample is scored, limited_sample_collector.hpp:45;
-# the remaining bit_union contributes score 0). For top-k <= GUARD the
-# unscored union is provably irrelevant when >= GUARD docs carry a
-# positive score — see _scored_only_ok. 0 disables.
-SCORED_ONLY_GUARD = int(os.environ.get("IRS_SCORED_ONLY_GUARD", "128"))
+# the remaining bit_union contributes score 0). For top-k <= max scored
+# df the unscored union is provably irrelevant — see _scored_only_ok.
+# The floor avoids building scored-only plans that would immediately
+# fall back for typical k. 0 disables.
+SCORED_ONLY_FLOOR = int(os.environ.get("IRS_SCORED_ONLY_FLOOR", "10"))
 
 
 MULTITERM_LEAVES = (
@@ -90,26 +91,26 @@ MULTITERM_LEAVES = (
 )
 
 
-def _scored_only_ok(prepared, flt, seg: int, sr) -> bool:
-    """True when dropping this query's unscored multiterm spans is exact
-    for any top-k with k <= SCORED_ONLY_GUARD.
+def _scored_only_ok(prepared, flt, seg: int, sr) -> int:
+    """Max k for which dropping this query's unscored multiterm spans is
+    exact (0 = ineligible).
 
     Exactness argument: the query must compile to ONE sum-merged positive
     leaf with min_match <= 1 (a lone multiterm leaf, or the Or-of-term-
     leaves collapse in _walk). Unscored spans carry weight 0, so a doc
     matched ONLY by unscored terms scores exactly 0; every doc matched by
     a scored span scores > 0 (idf > 0 for BM25/TFIDF/BoostScore and all
-    boosts checked positive). A scored span with df >= GUARD therefore
-    guarantees >= GUARD docs with positive score (no deletes), and no
-    score-0 doc can appear in a top-k of k <= GUARD. The reference walks
+    boosts checked positive). A scored span with df = D therefore
+    guarantees >= D docs with positive score (no deletes), and no
+    score-0 doc can appear in a top-k of k <= D. The reference walks
     the unscored bit_union because it returns iterators; a top-k executor
     can skip it (multiterm_query.cpp bit_union + limited_sample_collector
     score semantics)."""
-    if SCORED_ONLY_GUARD <= 0 or sr.has_deletes:
-        return False
+    if SCORED_ONLY_FLOOR <= 0 or sr.has_deletes:
+        return 0
     if isinstance(flt, MULTITERM_LEAVES):
         if getattr(flt, "min_match", 1) > 1 or flt.boost <= 0:
-            return False
+            return 0
         leaves = [flt]
     elif (
         isinstance(flt, F.Or)
@@ -126,7 +127,7 @@ def _scored_only_ok(prepared, flt, seg: int, sr) -> bool:
     ):
         leaves = list(flt.filters)
     else:
-        return False
+        return 0
     any_unscored = False
     max_df = 0
     for l in leaves:
@@ -135,12 +136,14 @@ def _scored_only_ok(prepared, flt, seg: int, sr) -> bool:
             if h.seg != seg:
                 continue
             if h.boost <= 0:
-                return False
+                return 0
             if h.df > max_df:
                 max_df = h.df
         if not any_unscored and exp.has_unscored(seg):
             any_unscored = True
-    return any_unscored and max_df >= SCORED_ONLY_GUARD
+    if not any_unscored or max_df < SCORED_ONLY_FLOOR:
+        return 0
+    return max_df
 
 
 def _wand_tree_ok(tree) -> bool:
@@ -311,8 +314,12 @@ class PlanCompiler:
         self._aux: List[Tuple[np.ndarray, np.ndarray]] = []
         self._dev_aux: List[tuple] = []  # (aux_idx, DevicePhraseSpec)
         if scored_only is None:
-            scored_only = _scored_only_ok(self.prepared, flt, seg_idx, sr)
-        self._scored_only = bool(scored_only)
+            self._scored_only_kmax = _scored_only_ok(
+                self.prepared, flt, seg_idx, sr
+            )
+        else:
+            self._scored_only_kmax = 0  # caller pinned the full plan
+        self._scored_only = self._scored_only_kmax > 0
         tree = self._walk(flt, 1.0)
         nd = sr.num_docs
         nd_pad = pad_docs(nd)
@@ -566,7 +573,7 @@ class PlanCompiler:
             driver_gi=driver_gi,
             driver_leaf=driver_leaf,
             dense_spans=tuple(dense_spans),
-            scored_only_kmax=SCORED_ONLY_GUARD if self._scored_only else 0,
+            scored_only_kmax=self._scored_only_kmax,
         )
 
     def _select_mode(self, tree, nd_pad: int):
@@ -775,8 +782,45 @@ class PlanCompiler:
             if h.seg != self._seg:
                 continue
             self._add_span(fname, fp, h.tid, 0.0, leaf)
-        for tid in exp.unscored_tids.get(self._seg, ()):
-            self._add_span(fname, fp, int(tid), 0.0, leaf)
+        tids = exp.unscored_tids.get(self._seg)
+        if tids is not None and len(tids):
+            self._add_spans_batch(fname, fp, tids, leaf)
+
+    def _add_spans_batch(
+        self, fname: str, fp, tids: np.ndarray, leaf: int
+    ) -> None:
+        """Vectorized unscored-span emission for a tid array (the
+        full-plan fallback of a wide multiterm band)."""
+        e = fp.entries[tids]
+        has_nrm = fp.nrm_words is not None
+        dcls = e[:, TermCols.DCLS].astype(np.int64)
+        fcls = e[:, TermCols.FCLS].astype(np.int64)
+        ncls = (
+            e[:, TermCols.NCLS].astype(np.int64)
+            if has_nrm
+            else np.full(len(e), -1, np.int64)
+        )
+        code = (dcls * 64 + fcls) * 64 + (ncls + 1)
+        order = np.argsort(code, kind="stable")
+        codes_u, starts_u = np.unique(code[order], return_index=True)
+        ds = e[:, TermCols.DSTART].tolist()
+        fs = e[:, TermCols.FSTART].tolist()
+        ns = (
+            e[:, TermCols.NSTART].tolist()
+            if has_nrm
+            else [0] * len(e)
+        )
+        nb = e[:, TermCols.NBLOCKS].tolist()
+        tl = tids.tolist()
+        bounds = list(starts_u) + [len(order)]
+        for u, cu in enumerate(codes_u):
+            nc = int(cu % 64) - 1
+            fc = int((cu // 64) % 64)
+            dc = int(cu // 4096)
+            key = (fname, dc, fc, nc if has_nrm else -1, 0)
+            lst = self._groups.setdefault(key, [])
+            for i in order[bounds[u] : bounds[u + 1]].tolist():
+                lst.append((ds[i], fs[i], ns[i], nb[i], 0.0, leaf, tl[i]))
 
     def _add_span(self, fname: str, fp, tid: int, w: float, leaf: int) -> None:
         e = fp.entries[tid]
@@ -801,7 +845,25 @@ class PlanCompiler:
         )
 
     def _make_aux(self, flt, boost: float) -> int:
-        if isinstance(flt, F.ByPhrase) and getattr(self, "_device_phrase", True):
+        dp = getattr(self, "_device_phrase", True)
+        if dp == "keys" and isinstance(flt, (F.ByPhrase, F.BySamePosition)):
+            # sharded path: host builds per-part sorted position keys;
+            # intersection/tf/scoring run on device under shard_map
+            # (exec/phrase.py:PhraseKeysSpec)
+            from iresearch_tpu.exec.phrase import compile_phrase_keys
+
+            spec = compile_phrase_keys(
+                flt, self._sr, self._seg, boost, self.prepared, self.scorer
+            )
+            if spec is not None:
+                idx = len(self._aux)
+                nd = self._sr.num_docs
+                self._aux.append(
+                    (np.zeros(nd, np.bool_), np.zeros(nd, np.float32))
+                )
+                self._dev_aux.append((idx, spec))
+                return idx
+        elif isinstance(flt, (F.ByPhrase, F.BySamePosition)) and dp is True:
             from iresearch_tpu.exec.phrase import compile_phrase
 
             spec = compile_phrase(

@@ -15,10 +15,82 @@ Values are raw bytes; typed helpers pack/unpack numerics.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
+
+# values per compression block (format v6+); reference:
+# columnstore2.hpp:83 — columns are split into 65536-doc blocks with
+# per-block compression so a point read decompresses one block, not the
+# whole column
+COLUMN_BLOCK = 65536
+_BLOCK_SHIFT = 16
+_BLOCK_CACHE = 8  # decompressed blocks kept per column
+
+
+class ColumnBlocks:
+    """Lazily-decompressed per-block column payloads (format v6).
+
+    ``read(i, lo, hi)`` returns value ``i``'s bytes, where [lo, hi) are
+    its absolute offsets in the UNCOMPRESSED blob; only the 65536-value
+    block containing ``i`` is decompressed, with a small LRU of hot
+    blocks (reference: columnstore2 block reads, columnstore2.hpp:208)."""
+
+    def __init__(
+        self,
+        comp: bytes,  # concatenated compressed blocks
+        block_offs: np.ndarray,  # u64 [nb+1] into ``comp``
+        offsets: np.ndarray,  # u64 [n+1] absolute uncompressed offsets
+        codec,
+        nvals: int,
+    ) -> None:
+        self._comp = comp
+        self._boffs = block_offs
+        self._offsets = offsets
+        self._codec = codec
+        self._nvals = nvals
+        self._cache: "OrderedDict[int, bytes]" = OrderedDict()
+
+    def _block(self, b: int) -> bytes:
+        blk = self._cache.get(b)
+        if blk is None:
+            lo, hi = int(self._boffs[b]), int(self._boffs[b + 1])
+            blk = self._codec.decompress(bytes(self._comp[lo:hi]))
+            self._cache[b] = blk
+            while len(self._cache) > _BLOCK_CACHE:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(b)
+        return blk
+
+    def read(self, i: int, lo: int, hi: int) -> bytes:
+        b = i >> _BLOCK_SHIFT
+        base = int(self._offsets[b << _BLOCK_SHIFT])
+        return self._block(b)[lo - base : hi - base]
+
+    def tobytes(self) -> bytes:
+        """The whole uncompressed blob (merge/convert path)."""
+        return b"".join(
+            self._block(b) for b in range(len(self._boffs) - 1)
+        )
+
+
+def split_column_blocks(offsets: np.ndarray, blob: bytes, codec):
+    """(concatenated compressed blocks, block_offs u64 [nb+1]) for the
+    v6 write path: one compressed chunk per 65536 values."""
+    n = len(offsets) - 1
+    nb = max(1, -(-n // COLUMN_BLOCK))
+    parts = []
+    boffs = np.zeros(nb + 1, np.uint64)
+    for b in range(nb):
+        lo = int(offsets[b << _BLOCK_SHIFT])
+        hi = int(offsets[min((b + 1) << _BLOCK_SHIFT, n)])
+        part = codec.compress(blob[lo:hi])
+        parts.append(part)
+        boffs[b + 1] = boffs[b] + len(part)
+    return b"".join(parts), boffs
 
 
 @dataclass
@@ -28,6 +100,20 @@ class Column:
     offsets: Optional[np.ndarray]  # u64 [n+1], None for mask
     blob: bytes
     num_docs: int
+    # format v6: per-block lazily-decompressed payloads (blob stays b"")
+    blocks: Optional[ColumnBlocks] = None
+
+    def _value(self, i: int) -> bytes:
+        lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
+        if self.blocks is not None:
+            return self.blocks.read(i, lo, hi)
+        return bytes(self.blob[lo:hi])
+
+    def full_blob(self) -> bytes:
+        """Whole uncompressed payload (merge/convert path)."""
+        if self.blocks is not None:
+            return self.blocks.tobytes()
+        return bytes(self.blob)
 
     @property
     def size(self) -> int:
@@ -52,28 +138,24 @@ class Column:
         if self.kind == "dense":
             if not (0 <= doc < self.num_docs):
                 return None
-            lo, hi = int(self.offsets[doc]), int(self.offsets[doc + 1])
-            return self.blob[lo:hi]
+            return self._value(doc)
         i = int(np.searchsorted(self.docs, doc))
         if i >= len(self.docs) or self.docs[i] != doc:
             return None
         if self.kind == "mask":
             return b""
-        lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
-        return self.blob[lo:hi]
+        return self._value(i)
 
     def items(self) -> Iterator[Tuple[int, bytes]]:
         if self.kind == "dense":
             for d in range(self.num_docs):
-                lo, hi = int(self.offsets[d]), int(self.offsets[d + 1])
-                yield d, self.blob[lo:hi]
+                yield d, self._value(d)
         elif self.kind == "mask":
             for d in self.docs:
                 yield int(d), b""
         else:
             for i, d in enumerate(self.docs):
-                lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
-                yield int(d), self.blob[lo:hi]
+                yield int(d), self._value(i)
 
 
 class ColumnBuilder:
@@ -140,7 +222,7 @@ def column_parts(
     total = int(lens.sum())
     if total == 0:
         return new_docs, lens, b""
-    blob_arr = np.frombuffer(col.blob, np.uint8)
+    blob_arr = np.frombuffer(col.full_blob(), np.uint8)
     within = np.arange(total, dtype=np.int64) - np.repeat(
         np.cumsum(lens) - lens, lens
     )

@@ -92,6 +92,23 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
     if len(sel) == 0:
         return None
     if len(sel) > DENSE_MAX_TERMS:
+        # no silent caps: terms past the budget fall back to the sparse
+        # tiers — record how much grid coverage was dropped
+        from iresearch_tpu.utils import log
+        from iresearch_tpu.utils.metrics import registry
+
+        dropped = len(sel) - DENSE_MAX_TERMS
+        registry().counter(
+            "irs_dense_terms_dropped",
+            dropped,
+            help_="dense-grid-eligible terms past DENSE_MAX_TERMS "
+            "(served from sparse tiers instead)",
+        )
+        log.info(
+            "dense cache cap: %d of %d eligible terms kept "
+            "(IRS DENSE_MAX_TERMS=%d)", DENSE_MAX_TERMS, len(sel),
+            DENSE_MAX_TERMS,
+        )
         sel = sel[np.argsort(-df[sel], kind="stable")[:DENSE_MAX_TERMS]]
         sel.sort()
     ndrows = nd_pad // BLOCK

@@ -46,9 +46,14 @@ from iresearch_tpu.store.blobpack import BlobPackReader, BlobPackWriter
 FORMAT_V3 = "iresearch_tpu/3"
 FORMAT_V4 = "iresearch_tpu/4"
 FORMAT_V5 = "iresearch_tpu/5"
-CURRENT_FORMAT = FORMAT_V5
-READABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5}
-WRITABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5}
+# v6: columns are compressed in 65536-value blocks (columnstore.py:
+# ColumnBlocks) so stored-field point reads decompress one block, never
+# the whole column (reference: columnstore2.hpp:83,208-219). Postings
+# layout identical to v5.
+FORMAT_V6 = "iresearch_tpu/6"
+CURRENT_FORMAT = FORMAT_V6
+READABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6}
+WRITABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6}
 
 
 def write_segment(
@@ -84,7 +89,7 @@ def write_segment(
             w.add(f"{key}.entries", fp.entries[:, :NUM_TERM_COLS_V3])
             if fp.has_positions:
                 w.add(f"{key}.pos", fp.positions_flat())
-        elif version == FORMAT_V4:
+        elif version == FORMAT_V4:  # noqa: SIM114 — layout families
             w.add(f"{key}.entries", fp.entries[:, :NUM_TERM_COLS_V4])
             if fp.has_positions:
                 for c in range(NUM_CLASSES):
@@ -115,15 +120,32 @@ def write_segment(
         key = f"c.{cname}"
         # stored-value payloads are compressed; postings pools are not
         # (reference: lz4 on the columnstore only, columnstore2.cpp)
-        meta["columns"][cname] = {"kind": col.kind, "codec": codec.name}
+        cmeta = {"kind": col.kind, "codec": codec.name}
         if col.docs is not None:
             w.add(f"{key}.docs", col.docs)
         if col.offsets is not None:
             w.add(f"{key}.offsets", col.offsets)
-        w.add(
-            f"{key}.blob",
-            np.frombuffer(codec.compress(col.blob), np.uint8),
-        )
+        blob = col.full_blob()
+        if (
+            version == FORMAT_V6
+            and codec.name != "none"
+            and col.offsets is not None
+            and len(blob)
+        ):
+            # 65536-value compression blocks: point reads decompress one
+            # block (columnstore.py:ColumnBlocks)
+            from iresearch_tpu.formats.columnstore import split_column_blocks
+
+            comp, boffs = split_column_blocks(col.offsets, blob, codec)
+            cmeta["blocked"] = True
+            w.add(f"{key}.cblocks", np.frombuffer(comp, np.uint8))
+            w.add(f"{key}.cboffs", boffs)
+        else:
+            w.add(
+                f"{key}.blob",
+                np.frombuffer(codec.compress(blob), np.uint8),
+            )
+        meta["columns"][cname] = cmeta
     w.set_meta("segment", meta)
     return w.tobytes()
 
@@ -153,10 +175,17 @@ def _read_field_positions(r, key: str, entries: np.ndarray, fmt: str):
     return entries, pools
 
 
-def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
+def read_segment(data, verify: bool = True) -> "SegmentData":  # noqa: F821
+    """Open a segment over ``data`` (bytes or an mmap-backed buffer).
+
+    Every pool is a zero-copy view into ``data``: with an mmap buffer
+    (store/directory.py:MMapDirectory) the host pages fields in on first
+    touch — the reference's mmap_directory + IOAdvice semantics
+    (mmap_directory.hpp:33). ``verify=False`` skips the whole-file CRC
+    (which would fault in every page, defeating lazy opens)."""
     from iresearch_tpu.index.segment import SegmentData
 
-    r = BlobPackReader(data)
+    r = BlobPackReader(data, verify=verify)
     meta = r.meta["segment"]
     fmt = meta.get("format")
     if fmt not in READABLE_FORMATS:
@@ -204,11 +233,40 @@ def read_segment(data: bytes) -> "SegmentData":  # noqa: F821
     for cname, cm in meta["columns"].items():
         key = f"c.{cname}"
         codec = get_compressor(cm.get("codec", "none"))
+        docs = r.array(f"{key}.docs") if f"{key}.docs" in r else None
+        offsets = (
+            r.array(f"{key}.offsets") if f"{key}.offsets" in r else None
+        )
+        if cm.get("blocked"):
+            from iresearch_tpu.formats.columnstore import ColumnBlocks
+
+            columns[cname] = Column(
+                kind=cm["kind"],
+                docs=docs,
+                offsets=offsets,
+                blob=b"",
+                num_docs=meta["num_docs"],
+                blocks=ColumnBlocks(
+                    r.array(f"{key}.cblocks"),
+                    r.array(f"{key}.cboffs"),
+                    offsets,
+                    codec,
+                    len(offsets) - 1,
+                ),
+            )
+            continue
         columns[cname] = Column(
             kind=cm["kind"],
-            docs=r.array(f"{key}.docs") if f"{key}.docs" in r else None,
-            offsets=r.array(f"{key}.offsets") if f"{key}.offsets" in r else None,
-            blob=codec.decompress(r.array(f"{key}.blob").tobytes()),
+            docs=docs,
+            offsets=offsets,
+            blob=(
+                codec.decompress(r.array(f"{key}.blob").tobytes())
+                if codec.name != "none"
+                # uncompressed payloads stay zero-copy views (lazy pages)
+                else r.array(f"{key}.blob").tobytes()
+                if isinstance(data, bytes)
+                else memoryview(r.array(f"{key}.blob"))
+            ),
             num_docs=meta["num_docs"],
         )
     return SegmentData(num_docs=meta["num_docs"], fields=fields, columns=columns)

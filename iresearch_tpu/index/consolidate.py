@@ -68,7 +68,12 @@ def _segment_bytes(sr) -> int:
         if fp.pos_words is not None:
             total += sum(a.nbytes for a in fp.pos_words)
     for cname in sr.column_names():
-        total += len(sr.column(cname).blob)
+        col = sr.column(cname)
+        # v6 blocked columns keep blob=b""; offsets[-1] = uncompressed size
+        total += (
+            int(col.offsets[-1]) if col.offsets is not None and len(col.offsets)
+            else len(col.blob)
+        )
     live = sr.live_docs_count / sr.num_docs if sr.num_docs else 1.0
     return max(1, int(total * live))
 

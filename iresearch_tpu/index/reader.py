@@ -117,6 +117,10 @@ class ReaderOptions:
 
     read_doc_masks: bool = True
     preload_fields: tuple = ()  # field names to upload to device at open
+    # None = verify whole-file CRCs unless the directory serves mapped
+    # (lazily-paged) buffers, where a full CRC would fault in every page
+    # (reference: mmap opens skip footer scans; IOAdvice READONCE)
+    verify_checksums: Optional[bool] = None
 
 
 class DirectoryReader:
@@ -142,9 +146,14 @@ class DirectoryReader:
     ) -> "DirectoryReader":
         options = options or ReaderOptions()
         meta = read_meta(directory)
+        verify = options.verify_checksums
+        if verify is None:
+            verify = not directory.mapped_reads
         segs = []
         for info in meta.segments:
-            data = read_segment(directory.read(info.file))
+            data = read_segment(
+                directory.read_mapped(info.file), verify=verify
+            )
             mask = _read_mask(directory, info) if options.read_doc_masks else None
             segs.append(SegmentReader(info.name, data, mask))
         r = DirectoryReader(directory, meta, segs, options)
@@ -169,14 +178,19 @@ class DirectoryReader:
             (info.name, info.del_gen): sr
             for info, sr in zip(self.meta.segments, self.segments)
         }
+        verify = self.options.verify_checksums
+        if verify is None:
+            verify = not self._dir.mapped_reads
         segs = []
         for info in meta.segments:
             sr = existing.get((info.name, info.del_gen))
             if sr is None:
-                data = read_segment(self._dir.read(info.file))
+                data = read_segment(
+                    self._dir.read_mapped(info.file), verify=verify
+                )
                 sr = SegmentReader(info.name, data, _read_mask(self._dir, info))
             segs.append(sr)
-        return DirectoryReader(self._dir, meta, segs)
+        return DirectoryReader(self._dir, meta, segs, self.options)
 
     # --- aggregate stats ----------------------------------------------
 

@@ -94,7 +94,7 @@ class IndexWriterOptions:
     invert_backend: str = "auto"  # 'device' | 'numpy' | 'auto'
     keep_positions: bool = True
     column_compression: str = "none"  # stored-values codec (none | zlib | lz4)
-    format_version: str = "iresearch_tpu/5"  # on-disk segment format to write
+    format_version: str = "iresearch_tpu/6"  # on-disk segment format to write
     sort: Optional[SortSpec] = None  # primary sort (None = insertion order)
 
 
@@ -230,6 +230,47 @@ class _PendingSegment:
                     cb = self.columns[f.name] = ColumnBuilder(f.name)
                 cb.add(doc, _stored_bytes(f.value))
         return doc
+
+    def absorb(self, other: "_PendingSegment", ticks: List[int]) -> None:
+        """Merge another pending segment (a transaction context) into this
+        one: shift doc ids, remap term ids through this segment's term
+        dictionaries (vectorized per field), append token streams. Both
+        sides arrive doc-ordered, and every absorbed doc id exceeds every
+        existing one, so stream order invariants hold by construction."""
+        base = self.num_docs
+        self.num_docs += other.num_docs
+        self.ticks.extend(ticks)
+        self.approx_tokens += other.approx_tokens
+        for name, opf in other.fields.items():
+            pf = self.fields.get(name)
+            if pf is None:
+                pf = self.fields[name] = _PendingField()
+            pf.features |= opf.features
+            pf.feature_columns |= opf.feature_columns
+            tid_map = pf.terms.merge_from(opf.terms)
+            for tids, doc, base_pos in opf.chunks:
+                pf.chunks.append(
+                    (tid_map[tids].astype(np.int32), doc + base, base_pos)
+                )
+            if opf.tok_tid:
+                pf.tok_tid.extend(
+                    tid_map[np.asarray(opf.tok_tid, np.int64)].tolist()
+                )
+                pf.tok_doc.extend(
+                    (np.asarray(opf.tok_doc, np.int64) + base).tolist()
+                )
+                pf.tok_pos.extend(opf.tok_pos)
+                pf.tok_ostart.extend(opf.tok_ostart)
+                pf.tok_oend.extend(opf.tok_oend)
+                pf.tok_pay.extend(opf.tok_pay)
+            for d, p in opf.doc_pos.items():
+                pf.doc_pos[d + base] = p
+        for name, ocb in other.columns.items():
+            cb = self.columns.get(name)
+            if cb is None:
+                cb = self.columns[name] = ColumnBuilder(name)
+            for doc, chunk in zip(ocb._docs, ocb._chunks):
+                cb.add(doc + base, chunk)
 
     def _sort_doc_map(self, spec: "SortSpec") -> Optional[np.ndarray]:
         """old->new doc id map for the primary sort, or None (no-op)."""
@@ -379,16 +420,26 @@ class _PendingSegment:
 
 class Transaction:
     """A batch of Insert/Remove/Replace operations
-    (reference: IndexWriter::Transaction, index_writer.hpp:346-430)."""
+    (reference: IndexWriter::Transaction, index_writer.hpp:346-430).
+
+    Each transaction owns a private _PendingSegment — the SegmentContext
+    pool analog (index_writer.hpp:183,232): ``insert`` tokenizes and
+    builds the term dictionary HERE, outside any writer lock, so N
+    concurrent transactions analyze in parallel; ``register`` merges the
+    pre-tokenized streams under the ingest mutex with a vectorized tid
+    remap (reference: concurrent SegmentContexts flushed by tick,
+    utils/index-put.cpp:456-560)."""
 
     def __init__(self, writer: "IndexWriter") -> None:
         self._writer = writer
-        self._ops: List = []
+        self._seg = _PendingSegment()
+        self._ops: List = []  # ("insert", local_doc) | ("remove", filter)
         self._open = True
 
     def insert(self, fields: Sequence[Field]) -> None:
         assert self._open
-        self._ops.append(("insert", list(fields)))
+        doc = self._seg.add_doc(list(fields), 0, self._writer._analyzer)
+        self._ops.append(("insert", doc))
 
     def remove(self, filter_) -> None:
         assert self._open
@@ -397,19 +448,21 @@ class Transaction:
     def replace(self, filter_, fields: Sequence[Field]) -> None:
         """Atomic remove+insert (the insert is not visible to the remove)."""
         assert self._open
-        self._ops.append(("remove", filter_))
-        self._ops.append(("insert", list(fields)))
+        self.remove(filter_)
+        self.insert(fields)
 
     def register(self) -> None:
         """Publish this batch into the writer's pending state."""
         if not self._open:
             return
         self._open = False
-        self._writer._register_batch(self._ops)
+        self._writer._register_batch(self._seg, self._ops)
+        self._seg = None
 
     def rollback(self) -> None:
         self._open = False
         self._ops = []
+        self._seg = None
 
     def __enter__(self) -> "Transaction":
         return self
@@ -461,16 +514,28 @@ class IndexWriter:
             self._analyzer_cache[spec] = a
         return a
 
-    def _register_batch(self, ops: List) -> None:
+    def _register_batch(self, tx_seg: "_PendingSegment", ops: List) -> None:
+        """Merge a transaction's pre-tokenized segment under the ingest
+        mutex. The mutex covers only tick assignment and the vectorized
+        tid remap/append — tokenization already happened in the
+        transaction (reference: SegmentContext pool, index_writer.hpp:183)."""
         with self._mutex:
+            doc_ticks: List[int] = []
             for kind, payload in ops:
                 self._tick += 1
                 if kind == "insert":
-                    self._pending.add_doc(payload, self._tick, self._analyzer)
-                    if self._pending.num_docs >= self._opts.segment_docs_max:
-                        self._roll_segment_locked()
+                    doc_ticks.append(self._tick)
                 else:
                     self._removes.append((self._tick, payload))
+            if tx_seg.num_docs:
+                if self._pending.num_docs == 0:
+                    # common bulk-load shape: adopt the whole context
+                    tx_seg.ticks = doc_ticks
+                    self._pending = tx_seg
+                else:
+                    self._pending.absorb(tx_seg, doc_ticks)
+                if self._pending.num_docs >= self._opts.segment_docs_max:
+                    self._roll_segment_locked()
 
     def _roll_segment_locked(self) -> None:
         """Seal the in-progress segment — a pointer swap only. The

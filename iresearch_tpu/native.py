@@ -91,6 +91,15 @@ def load() -> Optional[ctypes.CDLL]:
         ]
         lib.irs_termdict_bytes.restype = ctypes.c_int64
         lib.irs_termdict_bytes.argtypes = [ctypes.c_void_p]
+        try:
+            lib.irs_termdict_merge.restype = ctypes.c_int32
+            lib.irs_termdict_merge.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ]
+        except AttributeError:
+            pass
         lib.irs_termdict_dump.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
@@ -106,6 +115,20 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        # UTF-8 tokenizer (older .so builds lack it: rebuild, else skip)
+        try:
+            lib.irs_tokenize_to_tids_utf8.restype = ctypes.c_int32
+            lib.irs_tokenize_to_tids_utf8.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+        except AttributeError:
+            lib.irs_tokenize_to_tids_utf8 = None
         _lib = lib
         return _lib
 
@@ -208,25 +231,51 @@ class TermDict:
     def tokenize_to_tids(
         self, text: str, case: str, word_break: str
     ) -> Optional[np.ndarray]:
-        """Token term-ids (i32) for ASCII text, or None -> caller falls
-        back to per-token add()."""
+        """Token term-ids (i32) for arbitrary Unicode text (UTF-8 C++
+        tokenizer, table-matched to the Python analyzers), or None ->
+        caller falls back to per-token add() (native lib missing,
+        malformed input, or case-complex code points)."""
         if self._h is None:
             return None
-        try:
-            raw = text.encode("ascii")
-        except UnicodeEncodeError:
-            return None
+        fn = getattr(self._lib, "irs_tokenize_to_tids_utf8", None)
+        raw = text.encode("utf-8")
+        if fn is None:  # old .so: ASCII only
+            try:
+                text.encode("ascii")
+            except UnicodeEncodeError:
+                return None
+            fn = self._lib.irs_tokenize_to_tids
+            buf = ctypes.create_string_buffer(raw, len(raw))
+        else:
+            buf = raw
         cap = max(8, len(raw) // 2 + 1)
         if cap > len(self._scratch):
             self._scratch = (ctypes.c_int32 * (2 * cap))()
-        buf = ctypes.create_string_buffer(raw, len(raw))
-        n = self._lib.irs_tokenize_to_tids(
+        n = fn(
             self._h, buf, len(raw), _CASE[case], _BREAK[word_break],
             self._scratch, cap,
         )
         if n < 0:
             return None
         return np.frombuffer(self._scratch, dtype=np.int32, count=n).copy()
+
+    def merge_from(self, other: "TermDict") -> np.ndarray:
+        """Add every term of ``other`` to this dict; returns the int64
+        other_id -> this_id map (ONE native call — the register-time
+        remap of a transaction's private term dictionary)."""
+        n = len(other)
+        out = np.empty(max(1, n), np.int32)
+        if (
+            self._h is not None
+            and other._h is not None
+            and getattr(self._lib, "irs_termdict_merge", None) is not None
+        ):
+            self._lib.irs_termdict_merge(self._h, other._h, out)
+            return out[:n].astype(np.int64)
+        terms = other.terms()
+        return np.fromiter(
+            (self.add(t) for t in terms), np.int64, count=len(terms)
+        )
 
     def terms(self) -> list:
         """All terms in id order."""

@@ -224,6 +224,14 @@ def _sample(
     """
     if len(hits) <= limit:
         return hits, []
+    from iresearch_tpu.utils.metrics import registry
+
+    registry().counter(
+        "irs_scored_terms_truncated",
+        len(hits) - limit,
+        help_="multiterm expansions past scored_terms_limit "
+        "(matched but unscored, limited_sample_collector semantics)",
+    )
     order = sorted(
         range(len(hits)), key=lambda i: (hits[i].df, i), reverse=True
     )
@@ -414,6 +422,14 @@ def _expand_ranges(
     if ntot <= limit:
         keep = np.arange(ntot)
     else:
+        from iresearch_tpu.utils.metrics import registry
+
+        registry().counter(
+            "irs_scored_terms_truncated",
+            ntot - limit,
+            help_="multiterm expansions past scored_terms_limit "
+            "(matched but unscored, limited_sample_collector semantics)",
+        )
         # top-``limit`` by (df, visit order), ties to the later visit —
         # exactly the _sample() heap order
         idx = np.arange(ntot)

@@ -4,6 +4,7 @@ from iresearch_tpu.store.directory import (
     Directory,
     FSDirectory,
     MemoryDirectory,
+    MMapDirectory,
     IndexLock,
     LockObtainError,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "Directory",
     "FSDirectory",
     "MemoryDirectory",
+    "MMapDirectory",
     "IndexLock",
     "LockObtainError",
     "BlobPackWriter",

@@ -82,6 +82,14 @@ class Directory(ABC):
     def length(self, name: str) -> int:
         return len(self.read(name))
 
+    # lazily-paged reads (reference: mmap_directory.hpp:33 + IOAdvice).
+    # Default: whole-file bytes; MMapDirectory returns an OS-paged buffer
+    # so segment opens touch no data until a pool is first read.
+    mapped_reads = False
+
+    def read_mapped(self, name: str):
+        return self.read(name)
+
     def lock(self, name: str = "write.lock") -> IndexLock:
         handle = self.try_lock(name)
         if handle is None:
@@ -245,6 +253,31 @@ class FSDirectory(Directory):
                 os.close(lfd)
 
         return IndexLock(release)
+
+
+class MMapDirectory(FSDirectory):
+    """mmap-backed reads (reference: mmap_directory.hpp:33).
+
+    ``read_mapped`` returns an OS-paged buffer: opening a segment
+    materializes nothing — pools fault in on first touch, so an index
+    with one queried field loads only that field's pages
+    (data_input.hpp:115 / IOAdvice semantics). Whole-file CRC checks are
+    skipped on mapped opens (they would fault in every page); the
+    blobpack header magic is still validated.
+    """
+
+    mapped_reads = True
+
+    def read_mapped(self, name: str):
+        import mmap as _mmap
+
+        with open(self._full(name), "rb") as f:
+            if os.fstat(f.fileno()).st_size == 0:
+                return b""
+            # the mapping outlives the fd (POSIX)
+            return _mmap.mmap(
+                f.fileno(), 0, access=_mmap.ACCESS_READ
+            )
 
 
 def clean_directory(directory: Directory, referenced: Set[str]) -> List[str]:

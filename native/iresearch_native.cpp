@@ -54,6 +54,18 @@ int32_t irs_termdict_add(void* h, const char* term, int32_t len) {
   return static_cast<TermDict*>(h)->add(std::string_view(term, len));
 }
 
+// merge src's terms into dst (one C call per transaction register):
+// out_map[src_id] = dst_id for every src term. Returns src size.
+// (reference analog: SegmentContext streams merge under the flush
+// mutex, index_writer.cpp:732-760 — the remap is the whole merge here)
+int32_t irs_termdict_merge(void* dst, void* src, int32_t* out_map) {
+  auto* d = static_cast<TermDict*>(dst);
+  auto* s = static_cast<TermDict*>(src);
+  const int32_t n = static_cast<int32_t>(s->terms.size());
+  for (int32_t i = 0; i < n; ++i) out_map[i] = d->add(s->terms[i]);
+  return n;
+}
+
 // total bytes of all terms (for dump buffer sizing)
 int64_t irs_termdict_bytes(void* h) {
   int64_t total = 0;
@@ -185,6 +197,134 @@ int32_t irs_tokenize_to_tids(void* h, char* text, int32_t len,
       if (!ok) continue;
     }
     tids_out[n++] = dict->add(std::string_view(text + start, end - start));
+  }
+  return n;
+}
+
+// ---- UTF-8 tokenizer ------------------------------------------------
+// Unicode property tables generated at build time FROM the Python
+// runtime (gen_unicode_tables.py), so token output is byte-identical to
+// the Python segmentation analyzer's regex-\w / isalpha / lower()
+// semantics by construction (reference: segmentation_token_stream.cpp
+// uses ICU; here the table is the contract).
+#include "unicode_tables.inc"
+
+static inline uint8_t u_flags(uint32_t cp) {
+  if (cp >= 0x110000u) return 0;
+  return u_flag_data[u_flag_index[cp >> 8]][cp & 0xFF];
+}
+static inline int32_t u_lower_delta(uint32_t cp) {
+  return u_lower_data[u_lower_index[cp >> 8]][cp & 0xFF];
+}
+static inline int32_t u_upper_delta(uint32_t cp) {
+  return u_upper_data[u_upper_index[cp >> 8]][cp & 0xFF];
+}
+
+// decode one UTF-8 code point at text[i]; returns cp or UINT32_MAX on
+// malformed input; advances i past the sequence
+static inline uint32_t u8_next(const unsigned char* t, int32_t len,
+                               int32_t& i) {
+  const unsigned char c = t[i];
+  if (c < 0x80) { ++i; return c; }
+  int32_t n;
+  uint32_t cp;
+  if ((c >> 5) == 0x6) { n = 1; cp = c & 0x1F; }
+  else if ((c >> 4) == 0xE) { n = 2; cp = c & 0x0F; }
+  else if ((c >> 3) == 0x1E) { n = 3; cp = c & 0x07; }
+  else { return 0xFFFFFFFFu; }
+  if (i + n >= len) return 0xFFFFFFFFu;  // truncated sequence
+  for (int32_t k = 1; k <= n; ++k) {
+    const unsigned char cc = t[i + k];
+    if ((cc >> 6) != 0x2) return 0xFFFFFFFFu;
+    cp = (cp << 6) | (cc & 0x3F);
+  }
+  i += n + 1;
+  if (cp >= 0x110000u || (cp >= 0xD800u && cp <= 0xDFFFu)) return 0xFFFFFFFFu;
+  return cp;
+}
+
+static inline int32_t u8_emit(uint32_t cp, char* out) {
+  if (cp < 0x80) { out[0] = static_cast<char>(cp); return 1; }
+  if (cp < 0x800) {
+    out[0] = static_cast<char>(0xC0 | (cp >> 6));
+    out[1] = static_cast<char>(0x80 | (cp & 0x3F));
+    return 2;
+  }
+  if (cp < 0x10000) {
+    out[0] = static_cast<char>(0xE0 | (cp >> 12));
+    out[1] = static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+    out[2] = static_cast<char>(0x80 | (cp & 0x3F));
+    return 3;
+  }
+  out[0] = static_cast<char>(0xF0 | (cp >> 18));
+  out[1] = static_cast<char>(0x80 | ((cp >> 12) & 0x3F));
+  out[2] = static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+  out[3] = static_cast<char>(0x80 | (cp & 0x3F));
+  return 4;
+}
+
+// UTF-8 tokenize + term-id lookup: the full write-path inner loop for
+// arbitrary Unicode text. Returns token count, or -1 when the text needs
+// the Python fallback (malformed UTF-8, or a case-complex code point
+// like sharp-s / final-sigma under lower/upper folding).
+int32_t irs_tokenize_to_tids_utf8(void* h, const char* text, int32_t len,
+                                  int32_t case_mode, int32_t word_break,
+                                  int32_t* tids_out, int32_t cap) {
+  auto* dict = static_cast<TermDict*>(h);
+  const unsigned char* t = reinterpret_cast<const unsigned char*>(text);
+  // ASCII fast path: identical semantics, no decode
+  bool ascii = true;
+  for (int32_t i = 0; i < len; ++i) {
+    if (t[i] >= 0x80) { ascii = false; break; }
+  }
+  if (ascii) {
+    std::string copy(text, len);  // the ASCII path folds case in place
+    return irs_tokenize_to_tids(h, copy.data(), len, case_mode, word_break,
+                                tids_out, cap);
+  }
+  std::vector<uint32_t> cps;
+  cps.reserve(len);
+  int32_t i = 0;
+  while (i < len) {
+    uint32_t cp = u8_next(t, len, i);
+    if (cp == 0xFFFFFFFFu) return -1;
+    cps.push_back(cp);
+  }
+  const int32_t n_cps = static_cast<int32_t>(cps.size());
+  std::string tok;
+  int32_t n = 0;
+  int32_t j = 0;
+  auto is_word = [](uint32_t cp) {
+    return (u_flags(cp) & 1) != 0 || cp == '\'';
+  };
+  while (j < n_cps && n < cap) {
+    while (j < n_cps && !is_word(cps[j])) ++j;
+    if (j >= n_cps) break;
+    int32_t start = j;
+    while (j < n_cps && is_word(cps[j])) ++j;
+    int32_t end = j;
+    while (start < end && cps[start] == '\'') ++start;
+    while (end > start && cps[end - 1] == '\'') --end;
+    if (start >= end) continue;
+    if (word_break == 0) {  // alpha: need a letter or digit
+      bool ok = false;
+      for (int32_t k = start; k < end && !ok; ++k)
+        ok = (u_flags(cps[k]) & 6) != 0;
+      if (!ok) continue;
+    }
+    tok.clear();
+    char buf4[4];
+    for (int32_t k = start; k < end; ++k) {
+      uint32_t cp = cps[k];
+      if (case_mode != 1) {
+        if (u_flags(cp) & 8) return -1;  // case-complex: Python fallback
+        cp = static_cast<uint32_t>(
+            static_cast<int64_t>(cp) +
+            (case_mode == 0 ? u_lower_delta(cp) : u_upper_delta(cp)));
+      }
+      tok.append(buf4, u8_emit(cp, buf4));
+    }
+    tids_out[n++] = dict->add(tok);
   }
   return n;
 }

@@ -13,6 +13,7 @@ from iresearch_tpu.formats.segment_io import (
     FORMAT_V3,
     FORMAT_V4,
     FORMAT_V5,
+    FORMAT_V6,
     read_segment,
     write_segment,
 )
@@ -49,7 +50,7 @@ QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4, FORMAT_V5])
+@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6])
 def test_write_read_search(version):
     reader = _build(MemoryDirectory(), version)
     ref = _build(MemoryDirectory(), FORMAT_V5)
@@ -57,7 +58,7 @@ def test_write_read_search(version):
         assert host_search(reader, q, k=20) == host_search(ref, q, k=20)
 
 
-@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4, FORMAT_V5])
+@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6])
 def test_segment_roundtrip_positions(version):
     reader = _build(MemoryDirectory(), FORMAT_V5)
     seg = reader.segments[0].data
@@ -88,7 +89,9 @@ def test_unknown_format_rejected(monkeypatch):
 @pytest.mark.parametrize(
     "src,dst", [(FORMAT_V3, FORMAT_V4), (FORMAT_V4, FORMAT_V3),
      (FORMAT_V4, FORMAT_V5), (FORMAT_V5, FORMAT_V4),
-     (FORMAT_V3, FORMAT_V5), (FORMAT_V5, FORMAT_V3)]
+     (FORMAT_V3, FORMAT_V5), (FORMAT_V5, FORMAT_V3),
+     (FORMAT_V5, FORMAT_V6), (FORMAT_V6, FORMAT_V5),
+     (FORMAT_V3, FORMAT_V6), (FORMAT_V6, FORMAT_V3)]
 )
 def test_convert_cli_both_directions(tmp_path, src, dst):
     from iresearch_tpu.cli.index_convert import main as convert_main

@@ -159,3 +159,52 @@ def test_index_identical_native_vs_python(lib, monkeypatch):
         h1 = search(r_native, flt, k=10)
         h2 = search(r_python, flt, k=10)
         assert h1 == h2, (flt, h1, h2)
+
+
+def test_utf8_bulk_tids_matches_python():
+    """The native UTF-8 tokenizer must be byte-identical to the Python
+    segmentation analyzer (tables generated from the same runtime)."""
+    from iresearch_tpu.analysis import get as get_analyzer
+    from iresearch_tpu.native import TermDict, load
+
+    if load() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    texts = [
+        "Grüße aus München — Äpfel und Öl!",
+        "naïve café déjà-vu; Россия Москва 2024",
+        "日本語のテキストと English words mixed",
+        "O'Neill's 'quoted' l'été d'accord",
+        "ελληνικά ΚΕΙΜΕΝΟ",  # plain sigma only
+        "数字123と半角ｶﾅ",
+        "çağrı ÇAĞRI ıspanak İstanbul",
+    ]
+    for case in ("lower", "none", "upper"):
+        an = get_analyzer("segmentation")
+        an._case = case
+        for text in texts:
+            td = TermDict()
+            tids = td.tokenize_to_tids(text, case, "alpha")
+            want = [t.term for t in an.tokenize(text)]
+            if tids is None:
+                continue  # fallback allowed (case-complex cps)
+            terms = td.terms()
+            got = [terms[i] for i in tids]
+            assert got == want, (case, text, got, want)
+
+
+def test_utf8_case_complex_falls_back():
+    from iresearch_tpu.native import TermDict, load
+
+    if load() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    td = TermDict()
+    # ß upper-cases to SS (multi-char) and final sigma is context-
+    # sensitive: both must fall back under folding, not mis-tokenize
+    assert td.tokenize_to_tids("straße ΣΟΦΟΣ", "lower", "alpha") is None
+    # but pass through untouched with case=none
+    out = td.tokenize_to_tids("straße ΣΟΦΟΣ", "none", "alpha")
+    assert out is not None and len(out) == 2

@@ -80,10 +80,10 @@ def test_fallback_beyond_guard(reader):
     sr = reader.segments[0]
     flt = F.ByPrefix("body", "p_", scored_terms_limit=2)
     dq = DeviceQuery(flt, [sr], BM25())
-    p_full = dq.plan_for_k(0, 200)  # > guard: full plan required
-    assert p_full.scored_only_kmax == 0
-    # full plan carries more rows than the scored-only plan
     p_so = dq.plan(0)
+    assert p_so.scored_only_kmax > 0  # = max scored df
+    p_full = dq.plan_for_k(0, p_so.scored_only_kmax + 1)  # beyond the bound
+    assert p_full.scored_only_kmax == 0
     rows_full = sum(len(g.rows_d) for g in p_full.groups)
     rows_so = sum(len(g.rows_d) for g in p_so.groups)
     assert rows_full > rows_so or len(p_full.groups) > len(p_so.groups)
