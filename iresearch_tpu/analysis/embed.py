@@ -48,6 +48,47 @@ def _fnv1a(data: bytes) -> int:
     return int(h)
 
 
+def _ft_hash(data: bytes) -> int:
+    """fastText's FNV-1a 32-bit with SIGNED char extension (fastText
+    Dictionary::hash — the quirk matters for bytes >= 0x80)."""
+    h = 2166136261
+    for b in data:
+        if b >= 0x80:
+            b -= 256  # int8_t cast
+        h = (h ^ (b & 0xFFFFFFFF)) & 0xFFFFFFFF
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def _ft_subword_hashes(
+    word: bytes, minn: int, maxn: int, bucket: int
+) -> List[int]:
+    """fastText Dictionary::computeSubwords: character-boundary ngrams of
+    "<word>" hashed into [0, bucket) — byte-exact with the reference's
+    vendored fastText (external/fastText)."""
+    w = b"<" + word + b">"
+    out = []
+    size = len(w)
+    i = 0
+    while i < size:
+        if (w[i] & 0xC0) == 0x80:
+            i += 1
+            continue
+        ngram = bytearray()
+        j, n = i, 1
+        while j < size and n <= maxn:
+            ngram.append(w[j])
+            j += 1
+            while j < size and (w[j] & 0xC0) == 0x80:
+                ngram.append(w[j])
+                j += 1
+            if n >= minn and not (n == 1 and (i == 0 or j == size)):
+                out.append(_ft_hash(bytes(ngram)) % bucket)
+            n += 1
+        i += 1
+    return out
+
+
 def _subword_ngrams(word: bytes, minn: int, maxn: int) -> List[bytes]:
     """Character ngrams of <word> with boundary markers, fastText-style."""
     w = b"<" + word + b">"
@@ -72,6 +113,7 @@ class EmbeddingModel:
         minn: int = 3,
         maxn: int = 5,
         buckets: int = 1 << 17,
+        hash_kind: str = "fnv64",  # "fnv64" (native) | "ft32" (.bin models)
     ) -> None:
         self.vocab = vocab
         self.index: Dict[bytes, int] = {w: i for i, w in enumerate(vocab)}
@@ -83,6 +125,7 @@ class EmbeddingModel:
         self.minn = minn
         self.maxn = maxn
         self.buckets = buckets
+        self.hash_kind = hash_kind
         self.dim = input_vectors.shape[1]
         # unit-normalized word vectors for nearest-neighbour queries
         v = self.input_vectors[: len(vocab)]
@@ -98,8 +141,16 @@ class EmbeddingModel:
             ids.append(wi)
         V = len(self.vocab)
         if self.minn > 0:
-            for g in _subword_ngrams(word, self.minn, self.maxn):
-                ids.append(V + _fnv1a(g) % self.buckets)
+            if self.hash_kind == "ft32":
+                # pretrained fastText .bin: the model's own hash/subword
+                # scheme must be used or bucket rows are garbage
+                for h in _ft_subword_hashes(
+                    word, self.minn, self.maxn, self.buckets
+                ):
+                    ids.append(V + h)
+            else:
+                for g in _subword_ngrams(word, self.minn, self.maxn):
+                    ids.append(V + _fnv1a(g) % self.buckets)
         return ids
 
     def word_vector(self, word: bytes) -> np.ndarray:
@@ -159,7 +210,15 @@ class EmbeddingModel:
                 if self.label_vectors is not None
                 else np.zeros((0, self.dim), np.float32)
             ),
-            config=np.asarray([self.minn, self.maxn, self.buckets], np.int64),
+            config=np.asarray(
+                [
+                    self.minn,
+                    self.maxn,
+                    self.buckets,
+                    1 if self.hash_kind == "ft32" else 0,
+                ],
+                np.int64,
+            ),
         )
 
     @staticmethod
@@ -169,7 +228,9 @@ class EmbeddingModel:
         z = np.load(path)
         vocab = bytes(z["vocab"]).split(b"\x00") if z["vocab"].size else []
         labels = bytes(z["labels"]).split(b"\x00") if z["labels"].size else []
-        minn, maxn, buckets = (int(x) for x in z["config"])
+        cfg = [int(x) for x in z["config"]]
+        minn, maxn, buckets = cfg[:3]
+        hash_kind = "ft32" if len(cfg) > 3 and cfg[3] else "fnv64"
         lv = z["label_vectors"]
         return EmbeddingModel(
             vocab,
@@ -179,6 +240,89 @@ class EmbeddingModel:
             minn=minn,
             maxn=maxn,
             buckets=buckets,
+            hash_kind=hash_kind,
+        )
+
+
+_FT_MAGIC = 793712314  # fastText FASTTEXT_FILEFORMAT_MAGIC_INT32
+
+
+def load_fasttext_bin(path: str) -> EmbeddingModel:
+    """Load a pretrained fastText ``.bin`` model (the format the
+    reference's classification/nearest_neighbors analyzers consume,
+    classification_stream.hpp:37 via vendored external/fastText).
+
+    Layout (fastText FastText::saveModel, format version 11/12):
+    magic i32, version i32; Args (12 x i32 + f64 t); Dictionary (size,
+    nwords, nlabels i32; ntokens, pruneidx_size i64; entries of
+    null-terminated word + count i64 + type i8; pruneidx pairs);
+    quant flag i8; input matrix (rows i64, cols i64, f32 data);
+    qout flag i8; output matrix. Quantized models are rejected.
+    Predictions use the softmax head; hierarchical-softmax /
+    negative-sampling outputs load but score approximately.
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        magic, version = struct.unpack("<ii", f.read(8))
+        if magic != _FT_MAGIC:
+            raise ValueError(f"{path}: not a fastText .bin model")
+        if version > 12:
+            raise ValueError(f"unsupported fastText format version {version}")
+        (dim, _ws, _epoch, _minc, _neg, _wng, _loss, model_kind, bucket,
+         minn, maxn, _lru) = struct.unpack("<12i", f.read(48))
+        (_t,) = struct.unpack("<d", f.read(8))
+        size, nwords, nlabels = struct.unpack("<3i", f.read(12))
+        _ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
+        words: List[bytes] = []
+        labels: List[bytes] = []
+        buf = f.read()  # the rest; parse with a cursor (faster than 1-byte reads)
+        pos = 0
+        for _ in range(size):
+            end = buf.index(b"\x00", pos)
+            w = buf[pos:end]
+            pos = end + 1
+            _count, etype = struct.unpack_from("<qb", buf, pos)
+            pos += 9
+            if etype == 0:
+                words.append(w)
+            else:
+                labels.append(w)
+        if pruneidx_size > 0:
+            pos += 8 * pruneidx_size  # (i32, i32) pairs
+        quant = buf[pos]
+        pos += 1
+        if quant:
+            raise ValueError("quantized fastText models are not supported")
+        m, n = struct.unpack_from("<2q", buf, pos)
+        pos += 16
+        inp = np.frombuffer(buf, np.float32, count=m * n, offset=pos).reshape(
+            m, n
+        )
+        pos += 4 * m * n
+        qout = buf[pos]
+        pos += 1
+        out_vec = None
+        if not qout:
+            m2, n2 = struct.unpack_from("<2q", buf, pos)
+            pos += 16
+            out_vec = np.frombuffer(
+                buf, np.float32, count=m2 * n2, offset=pos
+            ).reshape(m2, n2)
+        assert len(words) == nwords and len(labels) == nlabels
+        assert n == dim and m == nwords + bucket
+        label_vectors = (
+            out_vec if (model_kind == 3 and out_vec is not None) else None
+        )
+        return EmbeddingModel(
+            words,
+            inp,
+            labels,
+            label_vectors,
+            minn=minn,
+            maxn=maxn,
+            buckets=bucket,
+            hash_kind="ft32",
         )
 
 
@@ -188,7 +332,17 @@ _MODEL_CACHE: Dict[str, EmbeddingModel] = {}
 def load_model(path: str) -> EmbeddingModel:
     m = _MODEL_CACHE.get(path)
     if m is None:
-        m = EmbeddingModel.load(path)
+        is_bin = path.endswith(".bin")
+        if not is_bin and os.path.exists(path):
+            with open(path, "rb") as f:
+                import struct
+
+                head = f.read(4)
+                is_bin = (
+                    len(head) == 4
+                    and struct.unpack("<i", head)[0] == _FT_MAGIC
+                )
+        m = load_fasttext_bin(path) if is_bin else EmbeddingModel.load(path)
         _MODEL_CACHE[path] = m
     return m
 

@@ -73,6 +73,20 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        try:
+            lib.irs_dfa_intersect.restype = ctypes.c_int32
+            lib.irs_dfa_intersect.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ctypes.c_int32,
+            ]
+        except AttributeError:
+            pass
         lib.irs_crc32c.restype = ctypes.c_uint32
         lib.irs_crc32c.argtypes = [
             ctypes.c_char_p,
@@ -186,6 +200,36 @@ def levenshtein_batch(
         out,
     )
     return out
+
+
+def dfa_intersect(
+    blob: bytes,
+    offsets: np.ndarray,  # i64 [T+1] byte offsets into blob
+    lo: int,
+    hi: int,
+    trans: np.ndarray,  # u16 [S, 256], 0xFFFF = dead
+    accept: np.ndarray,  # bool [S]
+) -> Optional[np.ndarray]:
+    """tids in [lo, hi) whose terms the DFA accepts, or None when the
+    native library is unavailable. Incremental-prefix scan with dead-
+    subtree binary-search skipping (the automaton x term-index
+    intersection, automaton_utils.hpp:91-321)."""
+    lib = load()
+    if lib is None or getattr(lib, "irs_dfa_intersect", None) is None:
+        return None
+    cap = max(1, hi - lo)
+    out = np.empty(cap, np.int32)
+    n = lib.irs_dfa_intersect(
+        blob,
+        np.ascontiguousarray(offsets, np.int64),
+        lo,
+        hi,
+        np.ascontiguousarray(trans, np.uint16),
+        np.ascontiguousarray(accept.astype(np.uint8)),
+        out,
+        cap,
+    )
+    return out[:n].copy()
 
 
 def crc32c(data: bytes, seed: int = 0) -> Optional[int]:

@@ -1,0 +1,149 @@
+"""Wildcard pattern -> byte DFA for term-dictionary intersection.
+
+Reference: the wildcard/fuzzy filters compile patterns to UTF-8 byte
+automata and intersect them with the term index so only reachable
+dictionary subtrees are visited (core/utils/wildcard_utils.cpp,
+automaton_utils.hpp:91-321, fst_table_matcher.hpp:40). Here:
+
+* ``%`` (any sequence) — over valid UTF-8 any *byte* sequence, so it is
+  a plain self-loop;
+* ``_`` (exactly one character) — the standard 4-branch UTF-8 byte NFA
+  ([00-7F] | [C2-DF][80-BF] | [E0-EF][80-BF]{2} | [F0-F4][80-BF]{3});
+* literals match their UTF-8 bytes; ``\\`` escapes.
+
+The NFA is determinized by subset construction into dense ``trans
+[S, 256]`` / ``accept [S]`` tables consumed by the native incremental
+dictionary scan (native/iresearch_native.cpp:irs_dfa_intersect), which
+resumes each term's DFA run from its longest common prefix with the
+previous term and binary-searches past dead subtrees — the sorted-array
+analog of the reference's automaton x burst-trie intersection
+(formats_burst_trie.cpp:3139).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, List, Optional, Tuple
+
+import numpy as np
+
+_MAX_DFA_STATES = 4096
+
+
+def _nfa_from_wildcard(pattern: bytes):
+    """(transitions: list per state of (byte_lo, byte_hi, dst), eps:
+    list per state of dst, accept_state). Linear NFA with self-loops
+    for %, 4-branch UTF-8 fragments for _."""
+    trans: List[List[Tuple[int, int, int]]] = [[]]
+    eps: List[List[int]] = [[]]
+
+    def new_state() -> int:
+        trans.append([])
+        eps.append([])
+        return len(trans) - 1
+
+    cur = 0
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            lit = pattern[i + 1]
+            nxt = new_state()
+            trans[cur].append((lit, lit, nxt))
+            cur = nxt
+            i += 2
+            continue
+        if c == b"%":
+            # self-loop over every byte (any sequence)
+            trans[cur].append((0, 255, cur))
+            i += 1
+            continue
+        if c == b"_":
+            end = new_state()
+            # 1-byte char
+            trans[cur].append((0x00, 0x7F, end))
+            # 2-byte: [C2-DF][80-BF]
+            m1 = new_state()
+            trans[cur].append((0xC2, 0xDF, m1))
+            trans[m1].append((0x80, 0xBF, end))
+            # 3-byte: [E0-EF][80-BF]{2}
+            m2 = new_state()
+            m3 = new_state()
+            trans[cur].append((0xE0, 0xEF, m2))
+            trans[m2].append((0x80, 0xBF, m3))
+            trans[m3].append((0x80, 0xBF, end))
+            # 4-byte: [F0-F4][80-BF]{3}
+            m4 = new_state()
+            m5 = new_state()
+            m6 = new_state()
+            trans[cur].append((0xF0, 0xF4, m4))
+            trans[m4].append((0x80, 0xBF, m5))
+            trans[m5].append((0x80, 0xBF, m6))
+            trans[m6].append((0x80, 0xBF, end))
+            cur = end
+            i += 1
+            continue
+        lit = pattern[i]
+        nxt = new_state()
+        trans[cur].append((lit, lit, nxt))
+        cur = nxt
+        i += 1
+    return trans, eps, cur
+
+
+def wildcard_dfa(pattern: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(trans u16 [S, 256] with 0xFFFF = dead, accept bool [S]) for a
+    ``%``/``_`` wildcard, start state 0; None if the determinization
+    exceeds the state budget (caller falls back to regex)."""
+    nfa_trans, _eps, acc = _nfa_from_wildcard(pattern)
+
+    start: FrozenSet[int] = frozenset([0])
+    index: Dict[FrozenSet[int], int] = {start: 0}
+    order: List[FrozenSet[int]] = [start]
+    rows: List[np.ndarray] = []
+    qi = 0
+    while qi < len(order):
+        cur = order[qi]
+        qi += 1
+        # per-byte destination sets, computed range-wise
+        dst_sets: List[set] = [set() for _ in range(256)]
+        for s in cur:
+            for lo, hi, d in nfa_trans[s]:
+                for b in range(lo, hi + 1):
+                    dst_sets[b].add(d)
+        row = np.full(256, 0xFFFF, np.uint16)
+        for b in range(256):
+            if not dst_sets[b]:
+                continue
+            key = frozenset(dst_sets[b])
+            j = index.get(key)
+            if j is None:
+                j = len(order)
+                if j >= _MAX_DFA_STATES:
+                    return None
+                index[key] = j
+                order.append(key)
+            row[b] = j
+        rows.append(row)
+    trans = np.stack(rows)
+    accept = np.asarray([acc in st for st in order], np.bool_)
+    return trans, accept
+
+
+def dfa_matches_python(
+    trans: np.ndarray, accept: np.ndarray, terms, lo: int, hi: int
+) -> List[int]:
+    """Pure-Python fallback intersection over terms[lo:hi] (tests and
+    no-native environments)."""
+    out = []
+    dead = 0xFFFF
+    for tid in range(lo, hi):
+        st = 0
+        for b in terms[tid]:
+            st = int(trans[st, b])
+            if st == dead:
+                break
+        else:
+            if accept[st]:
+                out.append(tid)
+    return out

@@ -502,6 +502,28 @@ def _iterate_matching(flt, sr: SegmentReader):
         lo, hi = (
             sr.term_prefix_range(flt.field, prefix) if prefix else (0, len(terms))
         )
+        # byte-DFA x sorted-dictionary intersection (the automaton path,
+        # automaton_utils.hpp:91-321): dead subtrees are skipped by
+        # binary search instead of regex-matching every term in range
+        from iresearch_tpu.search.automaton import wildcard_dfa
+
+        dfa = wildcard_dfa(flt.pattern)
+        if dfa is not None:
+            from iresearch_tpu import native
+
+            fp = sr.field(flt.field)
+            tids = native.dfa_intersect(
+                fp.term_blob,
+                fp.term_offsets.astype(np.int64),
+                lo,
+                hi,
+                dfa[0],
+                dfa[1],
+            )
+            if tids is not None:
+                for tid in tids:
+                    yield int(tid), terms[int(tid)]
+                return
         rx = wildcard_to_regex(flt.pattern)
         for tid in range(lo, hi):
             if rx.fullmatch(terms[tid].decode("utf-8", "replace")) is not None:

@@ -329,6 +329,73 @@ int32_t irs_tokenize_to_tids_utf8(void* h, const char* text, int32_t len,
   return n;
 }
 
+// ---- DFA x sorted-dictionary intersection ---------------------------
+// The reference intersects a byte automaton with the term index so only
+// reachable subtrees are visited (automaton_utils.hpp:91-321,
+// formats_burst_trie.cpp:3139). Over a sorted term array the analog is:
+// keep a per-depth DFA state stack, resume each term at its longest
+// common prefix with the previous term, and on a dead state at depth d
+// binary-search past every term sharing prefix[0:d+1] (subtree skip).
+// trans is [S][256] u16 with 0xFFFF = dead; accept is [S] u8.
+// Returns the match count written to out_tids (clamped to cap).
+int32_t irs_dfa_intersect(const char* blob, const int64_t* offsets,
+                          int64_t lo, int64_t hi, const uint16_t* trans,
+                          const uint8_t* accept, int32_t* out_tids,
+                          int32_t cap) {
+  constexpr uint16_t kDead = 0xFFFF;
+  std::vector<uint16_t> stack;  // stack[d] = state BEFORE consuming byte d
+  stack.reserve(64);
+  stack.push_back(0);
+  int32_t n = 0;
+  int64_t prev_off = 0, prev_len = -1;  // previous term (for lcp)
+  int64_t t = lo;
+  while (t < hi && n < cap) {
+    const int64_t off = offsets[t];
+    const int64_t len = offsets[t + 1] - off;
+    // lcp with the previous visited term bounds the reusable stack depth
+    int64_t lcp = 0;
+    if (prev_len >= 0) {
+      const int64_t m = std::min(prev_len, len);
+      while (lcp < m && blob[prev_off + lcp] == blob[off + lcp]) ++lcp;
+      if (lcp >= static_cast<int64_t>(stack.size()))
+        lcp = static_cast<int64_t>(stack.size()) - 1;
+    }
+    stack.resize(lcp + 1);
+    uint16_t st = stack.back();
+    int64_t d = lcp;
+    for (; d < len; ++d) {
+      st = trans[static_cast<size_t>(st) * 256 +
+                 static_cast<unsigned char>(blob[off + d])];
+      if (st == kDead) break;
+      stack.push_back(st);
+    }
+    prev_off = off;
+    prev_len = (d == len) ? len : d + 1;  // compared bytes incl. the dead one
+    if (d == len) {
+      if (accept[st == kDead ? 0 : st] && st != kDead) out_tids[n++] = (int32_t)t;
+      ++t;
+      continue;
+    }
+    // dead at byte d: skip every term sharing prefix blob[off, off+d+1)
+    // via binary search for the prefix successor
+    const int64_t plen = d + 1;
+    int64_t a = t + 1, b = hi;
+    while (a < b) {
+      const int64_t mid = a + ((b - a) >> 1);
+      const int64_t moff = offsets[mid];
+      const int64_t mlen = offsets[mid + 1] - moff;
+      const int64_t m = std::min(mlen, plen);
+      int cmpv = std::memcmp(blob + moff, blob + off, (size_t)m);
+      if (cmpv == 0) cmpv = (mlen < plen) ? -1 : 0;  // prefix-equal => inside
+      if (cmpv <= 0) a = mid + 1; else b = mid;
+    }
+    t = a;
+    // the stack (and prev term) stay valid: the next term's lcp against
+    // prev is computed fresh
+  }
+  return n;
+}
+
 // Batch banded Damerau-Levenshtein. query/cands are UTF-32 code points.
 // cands is [num_cands * max_len], lengths in cand_len. Distances written
 // to out (values > max_d are reported as max_d + 1). with_transpositions

@@ -254,3 +254,71 @@ def test_classification_analyzer_indexes(tmp_path):
     assert [h[0] for h in hits] == [0]
     hits = search(r, F.ByTerm("sentiment", "neg"), k=5)
     assert [h[0] for h in hits] == [1]
+
+
+def test_fasttext_bin_loader(tmp_path):
+    """Write a synthetic fastText .bin (FastText::saveModel layout) and
+    load it through the classification/nearest_neighbors model path
+    (reference: classification_stream.hpp:37 consumes .bin models)."""
+    import struct
+
+    import numpy as np
+
+    from iresearch_tpu.analysis.embed import (
+        _ft_hash,
+        load_fasttext_bin,
+        load_model,
+    )
+
+    dim, bucket, minn, maxn = 4, 32, 2, 3
+    words = [b"hello", b"world"]
+    labels = [b"__label__a", b"__label__b"]
+    rng = np.random.default_rng(0)
+    inp = rng.normal(size=(len(words) + bucket, dim)).astype(np.float32)
+    out = rng.normal(size=(len(labels), dim)).astype(np.float32)
+
+    buf = bytearray()
+    buf += struct.pack("<ii", 793712314, 12)  # magic, version
+    buf += struct.pack(
+        "<12i", dim, 5, 5, 1, 5, 1, 0, 3, bucket, minn, maxn, 100
+    )  # args (model=3 supervised)
+    buf += struct.pack("<d", 1e-4)
+    buf += struct.pack("<3i", len(words) + len(labels), len(words), len(labels))
+    buf += struct.pack("<2q", 1000, 0)  # ntokens, pruneidx_size
+    for w in words:
+        buf += w + b"\x00" + struct.pack("<qb", 10, 0)
+    for lb in labels:
+        buf += lb + b"\x00" + struct.pack("<qb", 5, 1)
+    buf += b"\x00"  # quant flag
+    buf += struct.pack("<2q", inp.shape[0], dim) + inp.tobytes()
+    buf += b"\x00"  # qout flag
+    buf += struct.pack("<2q", out.shape[0], dim) + out.tobytes()
+    path = str(tmp_path / "model.bin")
+    open(path, "wb").write(bytes(buf))
+
+    m = load_fasttext_bin(path)
+    assert m.vocab == words and m.labels == labels
+    assert m.hash_kind == "ft32" and m.buckets == bucket
+    np.testing.assert_array_equal(m.input_vectors, inp)
+    # fastText's signed-char FNV32 (hash("ab") differs from unsigned FNV)
+    assert _ft_hash(b"ab") == ((((2166136261 ^ 97) * 16777619)
+                                % 2**32 ^ 98) * 16777619) % 2**32
+    # word vector mixes the word row with its ft-hashed bucket rows
+    v = m.word_vector(b"hello")
+    assert v.shape == (dim,) and np.isfinite(v).all()
+    assert not np.allclose(v, inp[0])  # subword rows contribute
+    # top-k labels through the supervised head
+    preds = m.predict([b"hello", b"world"], k=2)
+    assert len(preds) == 2 and abs(sum(p for _l, p in preds) - 1.0) < 1e-5
+    # the registry path auto-detects .bin by magic
+    assert load_model(path) is not None
+
+    # the classification analyzer consumes it end-to-end
+    from iresearch_tpu.analysis import get as get_analyzer
+
+    an = get_analyzer(
+        "classification",
+        {"model_location": path, "top_k": 1},
+    )
+    toks = an.tokenize("hello world")
+    assert toks and toks[0].term in labels
