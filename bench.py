@@ -291,9 +291,10 @@ def main():
     nserve = 0
     while time.time() - t3 < 3.0:
         pend = 0
-        for r in rots:
-            n, res2 = serve_batch(r, do_sync=False)
-            pend += n
+        for _ in range(4):  # bounded enqueue depth, like the batched phase
+            for r in rots:
+                n, res2 = serve_batch(r, do_sync=False)
+                pend += n
         sync(res2[-1][0][0])
         nserve += pend
     serve_el = time.time() - t3

@@ -555,11 +555,6 @@ class QueryBatch:
                 _classes, M = sky_M
                 dfield = sr.device_field(s0.field_name)
                 cache = sr.dense_cache(s0.field_name)
-                nrm = (
-                    dfield.norms_u16
-                    if dfield.norms_u16 is not None
-                    else dfield.norms
-                )
                 rows_b = np.full((Q, M), 2**31 - 1, np.int32)
                 for j, sp in enumerate(specs):
                     rows_b[j, : len(sp.row_ids)] = sp.row_ids
@@ -567,7 +562,7 @@ class QueryBatch:
                     tuple(
                         dfield.dense_words(cache, c) for c in s0.classes
                     ),
-                    nrm.reshape(s0.ndrows, 128),
+                    dfield.norms_grid(),
                     rows_b,
                     np.asarray([sp.starts for sp in specs], np.int32),
                     np.asarray([sp.ws for sp in specs], np.float32),
@@ -897,9 +892,11 @@ def _pack_args(calls):
     one per-dtype packed buffer, uploaded in ONE transfer each.
 
     A fresh batch's row/weight/aux arrays are many small h2d transfers;
-    through a relay each costs ~100ms fixed. Packing gets a whole batch
-    on device in <=3 transfers (i32, f32, u8), and the fused program
-    reconstructs each array with a static-offset slice (free in XLA).
+    through a relay each costs a fixed round-trip. Packing gets a whole
+    batch on device in <=3 transfers (i32, f32, u8); the fused program
+    reconstructs each array with a static-offset slice, which XLA fuses
+    for free. (A single u8 buffer + bitcast was tried and costs the hot
+    redispatch path ~30%: unaligned byte slices defeat XLA layouts.)
 
     Returns (templates, dev_args, buffers) where templates mirror the
     args pytrees with placeholders: ("dev", i) — device array i;
@@ -962,10 +959,10 @@ def _pack_args(calls):
         if pad:
             cat = np.pad(cat, (0, pad))
         buffers[kk] = jnp.asarray(cat)
-    return templates, tuple(dev_args), buffers
+    return templates, tuple(dev_args), buffers, {}
 
 
-def _materialize(t, dev_args, buffers):
+def _materialize(t, dev_args, buffers, sections=()):
     """Rebuild an args pytree from its template inside the fused trace."""
     import jax.numpy as jnp
 
@@ -980,11 +977,11 @@ def _materialize(t, dev_args, buffers):
         if dt == "bool":
             sl = sl != 0
         return sl.reshape(shape)
-    return tuple(_materialize(e, dev_args, buffers) for e in t)
+    return tuple(_materialize(e, dev_args, buffers, sections) for e in t)
 
 
-def _template_key(templates, buffers):
-    """Hashable cache key: full static structure + buffer shapes."""
+def _template_key(templates, buffers, sections):
+    """Hashable cache key: full static structure + buffer shape/bases."""
 
     def keyify(t):
         if t is None or (isinstance(t, tuple) and t and t[0] in ("dev", "pk")):
@@ -996,6 +993,7 @@ def _template_key(templates, buffers):
             (keyify(args), kw_items, fn) for _qis, args, kw_items, fn in templates
         ),
         tuple(sorted((kk, v.shape, str(v.dtype)) for kk, v in buffers.items())),
+        tuple(sorted(sections.items())),
     )
 
 
@@ -1014,8 +1012,15 @@ class PreparedBatch:
     def __init__(self, num_queries: int, calls) -> None:
         self.num_queries = num_queries
         self._calls = calls
-        self._templates, self._dev_args, self._buffers = _pack_args(calls)
-        self._key = _template_key(self._templates, self._buffers)
+        (
+            self._templates,
+            self._dev_args,
+            self._buffers,
+            self._sections,
+        ) = _pack_args(calls)
+        self._key = _template_key(
+            self._templates, self._buffers, self._sections
+        )
 
     def run(self):
         """Per-query (scores [k], local docs [k]) as jax arrays (async)."""
@@ -1036,11 +1041,15 @@ class PreparedBatch:
                 (args, kw_items, fn)
                 for _qis, args, kw_items, fn in self._templates
             )
+            sections = dict(self._sections)  # static, part of the key
 
             def _all(dev_args, buffers):
                 # inner jitted fns trace through inline: one XLA program
                 return tuple(
-                    fn(*_materialize(args, dev_args, buffers), **dict(kw_items))
+                    fn(
+                        *_materialize(args, dev_args, buffers, sections),
+                        **dict(kw_items),
+                    )
                     for args, kw_items, fn in templates
                 )
 
@@ -1057,7 +1066,9 @@ class PreparedBatch:
         return [
             (
                 fn(
-                    *_materialize(args, self._dev_args, self._buffers),
+                    *_materialize(
+                        args, self._dev_args, self._buffers, self._sections
+                    ),
                     **dict(kw_items),
                 ),
                 qis,

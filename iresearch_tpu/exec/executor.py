@@ -840,17 +840,12 @@ class DeviceQuery:
 
                     dfield = sr0.device_field(spec.field_name)
                     cache = sr0.dense_cache(spec.field_name)
-                    nrm = (
-                        dfield.norms_u16
-                        if dfield.norms_u16 is not None
-                        else dfield.norms
-                    )
                     args = (
                         tuple(
                             dfield.dense_words(cache, c)
                             for c in spec.classes
                         ),
-                        nrm.reshape(spec.ndrows, 128),
+                        dfield.norms_grid(),
                         jnp.asarray(spec.row_ids),
                         tuple(jnp.int32(s) for s in spec.starts),
                         tuple(jnp.float32(w) for w in spec.ws),
@@ -880,12 +875,6 @@ class DeviceQuery:
                 import jax.numpy as jnp
 
                 dfield = sr0.device_field(plan.dense_spans[0].field_name)
-                ndrows = plan.dense_spans[0].ndrows
-                nrm = (
-                    dfield.norms_u16
-                    if dfield.norms_u16 is not None
-                    else dfield.norms
-                )
                 cached = (
                     tuple(
                         sr0.device_field(ds.field_name).dense_words(
@@ -895,7 +884,7 @@ class DeviceQuery:
                     ),
                     tuple(jnp.int32(ds.start) for ds in plan.dense_spans),
                     tuple(jnp.float32(ds.w) for ds in plan.dense_spans),
-                    nrm.reshape(ndrows, 128),
+                    dfield.norms_grid(),
                     jnp.float32(plan.dense_spans[0].avgdl),
                 )
                 plan.cache["scan"] = cached

@@ -178,6 +178,16 @@ class DeviceField:
         else:
             self.avgdl = 1.0
 
+    def norms_grid(self):
+        """[ndrows, 128] view of the norms (u16 twin when exact) —
+        cached: the serving path must not enqueue a device reshape per
+        prepared batch."""
+        cached = getattr(self, "_norms_grid", None)
+        if cached is None:
+            src = self.norms_u16 if self.norms_u16 is not None else self.norms
+            cached = self._norms_grid = src.reshape(-1, 128)
+        return cached
+
     def pos_words(self, c: int):
         """Device-resident position pool of class ``c`` (lazy, cached)."""
         cached = self._pos_words.get(c)
