@@ -30,10 +30,30 @@ K = 10
 
 
 def build_corpus():
+    """Zipf(1.25) token ids clipped to VOCAB, sampled by inverse CDF.
+
+    The clipped zipf IS a finite categorical (P(k) ∝ k^-1.25 for k <
+    VOCAB, the whole tail mass on the last id), so searchsorted over its
+    CDF samples the identical distribution ~100x faster than
+    ``rng.zipf`` rejection sampling (45 min for the 317M-token corpus on
+    a 1-vCPU host; ~20 s this way). Same law as the round-1/2 corpora;
+    sample paths differ.
+    """
     rng = np.random.default_rng(42)
     lens = rng.integers(32, 96, size=NUM_DOCS)
     total = int(lens.sum())
-    tids = np.minimum(rng.zipf(1.25, size=total) - 1, VOCAB - 1).astype(np.int64)
+    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
+    pmf = ranks ** -1.25
+    try:
+        from scipy.special import zeta
+
+        tail = float(zeta(1.25)) - float(pmf.sum())
+    except Exception:  # integral upper bound of the zeta tail
+        tail = (VOCAB ** -0.25) / 0.25
+    pmf[-1] += max(tail, 0.0)
+    cdf = np.cumsum(pmf)
+    cdf /= cdf[-1]
+    tids = np.searchsorted(cdf, rng.random(total)).astype(np.int64)
     return lens, tids
 
 

@@ -213,6 +213,21 @@ def encode_field_postings(
     T = len(term_ptr) - 1
     E = len(e_doc)
     assert len(e_freq) == E
+    # debug invariants (IRS_DEBUG=1; reference: IRS_ASSERT, assert.hpp)
+    from iresearch_tpu.utils.debug import assertions_enabled, irs_assert
+
+    if assertions_enabled() and E:
+        starts = term_ptr[:-1]
+        within = np.ones(E, bool)
+        within[starts[starts < E]] = False  # first entry of each term
+        irs_assert(
+            bool((np.diff(e_doc.astype(np.int64)) > 0)[within[1:]].all()),
+            "postings docs must be strictly ascending within each term",
+        )
+        irs_assert(
+            bool((term_ptr[1:] >= term_ptr[:-1]).all()),
+            "term_ptr must be non-decreasing",
+        )
     assert term_ptr[0] == 0 and term_ptr[-1] == E
 
     entries = np.zeros((T, NUM_TERM_COLS), dtype=np.uint32)

@@ -96,3 +96,39 @@ def test_cap_counters_recorded():
         dense_mod.DENSE_MAX_TERMS = old
     assert registry().counter_value("irs_dense_terms_dropped") > before_d
     assert "irs_scored_terms_truncated" in registry().render()
+
+
+def test_debug_asserts(monkeypatch):
+    """IRS_DEBUG assertion framework (reference: IRS_ASSERT + settable
+    callback, core/utils/assert.hpp)."""
+    import importlib
+
+    import iresearch_tpu.utils.debug as dbg
+
+    monkeypatch.setenv("IRS_DEBUG", "1")
+    importlib.reload(dbg)
+    assert dbg.assertions_enabled()
+    with __import__("pytest").raises(AssertionError):
+        dbg.irs_assert(False, "boom")
+    seen = []
+    dbg.set_assert_callback(seen.append)
+    dbg.irs_assert(False, "routed")
+    assert seen == ["routed"]
+    dbg.set_assert_callback(None)
+    # the encoder invariant fires on malformed postings
+    import numpy as np
+
+    from iresearch_tpu.formats.postings import encode_field_postings
+    from iresearch_tpu.formats.spec import IndexFeatures
+
+    with __import__("pytest").raises(AssertionError):
+        encode_field_postings(
+            np.asarray([3, 1], np.uint32),  # non-ascending within a term
+            np.asarray([1, 1], np.uint32),
+            np.asarray([0, 2], np.int64),
+            b"t", np.asarray([0, 1], np.uint64),
+            np.asarray([2, 2, 2, 2], np.uint32),
+            None, IndexFeatures.FREQ,
+        )
+    monkeypatch.setenv("IRS_DEBUG", "0")
+    importlib.reload(dbg)
