@@ -77,6 +77,13 @@ def main(argv) -> int:
             committer = threading.Thread(target=commit_loop, daemon=True)
             committer.start()
 
+        # named indexer pool + wait group (reference: async_utils::
+        # ThreadPool + wait_group, utils/index-put.cpp:456-560)
+        from iresearch_tpu.utils.pools import ThreadPool, WaitGroup
+
+        pool = ThreadPool(max(1, args.threads), name="index-put")
+        wg = WaitGroup()
+
         def indexer():
             while True:
                 item = q.get()
@@ -88,12 +95,10 @@ def main(argv) -> int:
                         if f is not None:
                             tx.insert(f)
 
-        workers = [
-            threading.Thread(target=indexer, daemon=True)
-            for _ in range(max(1, args.threads))
-        ]
-        for t in workers:
-            t.start()
+        workers = []
+        for _ in range(max(1, args.threads)):
+            pool.submit(indexer, wg)
+            workers.append(None)
 
         batch: List = []
         with open(args.input, "r", encoding="utf-8", errors="replace") as fh:
@@ -109,8 +114,8 @@ def main(argv) -> int:
             q.put(batch)
         for _ in workers:
             q.put(None)
-        for t in workers:
-            t.join()
+        wg.wait()
+        pool.stop()
         stop.set()
         if committer is not None:
             committer.join()

@@ -175,6 +175,11 @@ class _PendingSegment:
     field_data; core/index/segment_writer.cpp:76, field_data.cpp:985)."""
 
     def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        """Clear for reuse from the context pool (reference: pooled
+        SegmentContexts, index_writer.hpp:183 + object_pool.hpp)."""
         self.num_docs = 0
         self.fields: Dict[str, _PendingField] = {}
         self.columns: Dict[str, ColumnBuilder] = {}
@@ -432,7 +437,7 @@ class Transaction:
 
     def __init__(self, writer: "IndexWriter") -> None:
         self._writer = writer
-        self._seg = _PendingSegment()
+        self._seg = writer._ctx_pool.acquire()
         self._ops: List = []  # ("insert", local_doc) | ("remove", filter)
         self._open = True
 
@@ -462,6 +467,9 @@ class Transaction:
     def rollback(self) -> None:
         self._open = False
         self._ops = []
+        if self._seg is not None:
+            self._seg.reset()
+            self._writer._ctx_pool.release(self._seg)
         self._seg = None
 
     def __enter__(self) -> "Transaction":
@@ -492,6 +500,11 @@ class IndexWriter:
         # encode, and file writes run with inserts still flowing.
         self._mutex = threading.Lock()
         self._commit_lock = threading.Lock()
+        # transaction-context pool (reference: pooled SegmentContexts,
+        # index_writer.hpp:183,232 + unbounded_object_pool)
+        from iresearch_tpu.utils.pools import UnboundedObjectPool
+
+        self._ctx_pool = UnboundedObjectPool(_PendingSegment, max_cached=8)
         self._meta = read_meta(directory)
         self._pending = _PendingSegment()
         # mixed list of SegmentData (imports) and sealed _PendingSegment
@@ -530,12 +543,19 @@ class IndexWriter:
             if tx_seg.num_docs:
                 if self._pending.num_docs == 0:
                     # common bulk-load shape: adopt the whole context
+                    # (adopted contexts never return to the pool — they
+                    # become the pending segment)
                     tx_seg.ticks = doc_ticks
                     self._pending = tx_seg
                 else:
                     self._pending.absorb(tx_seg, doc_ticks)
+                    tx_seg.reset()
+                    self._ctx_pool.release(tx_seg)
                 if self._pending.num_docs >= self._opts.segment_docs_max:
                     self._roll_segment_locked()
+            else:
+                tx_seg.reset()
+                self._ctx_pool.release(tx_seg)
 
     def _roll_segment_locked(self) -> None:
         """Seal the in-progress segment — a pointer swap only. The
