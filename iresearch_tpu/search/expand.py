@@ -524,6 +524,14 @@ def _iterate_matching(flt, sr: SegmentReader):
                 for tid in tids:
                     yield int(tid), terms[int(tid)]
                 return
+        from iresearch_tpu.utils.metrics import registry
+
+        registry().counter(
+            "irs_wildcard_regex_fallback",
+            hi - lo,
+            help_="terms matched by per-term regex because the DFA path "
+            "was unavailable (no native lib or state-budget blowup)",
+        )
         rx = wildcard_to_regex(flt.pattern)
         for tid in range(lo, hi):
             if rx.fullmatch(terms[tid].decode("utf-8", "replace")) is not None:
