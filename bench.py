@@ -14,8 +14,26 @@ BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# glibc heap-reuse tuning: this CI host's kernel zeroes anonymous pages at
+# ~0.1 GB/s (folio_zero_user; host-level), while rewrites of already-faulted
+# pages run at ~8 GB/s. With default malloc, every large numpy buffer is a
+# fresh mmap -> freed back to the OS -> re-faulted at 0.1 GB/s next time.
+# Forcing all allocations onto the brk heap (never mmap, never trim) pays
+# first-touch once for the peak resident set instead of for the total
+# allocation traffic (~25 GB for the 5M-doc build). Harmless on healthy
+# hosts; opt out with BENCH_NO_MALLOC_TUNE=1.
+if (
+    os.environ.get("MALLOC_MMAP_MAX_") is None
+    and not os.environ.get("BENCH_NO_MALLOC_TUNE")
+):
+    _env = dict(
+        os.environ, MALLOC_MMAP_MAX_="0", MALLOC_TRIM_THRESHOLD_="-1"
+    )
+    os.execve(sys.executable, [sys.executable] + sys.argv, _env)
 
 import numpy as np
 

@@ -309,19 +309,52 @@ def _run_batch_dslice(
     k: int,
     R: int,
 ):
-    """Vmapped contiguous-slice single-term top-k: no row gathers at all
-    (measured 27x the gather decode at the 5M MedTerm shape)."""
-    from iresearch_tpu.exec.candidates import dslice_topk
+    """Batched contiguous-slice single-term top-k.
+
+    All queries' [R, wpb] row windows are fetched with ONE flat row-index
+    gather per pool (a [Q*R] 1-D index keeps XLA on the fast row-copy
+    lowering, ~0.1-0.5 ns/element on v5e; vmapping the dynamic_slices —
+    or a 2-D [Q, R] index — lowers to ~8 ns/element gathers instead,
+    which cost 4.5 ms for 75 LowTerm queries at 5M docs). The decode +
+    score + top-k then vmaps over the pre-gathered rows."""
+    import jax.numpy as jnp
+
+    from iresearch_tpu.exec.candidates import dslice_core
+    from iresearch_tpu.formats.bitpack import words_per_block
+
+    bd, bf, bn = gbits
+    doc_words, freq_words, nrm_words, base, norms = pool
+    q = nreal_b.shape[0]
+    ar = jnp.arange(R, dtype=jnp.int32)
+
+    def rows_of(pp, st, wpb):
+        idx = (st[:, None] + ar[None, :]).reshape(-1)
+        return pp[idx].reshape(q, R, wpb)
+
+    dwords_b = rows_of(doc_words, starts_b[:, 0], words_per_block(bd))
+    fwords_b = rows_of(freq_words, starts_b[:, 1], words_per_block(bf))
+    nwords_b = (
+        rows_of(nrm_words, starts_b[:, 2], words_per_block(bn))
+        if bn >= 0
+        else None
+    )
+    base_b = base[(starts_b[:, 0][:, None] + ar[None, :]).reshape(-1)].reshape(
+        q, R
+    )
 
     def one(xs):
-        st, nrl, w = xs
-        return dslice_topk(
-            pool, st, nrl, w, avgdl[0], alive,
+        dw, fw, nw, br, nrl, w = xs
+        return dslice_core(
+            dw, fw, nw, br, norms, nrl, w, avgdl[0], alive,
             gbits=gbits, scorer=scorer, k=k, R=R,
         )
 
-    q = nreal_b.shape[0]
-    return _chunked_vmap(one, (starts_b, nreal_b, w_b), q, R * 128 * 6)
+    return _chunked_vmap(
+        one,
+        (dwords_b, fwords_b, nwords_b, base_b, nreal_b, w_b),
+        q,
+        R * 128 * 6,
+    )
 
 
 @partial(
@@ -341,21 +374,28 @@ def _run_batch_skyline(
     k: int,
     ndrows: int,
 ):
-    """Vmapped survivor-row skyline top-k (exec/skyline.py): each query
+    """Batched survivor-row skyline top-k (exec/skyline.py): each query
     gathers only its θ-surviving grid rows instead of scanning the whole
-    [ndrows] grid — the batched analog of wanderator block skipping."""
-    from iresearch_tpu.exec.skyline import skyline_topk
+    [ndrows] grid — the batched analog of wanderator block skipping.
 
-    S = len(span_pools)
+    Row gathers run once for the whole batch with flat 1-D indices (the
+    fast row-copy lowering — see skyline_topk_batch); the lane budget
+    chunks over queries when Q*M grows past it."""
+    import jax.numpy as jnp
+    from jax import lax
 
-    def one(xs):
-        rows, st, w = xs
-        return skyline_topk(
+    from iresearch_tpu.exec.skyline import skyline_topk_batch
+
+    q = starts_b.shape[0]
+    M = rows_b.shape[1]
+
+    def run(rows_c, starts_c, ws_c):
+        return skyline_topk_batch(
             span_pools,
             norms_grid,
-            rows,
-            tuple(st[s] for s in range(S)),
-            tuple(w[s] for s in range(S)),
+            rows_c,
+            starts_c,
+            ws_c,
             avgdl[0],
             scorer=scorer,
             span_bits=span_bits,
@@ -363,10 +403,27 @@ def _run_batch_skyline(
             ndrows=ndrows,
         )
 
-    q = starts_b.shape[0]
-    M = rows_b.shape[1]
-    return _chunked_vmap(
-        one, (rows_b, starts_b, ws_b), q, M * 128 * 4
+    # [chunk, M, 128] f32 intermediates x ~4 operands
+    chunk = max(1, min(q, _BATCH_LANE_BUDGET // max(1, M * 128 * 4)))
+    if chunk >= q:
+        return run(rows_b, starts_b, ws_b)
+    nq = -(-q // chunk)
+    pad = nq * chunk - q
+    if pad:
+        rows_b, starts_b, ws_b = (
+            jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+            for a in (rows_b, starts_b, ws_b)
+        )
+    out = lax.map(
+        lambda xs: run(*xs),
+        (
+            rows_b.reshape(nq, chunk, M),
+            starts_b.reshape(nq, chunk, -1),
+            ws_b.reshape(nq, chunk, -1),
+        ),
+    )
+    return tuple(
+        a.reshape((nq * chunk,) + a.shape[2:])[:q] for a in out
     )
 
 
@@ -533,10 +590,13 @@ class QueryBatch:
                     (d.field_name, d.cls, d.leaf, d.ndrows)
                     for d in p.dense_spans
                 ),
-                # skyline (classes, row-budget bucket); None = scan/fold
+                # skyline (classes, row-budget bucket at 4x granularity —
+                # pow2 buckets fragmented an 80-query OrHighN category
+                # into ~7 single-query dispatch groups; padded rows are
+                # IMAX-redirected and cost ~0.1 us each); None = scan/fold
                 None
                 if sp is None
-                else (sp.classes, _pow2(max(8, len(sp.row_ids)))),
+                else (sp.classes, _bucket4(len(sp.row_ids))),
             )
             groups_by_sig[sig].append(qi)
 

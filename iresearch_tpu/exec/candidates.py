@@ -177,13 +177,39 @@ def dslice_topk(
         freq_words, (starts[1], 0), (R, words_per_block(bf))
     )
     base_r = lax.dynamic_slice(base, (starts[0],), (R,))
+    nwords = (
+        lax.dynamic_slice(
+            nrm_words, (starts[2], 0), (R, words_per_block(bn))
+        )
+        if bn >= 0
+        else None
+    )
+    return dslice_core(
+        dwords, fwords, nwords, base_r, norms, nreal, w, avgdl, alive,
+        gbits=gbits, scorer=scorer, k=k, R=R,
+    )
+
+
+def dslice_core(
+    dwords, fwords, nwords, base_r, norms, nreal, w, avgdl, alive,
+    *, gbits, scorer, k, R: int,
+):
+    """Decode + score + top-k over one query's pre-gathered [R, wpb] rows.
+
+    Shared by the single-query path (contiguous dynamic_slices above) and
+    the batched path (exec/batch.py gathers all queries' rows in ONE flat
+    row-index gather — vmapping the dynamic_slices lowers to ~8 ns/element
+    gathers, 50x the flat-gather cost on v5e)."""
+    import jax.numpy as jnp
+
+    from iresearch_tpu.formats.bitpack import unpack_jnp
+    from iresearch_tpu.search.scorers import score_block
+
+    bd, bf, bn = gbits
     d = unpack_jnp(dwords, bd).astype(jnp.int32)
     docs = base_r.astype(jnp.int32)[:, None] + jnp.cumsum(d, axis=1)
     f = unpack_jnp(fwords, bf).astype(jnp.float32)
     if bn >= 0:
-        nwords = lax.dynamic_slice(
-            nrm_words, (starts[2], 0), (R, words_per_block(bn))
-        )
         dl = jnp.maximum(unpack_jnp(nwords, bn).astype(jnp.float32), 1.0)
     else:
         dl = norms[jnp.clip(docs, 0, norms.shape[0] - 1)]

@@ -53,12 +53,15 @@ _NEG_INF = float("-inf")
 # cheaper anyway (it streams all rows with no gather)
 SKYLINE_MAX_ROWS = int(os.environ.get("IRS_SKYLINE_MAX_ROWS", "8192"))
 # relative cost gate: the fused scan streams S*ndrows packed rows at
-# ~0.7 ns/lane while skyline row-gathers cost several ns/lane — gathering
-# more than S*ndrows/RATIO rows loses to just scanning (measured on v5e:
-# scan 1.3 ms/q vs gather ~0.1 ms/1024 rows at 5M docs => crossover ~3,
-# kept at 6 for margin). Tests on tiny grids set this to 0 to force the
-# skyline path regardless.
-SKYLINE_SCAN_RATIO = float(os.environ.get("IRS_SKYLINE_SCAN_RATIO", "6"))
+# ~2 ns/row/span/query in a BATCHED vmap (64-78 queries per dispatch,
+# measured 0.163 ms/query at 5M docs, S=2) while skyline row-gathers run
+# at ~0.11-0.125 us/row — gathering more than S*ndrows/RATIO rows loses
+# to just scanning. Crossover M* ~= 650*S rows at 5M; RATIO 48 keeps the
+# gate slightly scan-biased (round 2 shipped RATIO=6 from a single-query
+# scan measurement of 1.3 ms/q; the batched scan is ~8x cheaper per
+# query, moving the crossover the same factor). Tests on tiny grids set
+# this to 0 to force the skyline path regardless.
+SKYLINE_SCAN_RATIO = float(os.environ.get("IRS_SKYLINE_SCAN_RATIO", "48"))
 # θ needs the k-th best achievable row score per span; keep the top
 # K_MAX per term (k beyond that falls back to the scan)
 K_MAX = 128
@@ -252,6 +255,11 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
     scored = [ds for ds in spans if ds.w > 0.0]
     if not scored or any(ds.w < 0.0 for ds in spans):
         return None
+    # canonical span order: the sum over spans is order-free (device vs
+    # oracle float-reorder is covered by the rtol gate), and sorting by
+    # class merges e.g. (2,8) with (8,2) OrHighN queries into one batch
+    # signature group instead of two
+    scored.sort(key=lambda ds: (ds.cls, ds.start))
     ski = sr.skyline_index(fname, scorer, scored[0].avgdl)
     if ski is None:
         return None
@@ -328,3 +336,62 @@ def skyline_topk(
     from iresearch_tpu.exec.candidates import topk_docs
 
     return topk_docs(masked.reshape(-1), docs.reshape(-1), k)
+
+
+def skyline_topk_batch(
+    span_pools,  # per span: u32 [rows_c, wpb] dense grid pool (shared)
+    norms_grid,  # [ndrows, 128] u16/f32 doc lengths (shared)
+    rows_b,  # i32 [Q, M] survivor rows, IMAX-padded
+    starts_b,  # i32 [Q, S]
+    ws_b,  # f32 [Q, S]
+    avgdl,  # f32
+    *,
+    scorer: Scorer,
+    span_bits: Tuple[int, ...],
+    k: int,
+    ndrows: int,
+):
+    """Batched skyline_topk: per-query (vals [Q, k], docs [Q, k]).
+
+    The row gathers use ONE flat [Q*M] 1-D index per operand — XLA's
+    fast row-copy lowering (~0.1-0.5 ns/element on v5e). vmapping
+    skyline_topk instead produces 2-D [Q, M] gather indices, which lower
+    to ~8 ns/element scalar gathers (measured 0.9 ms/query at M=8192).
+    Only the final per-query top-k is vmapped."""
+    import jax.numpy as jnp
+
+    from iresearch_tpu.formats.bitpack import unpack_jnp
+    from iresearch_tpu.formats.spec import BLOCK
+    from iresearch_tpu.exec.candidates import topk_docs
+
+    S = len(span_pools)
+    Q, M = rows_b.shape
+    IMAX = jnp.int32(_IMAX32)
+    parked = rows_b >= ndrows  # [Q, M]
+    safe = jnp.where(parked, 0, rows_b)
+    dl = norms_grid[safe.reshape(-1)].reshape(Q, M, BLOCK)
+    if not jnp.issubdtype(dl.dtype, jnp.floating):
+        dl = dl.astype(jnp.int32).astype(jnp.float32)
+    dl = jnp.maximum(dl, 1.0)
+    score = jnp.zeros((Q, M, BLOCK), jnp.float32)
+    fagg = None
+    for s in range(S):
+        rows_abs = jnp.where(parked, 0, starts_b[:, s : s + 1] + safe)
+        f = unpack_jnp(
+            span_pools[s][rows_abs.reshape(-1)], span_bits[s]
+        ).reshape(Q, M, BLOCK).astype(jnp.int32).astype(jnp.float32)
+        score = score + score_block(
+            scorer, ws_b[:, s, None, None], f, dl, avgdl, xp=jnp
+        )
+        fagg = f if fagg is None else fagg + f
+    lane = jnp.arange(BLOCK, dtype=jnp.int32)
+    match = (fagg > 0.0) & (~parked)[:, :, None]
+    docs = jnp.where(
+        match, safe[:, :, None] * BLOCK + lane[None, None, :], IMAX
+    )
+    masked = jnp.where(match, score, _NEG_INF)
+    import jax
+
+    return jax.vmap(lambda v, d: topk_docs(v, d, k))(
+        masked.reshape(Q, -1), docs.reshape(Q, -1)
+    )

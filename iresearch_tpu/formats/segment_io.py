@@ -211,7 +211,7 @@ def read_segment(data, verify: bool = True) -> "SegmentData":  # noqa: F821
             norms=r.array(f"{key}.norms"),
             nrm_words=(
                 tuple(r.array(f"{key}.nrmw{c}") for c in range(NUM_CLASSES))
-                if fmt == FORMAT_V5
+                if fmt in (FORMAT_V5, FORMAT_V6)
                 else None
             ),
             pos_words=pos_words,

@@ -70,6 +70,28 @@ def test_segment_roundtrip_positions(version):
     np.testing.assert_array_equal(fp_a.positions_flat(), fp_b.positions_flat())
 
 
+@pytest.mark.parametrize("version", [FORMAT_V5, FORMAT_V6])
+def test_roundtrip_keeps_inline_norm_pools(version):
+    # inline norms are a PERFORMANCE contract, not just a correctness one:
+    # losing them on read silently sends every norm read through the [nd]
+    # gather path (this regressed for v6 once — reads returned
+    # nrm_words=None, costing ~100 us/query at 5M docs)
+    reader = _build(MemoryDirectory(), FORMAT_V5)
+    seg = reader.segments[0].data
+    fp_a = seg.fields["body"]
+    assert fp_a.nrm_words is not None
+    back = read_segment(write_segment(seg, version=version))
+    fp_b = back.fields["body"]
+    assert fp_b.nrm_words is not None, f"{version} read dropped nrm_words"
+    for c, (a, b) in enumerate(zip(fp_a.nrm_words, fp_b.nrm_words)):
+        np.testing.assert_array_equal(a, b, err_msg=f"norm pool class {c}")
+    from iresearch_tpu.formats.spec import TermCols
+
+    np.testing.assert_array_equal(
+        fp_a.entries[:, TermCols.NCLS], fp_b.entries[:, TermCols.NCLS]
+    )
+
+
 def test_unknown_format_rejected(monkeypatch):
     import iresearch_tpu.formats.segment_io as sio
 
