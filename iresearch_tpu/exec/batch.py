@@ -132,40 +132,82 @@ def _run_batch(
 
     if use_scan:
         # fused row-max scan (ops/dense_scan.py): single-leaf sum trees
-        # whose spans are all grid-resident skip the [nd] fold entirely
-        from iresearch_tpu.ops.dense_scan import dense_scan_topk
+        # whose spans are all grid-resident skip the [nd] fold entirely.
+        # Split into (1) a vmapped rowmax + row-selection pass and (2) a
+        # FLAT-gather exact rescore over all queries' survivor rows at
+        # once — 2-D [Q, m] gathers inside the vmap lower to ~8 ns/elem
+        # scalar gathers, the flat [Q*m] 1-D row gather to ~0.1-0.5
+        # (same restructuring as the batched skyline/dslice tiers)
+        from iresearch_tpu.formats.bitpack import unpack_jnp
+        from iresearch_tpu.ops.dense_scan import dense_scan_rowmax_xla
+        from iresearch_tpu.exec.candidates import topk_docs
+        from iresearch_tpu.search.scorers import score_block
 
         ndrows = dense_static[0][2]
         norms_g = dense_shared[0][3].reshape(ndrows, BLOCK_LANES)
         avgdl_s = dense_shared[0][2]
         span_bits = tuple(d[0] for d in dense_static)
+        S = len(dense_static)
+        q = leaf_min_b.shape[0]
+        m = min(max(2 * k, 16), ndrows)
 
-        def one_scan(xs):
-            _rowsets, _leaf_min, _am, _asc, ddyn = xs
+        def one_rowmax(ddyn):
             words = tuple(
                 lax.dynamic_slice(
                     sh[0], (dd[0], jnp.int32(0)), (ndrows, sh[0].shape[1])
                 )
                 for sh, dd in zip(dense_shared, ddyn)
             )
-            return dense_scan_topk(
+            bv, _bi = dense_scan_rowmax_xla(
                 words,
                 tuple(dd[1] for dd in ddyn),
                 norms_g,
                 avgdl_s,
                 scorer=scorer,
                 span_bits=span_bits,
-                k=k,
                 conj=scan_conj,
             )
+            # the top 2k rows by row max provably contain every winner
+            # (see ops/dense_scan.py:dense_scan_topk docstring)
+            _rv, rows = wide_top_k(bv, m)
+            return rows.astype(jnp.int32)
 
-        q = leaf_min_b.shape[0]
-        xs = (rowsets_b, leaf_min_b, None, None, dense_dyn)
-        # the scan keeps no [nd] operand live (fused reduction), only the
-        # sliced packed rows (~nd/4 lanes of u32 at 8 bits) per span —
-        # wider vmap chunks are safe and buy real parallelism
+        # the rowmax keeps no [nd] operand live (fused reduction), only
+        # the sliced packed rows (~nd/4 lanes of u32 at 8 bits) per span
         width = (nd // 4) * max(1, len(dense_static))
-        return _chunked_vmap(one_scan, xs, q, width)
+        rows_b = _chunked_vmap(one_rowmax, dense_dyn, q, width)  # [Q, m]
+
+        dl = norms_g[rows_b.reshape(-1)].reshape(q, m, BLOCK_LANES)
+        if not jnp.issubdtype(dl.dtype, jnp.floating):
+            dl = dl.astype(jnp.int32).astype(jnp.float32)
+        starts_b2 = jnp.stack([dd[0] for dd in dense_dyn], axis=1)
+        ws_b2 = jnp.stack([dd[1] for dd in dense_dyn], axis=1)
+        score = jnp.zeros((q, m, BLOCK_LANES), jnp.float32)
+        fagg = None
+        for s in range(S):
+            rows_abs = (starts_b2[:, s : s + 1] + rows_b).reshape(-1)
+            f = unpack_jnp(
+                dense_shared[s][0][rows_abs], span_bits[s]
+            ).reshape(q, m, BLOCK_LANES).astype(jnp.int32).astype(
+                jnp.float32
+            )
+            score = score + score_block(
+                scorer, ws_b2[:, s, None, None], f, dl, avgdl_s, xp=jnp
+            )
+            fagg = f if fagg is None else (
+                jnp.minimum(fagg, f) if scan_conj else fagg + f
+            )
+        lane = jnp.arange(BLOCK_LANES, dtype=jnp.int32)
+        match = fagg > 0.0
+        docs = jnp.where(
+            match,
+            rows_b[:, :, None] * BLOCK_LANES + lane[None, None, :],
+            jnp.int32(2**31 - 1),
+        )
+        masked = jnp.where(match, score, _NEG_INF)
+        return jax.vmap(lambda v, d: topk_docs(v, d, k))(
+            masked.reshape(q, -1), docs.reshape(q, -1)
+        )
 
     def one(xs):
         rowsets, leaf_min, aux_sp, ddyn = xs
