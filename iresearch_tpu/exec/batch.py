@@ -139,9 +139,11 @@ def _run_batch(
         # scalar gathers, the flat [Q*m] 1-D row gather to ~0.1-0.5
         # (same restructuring as the batched skyline/dslice tiers)
         from iresearch_tpu.formats.bitpack import unpack_jnp
-        from iresearch_tpu.ops.dense_scan import dense_scan_rowmax_xla
+        from iresearch_tpu.ops.dense_scan import (
+            _score_expr,
+            dense_scan_rowmax_xla,
+        )
         from iresearch_tpu.exec.candidates import topk_docs
-        from iresearch_tpu.search.scorers import score_block
 
         ndrows = dense_static[0][2]
         norms_g = dense_shared[0][3].reshape(ndrows, BLOCK_LANES)
@@ -177,36 +179,69 @@ def _run_batch(
         width = (nd // 4) * max(1, len(dense_static))
         rows_b = _chunked_vmap(one_rowmax, dense_dyn, q, width)  # [Q, m]
 
-        dl = norms_g[rows_b.reshape(-1)].reshape(q, m, BLOCK_LANES)
-        if not jnp.issubdtype(dl.dtype, jnp.floating):
-            dl = dl.astype(jnp.int32).astype(jnp.float32)
         starts_b2 = jnp.stack([dd[0] for dd in dense_dyn], axis=1)
         ws_b2 = jnp.stack([dd[1] for dd in dense_dyn], axis=1)
-        score = jnp.zeros((q, m, BLOCK_LANES), jnp.float32)
-        fagg = None
-        for s in range(S):
-            rows_abs = (starts_b2[:, s : s + 1] + rows_b).reshape(-1)
-            f = unpack_jnp(
-                dense_shared[s][0][rows_abs], span_bits[s]
-            ).reshape(q, m, BLOCK_LANES).astype(jnp.int32).astype(
-                jnp.float32
+
+        def rescore(rows_c, starts_c, ws_c):
+            """Flat-gather exact rescore of each query's survivor rows.
+
+            Scores through the SAME expression (_score_expr) as the
+            row-selection pass and the single-query _score_rows, so the
+            selection metric and final score agree bit-for-bit; doc ids
+            are real (row*128+lane) even for non-matching -inf lanes —
+            identical conventions to dense_scan_topk."""
+            qc = rows_c.shape[0]
+            dl = norms_g[rows_c.reshape(-1)].reshape(qc, m, BLOCK_LANES)
+            if not jnp.issubdtype(dl.dtype, jnp.floating):
+                dl = dl.astype(jnp.int32).astype(jnp.float32)
+            score = jnp.zeros((qc, m, BLOCK_LANES), jnp.float32)
+            fagg = None
+            for s in range(S):
+                rows_abs = (starts_c[:, s : s + 1] + rows_c).reshape(-1)
+                f = unpack_jnp(
+                    dense_shared[s][0][rows_abs], span_bits[s]
+                ).reshape(qc, m, BLOCK_LANES).astype(jnp.int32).astype(
+                    jnp.float32
+                )
+                score = score + _score_expr(
+                    scorer, ws_c[:, s, None, None], f, dl, avgdl_s, jnp
+                )
+                fagg = f if fagg is None else (
+                    jnp.minimum(fagg, f) if scan_conj else fagg + f
+                )
+            lane = jnp.arange(BLOCK_LANES, dtype=jnp.int32)
+            docs = (
+                rows_c[:, :, None] * BLOCK_LANES + lane[None, None, :]
             )
-            score = score + score_block(
-                scorer, ws_b2[:, s, None, None], f, dl, avgdl_s, xp=jnp
+            masked = jnp.where(fagg > 0.0, score, _NEG_INF)
+            return jax.vmap(lambda v, d: topk_docs(v, d, k))(
+                masked.reshape(qc, -1), docs.reshape(qc, -1)
             )
-            fagg = f if fagg is None else (
-                jnp.minimum(fagg, f) if scan_conj else fagg + f
+
+        # the rescore materializes ~4 [chunk, m, 128] f32 operands —
+        # chunk it by the lane budget like the rowmax stage
+        chunk = max(1, min(q, _BATCH_LANE_BUDGET // max(1, m * 128 * 4)))
+        if chunk >= q:
+            return rescore(rows_b, starts_b2, ws_b2)
+        nq = -(-q // chunk)
+        pad = nq * chunk - q
+        if pad:
+            rows_b, starts_b2, ws_b2 = (
+                jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
+                )
+                for a in (rows_b, starts_b2, ws_b2)
             )
-        lane = jnp.arange(BLOCK_LANES, dtype=jnp.int32)
-        match = fagg > 0.0
-        docs = jnp.where(
-            match,
-            rows_b[:, :, None] * BLOCK_LANES + lane[None, None, :],
-            jnp.int32(2**31 - 1),
+        out = lax.map(
+            lambda xs: rescore(*xs),
+            (
+                rows_b.reshape(nq, chunk, m),
+                starts_b2.reshape(nq, chunk, -1),
+                ws_b2.reshape(nq, chunk, -1),
+            ),
         )
-        masked = jnp.where(match, score, _NEG_INF)
-        return jax.vmap(lambda v, d: topk_docs(v, d, k))(
-            masked.reshape(q, -1), docs.reshape(q, -1)
+        return tuple(
+            a.reshape((nq * chunk,) + a.shape[2:])[:q] for a in out
         )
 
     def one(xs):
@@ -401,7 +436,7 @@ def _run_batch_dslice(
 
 @partial(
     jax.jit,
-    static_argnames=("scorer", "span_bits", "k", "ndrows"),
+    static_argnames=("scorer", "span_bits", "k", "ndrows", "conj"),
 )
 def _run_batch_skyline(
     span_pools,  # per span: u32 dense pool (shared across queries)
@@ -415,6 +450,7 @@ def _run_batch_skyline(
     span_bits,
     k: int,
     ndrows: int,
+    conj: bool = False,
 ):
     """Batched survivor-row skyline top-k (exec/skyline.py): each query
     gathers only its θ-surviving grid rows instead of scanning the whole
@@ -443,6 +479,7 @@ def _run_batch_skyline(
             span_bits=span_bits,
             k=k,
             ndrows=ndrows,
+            conj=conj,
         )
 
     # [chunk, M, 128] f32 intermediates x ~4 operands
@@ -602,7 +639,6 @@ class QueryBatch:
                 _USE_SKYLINE
                 and p.exec_mode == "dense"
                 and not p.groups
-                and not sr.has_deletes
             ):
                 kk = min(k, p.nd_pad)
                 skey = ("skyspec", kk)
@@ -675,6 +711,7 @@ class QueryBatch:
                     span_bits=tuple(BITS[c] for c in s0.classes),
                     k=min(k, nd),
                     ndrows=s0.ndrows,
+                    conj=s0.conj,
                 )
                 calls.append((qis, args, kwargs, _run_batch_skyline))
                 continue
@@ -892,10 +929,11 @@ class QueryBatch:
 
             shapes = {scan_shape(p) for p in reps}
             scan_mode = shapes.pop() if len(shapes) == 1 else None
+            # no deletes gate: the dense grid zeroes deleted docs at
+            # cache build (formats/dense.py)
             use_scan = (
                 scan_mode is not None
                 and len({f for f, *_ in dkeys}) == 1
-                and not sr.has_deletes
             )
             if use_scan:
                 args = (

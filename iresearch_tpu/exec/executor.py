@@ -393,20 +393,21 @@ _USE_SKYLINE = (
 
 @partial(
     jax.jit,
-    static_argnames=("scorer", "span_bits", "k", "ndrows"),
+    static_argnames=("scorer", "span_bits", "k", "ndrows", "conj"),
 )
 def _run_segment_skyline(
     span_pools, norms_grid, row_ids, starts, ws, avgdl,
-    *, scorer, span_bits, k, ndrows,
+    *, scorer, span_bits, k, ndrows, conj=False,
 ):
     """Survivor-row gather + exact rescore (exec/skyline.py): the θ-pruned
     analog of the reference wanderator's block skipping
-    (formats_10.cpp:2426-2825) for dense-grid sum trees."""
+    (formats_10.cpp:2426-2825) for dense-grid sum trees — disjunctive or
+    conjunctive (conjunction.hpp:231-436)."""
     from iresearch_tpu.exec.skyline import skyline_topk
 
     return skyline_topk(
         span_pools, norms_grid, row_ids, starts, ws, avgdl,
-        scorer=scorer, span_bits=span_bits, k=k, ndrows=ndrows,
+        scorer=scorer, span_bits=span_bits, k=k, ndrows=ndrows, conj=conj,
     )
 
 
@@ -824,7 +825,9 @@ class DeviceQuery:
         )
         sr0 = self.prepared.segments[plan.seg_idx]
         shape = scan_shape(plan) if _USE_DENSE_SCAN else None
-        if shape == "or" and _USE_SKYLINE and not sr0.has_deletes:
+        # deletes need no gate on the grid tiers: the dense cache zeroes
+        # deleted docs' freqs at build (formats/dense.py)
+        if shape in ("or", "and") and _USE_SKYLINE:
             # device inputs cached per (plan, k): through a relay every
             # fresh scalar upload costs a fixed h2d round-trip, so the
             # serving loop must not rebuild them per call
@@ -861,13 +864,13 @@ class DeviceQuery:
                     span_bits=tuple(BITS[c] for c in spec.classes),
                     k=kk,
                     ndrows=spec.ndrows,
+                    conj=spec.conj,
                 )
         if (
             shape is not None
             # single spans run faster through the plain fused fold; the
             # scan's row-max+refine wins once spans multiply
             and (len(plan.dense_spans) >= 2 or shape == "and")
-            and not sr0.has_deletes
             and len({ds.field_name for ds in plan.dense_spans}) == 1
         ):
             cached = plan.cache.get("scan")

@@ -29,9 +29,22 @@ Exactness proof (disjunctive sum tree, no deletes):
   epsilon absorbs float-order drift between the host-computed θ and
   device-computed scores (the same guard as WAND, formats_10.cpp:2434).
 
-Ineligible shapes (conjunctions, deletes, k > 128, zero θ, weak pruning
-per the scan-ratio cost gate) fall back to the fused scan — exact either
-way.
+Conjunctive (And) sum trees prune too: a row can host an all-hit winner
+only if every span hits it (min over spans of bmaxf > 0) AND
+Σ_s w_s·ub_s[r] ≥ θ. θ for And comes from an exact HOST rescore of the
+top-C candidate rows by Σ ub (the grid pools are host numpy — unpacking
+a few hundred rows is microseconds): the k-th best actual all-hit score
+is a true lower bound of the k-th conjunctive score, so coverage holds
+by the same argument (score(d) ≤ Σ w_s·ub_s[row(d)] for any match d).
+The reference's analog is WAND-through-AND via BlockConjunction
+shallow_seek (conjunction.hpp:231-436).
+
+Deletes are handled upstream: the dense grid zeroes deleted docs' freqs
+at cache build (formats/dense.py), so row bounds, champion pairs and
+rescores are alive-only by construction.
+
+Ineligible shapes (k > 128, zero θ, weak pruning per the scan-ratio
+cost gate) fall back to the fused scan — exact either way.
 """
 
 from __future__ import annotations
@@ -43,7 +56,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from iresearch_tpu.formats.bitpack import BITS
-from iresearch_tpu.formats.spec import NUM_CLASSES
+from iresearch_tpu.formats.spec import BLOCK as BLOCK_L, NUM_CLASSES
 from iresearch_tpu.search.scorers import BM25, TFIDF, Scorer, score_block
 
 _IMAX32 = 2**31 - 1
@@ -217,6 +230,7 @@ class SkylineSpec:
     row_ids: np.ndarray  # i32 [M]
     avgdl: float
     k: int
+    conj: bool = False  # And tree: match = all spans hit (min-agg)
 
     def signature(self) -> tuple:
         return (
@@ -225,6 +239,7 @@ class SkylineSpec:
             len(self.row_ids),
             self.ndrows,
             self.k,
+            self.conj,
         )
 
 
@@ -233,27 +248,76 @@ def _scorer_supported(scorer: Scorer) -> bool:
     return isinstance(scorer, (BM25, TFIDF))
 
 
+# candidate rows host-rescored exactly to derive the conjunctive θ
+CONJ_THETA_SAMPLE = int(os.environ.get("IRS_SKYLINE_CONJ_SAMPLE", "512"))
+
+
+def _host_conj_theta(ski, fp, spans, ws, rows, scorer, avgdl, k) -> float:
+    """k-th best EXACT conjunctive score over the given grid rows,
+    computed on host from the numpy grid pools (0.0 when < k matches).
+
+    Every value returned is the score of a real all-hit doc, so it is a
+    true lower bound of the k-th conjunctive score — the And analog of
+    the Or path's champion-pair lb_top (deletes are already zeroed out
+    of the grid at cache build)."""
+    from iresearch_tpu.formats.bitpack import unpack_blocks
+
+    cache = ski.cache
+    C = len(rows)
+    if C == 0:
+        return 0.0
+    idx = rows[:, None].astype(np.int64) * BLOCK_L + np.arange(BLOCK_L)
+    norms = fp.norms
+    dl = np.ones((C, BLOCK_L), np.float32)
+    valid = idx < len(norms)
+    dl[valid] = np.maximum(norms[idx[valid]], 1).astype(np.float32)
+    score = np.zeros((C, BLOCK_L), np.float32)
+    fmin = None
+    for ds, w in zip(spans, ws):
+        f = unpack_blocks(
+            cache.pools[ds.cls][ds.start + rows], BITS[ds.cls]
+        ).astype(np.float32)
+        score += score_block(
+            scorer, np.float32(w), f, dl, np.float32(avgdl), xp=np
+        )
+        fmin = f if fmin is None else np.minimum(fmin, f)
+    hits = score[fmin > 0.0]
+    if len(hits) < k:
+        return 0.0
+    return float(-np.partition(-hits, k - 1)[k - 1])
+
+
 def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
     """Compute the survivor schedule for an eligible plan, else None.
 
-    Eligibility: single-leaf disjunctive sum tree whose spans are all
-    dense-grid resident in ONE field (scan_shape == "or"), no deletes,
-    1 ≤ k ≤ K_MAX, supported scorer, positive θ, strong enough pruning
-    (the scan-ratio cost gate).
+    Eligibility: single-leaf disjunctive sum tree OR all-leaf
+    conjunctive sum tree whose spans are all dense-grid resident in ONE
+    field (scan_shape "or"/"and"), 1 ≤ k ≤ K_MAX, supported scorer,
+    positive θ, strong enough pruning (the scan-ratio cost gate).
+    Deletes are baked into the grid (formats/dense.py), so no gate here.
     """
     from iresearch_tpu.exec.executor import scan_shape
 
     if not (1 <= k <= K_MAX) or not _scorer_supported(scorer):
         return None
-    if scan_shape(plan) != "or" or sr.has_deletes:
+    shape = scan_shape(plan)
+    if shape not in ("or", "and"):
         return None
     spans = plan.dense_spans
     fields = {ds.field_name for ds in spans}
     if len(fields) != 1:
         return None
     fname = next(iter(fields))
-    scored = [ds for ds in spans if ds.w > 0.0]
-    if not scored or any(ds.w < 0.0 for ds in spans):
+    if any(ds.w < 0.0 for ds in spans):
+        return None
+    if shape == "or":
+        # unscored (w=0) spans can only add score-0 matches, which a
+        # positive θ already excludes from the top-k
+        scored = [ds for ds in spans if ds.w > 0.0]
+    else:
+        # a conjunction's every span gates matches, scored or not
+        scored = list(spans)
+    if not scored:
         return None
     # canonical span order: the sum over spans is order-free (device vs
     # oracle float-reorder is covered by the rtol gate), and sorting by
@@ -263,15 +327,38 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
     ski = sr.skyline_index(fname, scorer, scored[0].avgdl)
     if ski is None:
         return None
-    theta = ski.theta(scored, k)
-    if not (theta > 0.0):
-        return None
-    # float-order guard: host θ vs device-exact scores can differ by ulp
-    theta_eps = theta * (1.0 - 1e-5) - 1e-30
     S = len(scored)
     ndrows = scored[0].ndrows
     ws = [float(ds.w) for ds in scored]
-    rows = ski.survivors(scored, ws, theta_eps)
+    if shape == "or":
+        theta = ski.theta(scored, k)
+        if not (theta > 0.0):
+            return None
+        # float-order guard: host θ vs device scores can differ by ulp
+        theta_eps = theta * (1.0 - 1e-5) - 1e-30
+        rows = ski.survivors(scored, ws, theta_eps)
+    else:
+        # all-hit row mask: every span must hit the row
+        allhit = None
+        acc = np.zeros(ndrows, np.float32)
+        for ds, w in zip(scored, ws):
+            seg = slice(ds.start, ds.start + ndrows)
+            hit = ski.cache.bmaxf[ds.cls][seg] > 0
+            allhit = hit if allhit is None else (allhit & hit)
+            acc += np.float32(w) * ski.ub[ds.cls][seg]
+        cand = np.flatnonzero(allhit).astype(np.int32)
+        rows = cand
+        if len(cand) > 4 * k:
+            # θ from an exact host rescore of the top-C candidate rows
+            C = min(len(cand), max(CONJ_THETA_SAMPLE, 4 * k))
+            top = cand[np.argpartition(-acc[cand], C - 1)[:C]]
+            theta = _host_conj_theta(
+                ski, sr.data.fields[fname], scored, ws, top, scorer,
+                scored[0].avgdl, k,
+            )
+            if theta > 0.0:
+                theta_eps = theta * (1.0 - 1e-5) - 1e-30
+                rows = cand[acc[cand] >= np.float32(theta_eps)]
     M = min(_pow2(max(8, len(rows))), _pow2(ndrows))
     if len(rows) > SKYLINE_MAX_ROWS or M * SKYLINE_SCAN_RATIO > S * ndrows:
         return None
@@ -286,6 +373,7 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
         row_ids=padded,
         avgdl=float(scored[0].avgdl),
         k=k,
+        conj=shape == "and",
     )
 
 
@@ -301,6 +389,7 @@ def skyline_topk(
     span_bits: Tuple[int, ...],
     k: int,
     ndrows: int,
+    conj: bool = False,
 ):
     """Exact (vals f32 [k], docs i32 [k]) over the survivor rows only."""
     import jax.numpy as jnp
@@ -326,7 +415,9 @@ def skyline_topk(
             jnp.int32
         ).astype(jnp.float32)
         score = score + score_block(scorer, ws[s], f, dl, avgdl, xp=jnp)
-        fagg = f if fagg is None else fagg + f
+        fagg = f if fagg is None else (
+            jnp.minimum(fagg, f) if conj else fagg + f
+        )
     lane = jnp.arange(BLOCK, dtype=jnp.int32)
     match = (fagg > 0.0) & (~parked)[:, None]
     docs = jnp.where(
@@ -350,6 +441,7 @@ def skyline_topk_batch(
     span_bits: Tuple[int, ...],
     k: int,
     ndrows: int,
+    conj: bool = False,
 ):
     """Batched skyline_topk: per-query (vals [Q, k], docs [Q, k]).
 
@@ -383,7 +475,9 @@ def skyline_topk_batch(
         score = score + score_block(
             scorer, ws_b[:, s, None, None], f, dl, avgdl, xp=jnp
         )
-        fagg = f if fagg is None else fagg + f
+        fagg = f if fagg is None else (
+            jnp.minimum(fagg, f) if conj else fagg + f
+        )
     lane = jnp.arange(BLOCK, dtype=jnp.int32)
     match = (fagg > 0.0) & (~parked)[:, :, None]
     docs = jnp.where(

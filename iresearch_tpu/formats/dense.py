@@ -73,11 +73,22 @@ class DenseCache:
     host_bytes: int = 0
 
 
-def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
+def build_dense_cache(
+    fp: FieldPostings, num_docs: int, alive: Optional[np.ndarray] = None
+) -> Optional[DenseCache]:
     """Select high-df terms and repack their freqs in doc-grid order.
 
     Returns None when the field has no qualifying terms or the doc axis
     is too small to align to 128-lane rows (pad_docs(nd) % 128 != 0).
+
+    ``alive`` (bool [num_docs], from the snapshot's doc mask) zeroes
+    deleted docs' freqs at build: grid lanes of dead docs carry freq 0,
+    so every grid consumer — fused scan, skyline survivor rows, gridmix
+    probes, WAND row bounds — excludes deletions for free (the
+    reference's WAND composes with doc masks the same way,
+    /root/reference/core/formats/formats_10.cpp:2426+ over masked
+    iterators). The cache is per SegmentReader snapshot, whose mask is
+    immutable, so baking it in is sound.
     """
     nd_pad = pad_docs(num_docs)
     if nd_pad % BLOCK != 0:
@@ -162,6 +173,9 @@ def build_dense_cache(fp: FieldPostings, num_docs: int) -> Optional[DenseCache]:
             start = 1 + i * ndrows
             grid[:] = 0
             docs, freqs = decode_term(fp, tid)
+            if alive is not None:
+                keep = alive[docs.astype(np.int64)]
+                docs, freqs = docs[keep], freqs[keep]
             grid.reshape(-1)[docs.astype(np.int64)] = freqs
             packed[start : start + ndrows] = pack_blocks(grid, BITS[c])
             bm[start : start + ndrows] = grid.max(axis=1)

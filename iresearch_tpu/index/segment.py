@@ -382,7 +382,12 @@ class SegmentReader:
         if fp is not None:
             from iresearch_tpu.formats.dense import build_dense_cache
 
-            cache = build_dense_cache(fp, self.num_docs)
+            # deleted docs are zeroed at build: grid consumers (fused
+            # scan, skyline, gridmix probes) then need no alive mask
+            cache = build_dense_cache(
+                fp, self.num_docs,
+                alive=self._alive if self.has_deletes else None,
+            )
         self._dense[field_name] = cache
         return cache
 

@@ -47,104 +47,6 @@ def _pow2(n: int) -> int:
     return p
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "mesh", "tree", "gbits", "scorer", "num_leaves", "k", "nd", "per_shard"
-    ),
-)
-def _sharded_topk(
-    pools_st,  # per group: (doc_words [S,R,4b], freq_words [S,Rf,4b], base [S,R], norms [S,nd])
-    rowsets_st,  # per group: (rows_d [S,R], rows_f [S,R], w [S,R], leaf [S,R])
-    avgdl,  # f32 [G] (replicated)
-    leaf_min,  # i32 [L] (replicated)
-    aux_match,  # bool [S, A, nd] or None
-    aux_score,  # f32 [S, A, nd] or None
-    alive_st,  # bool [S, nd]
-    doc_base,  # i32 [S]
-    *,
-    mesh,
-    tree,
-    gbits,
-    scorer: Scorer,
-    num_leaves: int,
-    k: int,
-    nd: int,
-    per_shard: int,
-):
-    import jax.numpy as jnp
-    from jax import lax
-    from jax.sharding import PartitionSpec as P
-
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-    def local(pools_l, rowsets_l, aux_m_l, aux_s_l, alive_l, base_l):
-        vals_l = []
-        docs_l = []
-        for s in range(per_shard):
-            pools_s = tuple(
-                tuple(a[s] for a in pool) for pool in pools_l
-            )
-            rowsets_s = tuple(
-                tuple(r[s] for r in rs) for rs in rowsets_l
-            )
-            am = None if aux_m_l is None else aux_m_l[s]
-            asc = None if aux_s_l is None else aux_s_l[s]
-            match, score = segment_body(
-                pools_s,
-                rowsets_s,
-                avgdl,
-                leaf_min,
-                am,
-                asc,
-                alive_l[s],
-                tree=tree,
-                gbits=gbits,
-                scorer=scorer,
-                num_leaves=num_leaves,
-                nd=nd,
-            )
-            masked = jnp.where(match, score, _NEG_INF)
-            from iresearch_tpu.ops.topk import wide_top_k
-
-            v, d = wide_top_k(masked, k)
-            vals_l.append(v)
-            docs_l.append(d + base_l[s])
-        vals = jnp.concatenate(vals_l)
-        docs = jnp.concatenate(docs_l)
-        # ICI merge: gather all shards' candidates, identical re-rank everywhere
-        vals_all = lax.all_gather(vals, AXIS).reshape(-1)
-        docs_all = lax.all_gather(docs, AXIS).reshape(-1)
-        order = jnp.lexsort((docs_all, -vals_all))
-        top = order[:k]
-        return vals_all[top], docs_all[top]
-
-    sh = P(AXIS)
-    in_specs = (
-        tuple(tuple(sh for _ in pool) for pool in pools_st),
-        tuple(tuple(sh for _ in rs) for rs in rowsets_st),
-        sh,
-        sh,
-        sh,
-        sh,
-    )
-
-    kw = dict(mesh=mesh, in_specs=in_specs, out_specs=(P(), P()))
-    # the replicated-output check kwarg was renamed across jax versions
-    for flag in ("check_vma", "check_rep"):
-        try:
-            fn = shard_map(local, **kw, **{flag: False})
-            break
-        except TypeError:
-            continue
-    else:
-        fn = shard_map(local, **kw)
-    return fn(pools_st, rowsets_st, aux_match, aux_score, alive_st, doc_base)
-
-
 class ShardedSearcher:
     """Shards a reader's segments across a 1-D mesh and runs exact top-k.
 
@@ -731,113 +633,23 @@ class ShardedSearcher:
     def search_arrays(self, flt: F.Filter, scorer: Optional[Scorer], k: int):
         return self.prepare(flt, scorer).run(k)
 
-    def prepare(self, flt: F.Filter, scorer: Optional[Scorer] = None):
+    def prepare(
+        self,
+        flt: F.Filter,
+        scorer: Optional[Scorer] = None,
+        wand: bool = False,
+        k_max: int = 128,
+    ) -> "PreparedShardedQuery":
         """Compile + upload once; the returned query re-runs dispatch-only
-        (reference analog: filter::prepare caching per-segment state)."""
-        import jax.numpy as jnp
+        (reference analog: filter::prepare caching per-segment state).
 
-        scorer = scorer or BM25()
-        prepared = HostQuery(flt, self.segments, scorer)
-        compiler = PlanCompiler(prepared, scorer)
-        plans = [
-            compiler.compile(
-                flt, s, device_phrase=False, modes=False, dense=False,
-                scored_only=False,  # run(k) takes any k on this path
-            )
-            for s in range(len(self.segments))
-        ]
-        tree = plans[0].tree
-        num_leaves = plans[0].num_leaves
-        leaf_min = plans[0].leaf_min_match
-
-        # union of (field, dcls, fcls, ncls) groups over all shards
-        keys = sorted(
-            {
-                (g.field_name, g.dcls, g.fcls, g.ncls)
-                for p in plans
-                for g in p.groups
-            }
-        )
-        G = len(keys)
-        rmax = {kk: 8 for kk in keys}
-        for p in plans:
-            for g in p.groups:
-                kk = (g.field_name, g.dcls, g.fcls, g.ncls)
-                rmax[kk] = max(rmax[kk], len(g.rows_d))
-        pools_st = []
-        rowsets_st = []
-        gbits = []
-        avgdl = np.ones(max(G, 1), np.float32)
-        for gi, (fname, dcls, fcls, ncls) in enumerate(keys):
-            doc_cls, freq_cls, nrm_cls, norms = self._field_pools(fname)
-            doc_words, base = doc_cls[dcls]
-            (freq_words,) = freq_cls[fcls]
-            (nrm_words,) = nrm_cls[ncls] if ncls >= 0 else freq_cls[fcls]
-            pools_st.append((doc_words, freq_words, nrm_words, base, norms))
-            gbits.append((BITS[dcls], BITS[fcls], BITS[ncls] if ncls >= 0 else -1))
-            R = _pow2(rmax[(fname, dcls, fcls, ncls)])
-            rows_d = np.zeros((self.S, R), np.int32)
-            rows_f = np.zeros((self.S, R), np.int32)
-            rows_n = np.zeros((self.S, R), np.int32)
-            w = np.zeros((self.S, R), np.float32)
-            leaf = np.zeros((self.S, R), np.int32)
-            for i, p in enumerate(plans):
-                for gi2, g in enumerate(p.groups):
-                    if (g.field_name, g.dcls, g.fcls, g.ncls) == (
-                        fname, dcls, fcls, ncls,
-                    ):
-                        rows_d[i, : len(g.rows_d)] = g.rows_d
-                        rows_f[i, : len(g.rows_f)] = g.rows_f
-                        rows_n[i, : len(g.rows_n)] = g.rows_n
-                        w[i, : len(g.weight)] = g.weight
-                        leaf[i, : len(g.leaf)] = g.leaf
-                        avgdl[gi] = p.group_avgdl[gi2]
-            rowsets_st.append(
-                (
-                    self._put(rows_d, 2),
-                    self._put(rows_f, 2),
-                    self._put(rows_n, 2),
-                    self._put(w, 2),
-                    self._put(leaf, 2),
-                )
-            )
-
-        # aux arrays are always materialized (A >= 1) so the shard_map
-        # argument structure is static; unused aux inputs are DCE'd by XLA.
-        A = max(
-            [1]
-            + [(0 if p.aux_match is None else p.aux_match.shape[0]) for p in plans]
-        )
-        am = np.zeros((self.S, A, self.nd_pad), np.bool_)
-        asc = np.zeros((self.S, A, self.nd_pad), np.float32)
-        for i, p in enumerate(plans):
-            if p.aux_match is not None:
-                am[i, : p.aux_match.shape[0], : p.aux_match.shape[1]] = p.aux_match
-                asc[i, : p.aux_score.shape[0], : p.aux_score.shape[1]] = p.aux_score
-        am = self._put(am, 3)
-        asc = self._put(asc, 3)
-
+        Routes through the SAME machinery as prepare_many with Q=1
+        (VERDICT r3 item 4): prepared single queries get the dense-grid /
+        gridmix / sort tiers and uniform cross-shard layout instead of
+        the O(nd)-fold special case. ``k_max`` bounds scored-only
+        multiterm plans (run(k) rejects k beyond it)."""
         return PreparedShardedQuery(
-            self,
-            args=(
-                tuple(pools_st),
-                tuple(rowsets_st),
-                jnp.asarray(avgdl),
-                jnp.asarray(leaf_min),
-                am,
-                asc,
-                self._alive,
-                self._put(self._doc_base, 1),
-            ),
-            statics=dict(
-                mesh=self.mesh,
-                tree=tree,
-                gbits=tuple(gbits),
-                scorer=scorer,
-                num_leaves=num_leaves,
-                nd=self.nd_pad,
-                per_shard=self.per_shard,
-            ),
+            self.prepare_many([flt], scorer, wand=wand, k_max=k_max)
         )
 
 
@@ -1095,24 +907,18 @@ class PreparedShardedBatch:
 
 
 class PreparedShardedQuery:
-    """Device-resident sharded query: run(k) is dispatch-only."""
+    """Device-resident sharded query: run(k) is dispatch-only.
 
-    def __init__(self, searcher: "ShardedSearcher", args, statics) -> None:
-        self.searcher = searcher
-        self._args = args
-        self._statics = statics
+    Thin Q=1 view over PreparedShardedBatch — single prepared queries use
+    the identical execution tiers as the batched path."""
+
+    def __init__(self, batch: "PreparedShardedBatch") -> None:
+        self._batch = batch
+        self.searcher = batch.searcher
 
     def run(self, k: int):
         """(scores f32[k], global docs i32[k]) jax arrays, replicated."""
-        return _sharded_topk(
-            *self._args, k=min(k, self.searcher.nd_pad), **self._statics
-        )
+        return self._batch.run(k)[0]
 
     def top_k(self, k: int) -> List[Tuple[int, float]]:
-        vals, docs = self.run(k)
-        out = []
-        for v, d in zip(np.asarray(vals), np.asarray(docs)):
-            if math.isinf(v) and v < 0:
-                continue
-            out.append((int(d), float(v)))
-        return out
+        return self._batch.top_k(k)[0]
