@@ -243,6 +243,20 @@ def main():
     # (scripts/search-benchmark.sh:10-25 --scored-terms-limit 16)
     extras = [
         ("Phrase", F.ByPhrase("body", [term_at(30), term_at(31)])),
+        # conjunction tail (VERDICT r4 item 1: the 5M table must include
+        # AndHigh*): skyline-And / conj fused scan territory
+        (
+            "AndHighHigh",
+            F.And(F.ByTerm("body", term_at(3)), F.ByTerm("body", term_at(5))),
+        ),
+        (
+            "AndHighMed",
+            F.And(F.ByTerm("body", high[1]), F.ByTerm("body", med[1])),
+        ),
+        (
+            "AndHighLow",
+            F.And(F.ByTerm("body", high[2]), F.ByTerm("body", low[2])),
+        ),
         ("Prefix", F.ByPrefix("body", "t01", scored_terms_limit=16)),
         (
             "Fuzzy1",

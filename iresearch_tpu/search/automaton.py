@@ -130,6 +130,166 @@ def wildcard_dfa(pattern: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     return trans, accept
 
 
+def _nfa_to_dfa(
+    trans: List[List[Tuple[object, int]]],
+    eps: List[List[int]],
+    accepts: FrozenSet[int],
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Generic subset construction with ε-closure over a byte NFA.
+
+    ``trans[s]`` holds ((byte_lo, byte_hi), dst) range edges; ``eps[s]``
+    ε-destinations; a subset accepts iff its closure meets ``accepts``.
+    Returns (trans u16 [S, 256], accept bool [S]) or None past the state
+    budget."""
+
+    def closure(states: FrozenSet[int]) -> FrozenSet[int]:
+        seen = set(states)
+        stack = list(states)
+        while stack:
+            s = stack.pop()
+            for d in eps[s]:
+                if d not in seen:
+                    seen.add(d)
+                    stack.append(d)
+        return frozenset(seen)
+
+    start = closure(frozenset([0]))
+    index: Dict[FrozenSet[int], int] = {start: 0}
+    order: List[FrozenSet[int]] = [start]
+    rows: List[np.ndarray] = []
+    qi = 0
+    while qi < len(order):
+        cur = order[qi]
+        qi += 1
+        dst_sets: List[set] = [set() for _ in range(256)]
+        for s in cur:
+            for (lo, hi), d in trans[s]:
+                for b in range(lo, hi + 1):
+                    dst_sets[b].add(d)
+        row = np.full(256, 0xFFFF, np.uint16)
+        memo: Dict[FrozenSet[int], int] = {}
+        for b in range(256):
+            if not dst_sets[b]:
+                continue
+            raw = frozenset(dst_sets[b])
+            j = memo.get(raw)
+            if j is None:
+                key = closure(raw)
+                j = index.get(key)
+                if j is None:
+                    j = len(order)
+                    if j >= _MAX_DFA_STATES:
+                        return None
+                    index[key] = j
+                    order.append(key)
+                memo[raw] = j
+            row[b] = j
+        rows.append(row)
+    dfa = np.stack(rows)
+    accept = np.asarray(
+        [bool(st & accepts) for st in order], np.bool_
+    )
+    return dfa, accept
+
+
+# UTF-8 "any one character" byte fragment, shared by `_` and the
+# Levenshtein any-char edges
+_UTF8_ANY = (
+    ((0x00, 0x7F),),
+    ((0xC2, 0xDF), (0x80, 0xBF)),
+    ((0xE0, 0xEF), (0x80, 0xBF), (0x80, 0xBF)),
+    ((0xF0, 0xF4), (0x80, 0xBF), (0x80, 0xBF), (0x80, 0xBF)),
+)
+
+
+def levenshtein_dfa(
+    target: str,
+    max_d: int,
+    with_transpositions: bool = False,
+    prefix: bytes = b"",
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(Damerau-)Levenshtein byte DFA: accepts exactly the UTF-8 strings
+    ``prefix + s`` with edit_distance(s, target) <= max_d.
+
+    The reference intersects a parametric Levenshtein automaton with the
+    term index (core/search/levenshtein_filter.cpp:47-52,
+    core/utils/levenshtein_utils.cpp); this is the classic (i, e)
+    position NFA — match / substitute / insert / delete / (restricted)
+    transpose — UTF-8 byte-expanded and determinized, feeding the same
+    native sorted-dictionary intersection as wildcard. None when the
+    subset construction exceeds the state budget (caller falls back to
+    the banded DP)."""
+    q = [ord(c) for c in target]
+    Q = len(q)
+    trans: List[List[Tuple[Tuple[int, int], int]]] = []
+    eps: List[List[int]] = []
+
+    def new_state() -> int:
+        trans.append([])
+        eps.append([])
+        return len(trans) - 1
+
+    # core grid states first so ids are dense: pos(i, e)
+    grid: Dict[Tuple[int, int], int] = {}
+    # state 0 must be the NFA start: allocate a start chain for the
+    # prefix bytes leading into pos(0, 0)
+    start = new_state()
+    cur = start
+    for b in prefix:
+        nxt = new_state()
+        trans[cur].append(((b, b), nxt))
+        cur = nxt
+    for e in range(max_d + 1):
+        for i in range(Q + 1):
+            grid[(i, e)] = new_state()
+    if prefix:
+        eps[cur].append(grid[(0, 0)])
+    else:
+        eps[start].append(grid[(0, 0)])
+
+    def char_edge(src: int, cp: int, dst: int) -> None:
+        bs = chr(cp).encode("utf-8")
+        c2 = src
+        for b in bs[:-1]:
+            mid = new_state()
+            trans[c2].append(((b, b), mid))
+            c2 = mid
+        trans[c2].append(((bs[-1], bs[-1]), dst))
+
+    def any_edge(src: int, dst: int) -> None:
+        for branch in _UTF8_ANY:
+            c2 = src
+            for lo, hi in branch[:-1]:
+                mid = new_state()
+                trans[c2].append(((lo, hi), mid))
+                c2 = mid
+            lo, hi = branch[-1]
+            trans[c2].append(((lo, hi), dst))
+
+    for e in range(max_d + 1):
+        for i in range(Q + 1):
+            s = grid[(i, e)]
+            if i < Q:
+                char_edge(s, q[i], grid[(i + 1, e)])  # match
+            if e < max_d:
+                any_edge(s, grid[(i, e + 1)])  # insertion
+                if i < Q:
+                    any_edge(s, grid[(i + 1, e + 1)])  # substitution
+                    eps[s].append(grid[(i + 1, e + 1)])  # deletion
+                if with_transpositions and i + 1 < Q:
+                    mid = new_state()
+                    char_edge(s, q[i + 1], mid)
+                    char_edge(mid, q[i], grid[(i + 2, e + 1)])
+    # accept: (i, e) completable by deletions alone — Q - i <= max_d - e
+    accepts = frozenset(
+        grid[(i, e)]
+        for e in range(max_d + 1)
+        for i in range(Q + 1)
+        if Q - i <= max_d - e
+    )
+    return _nfa_to_dfa(trans, eps, accepts)
+
+
 def dfa_matches_python(
     trans: np.ndarray, accept: np.ndarray, terms, lo: int, hi: int
 ) -> List[int]:

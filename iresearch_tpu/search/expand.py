@@ -296,39 +296,97 @@ def expand_leaf(flt: F.Filter, segments: List[SegmentReader]) -> LeafExpansion:
         by_term: Dict[bytes, List[TermHit]] = {}
         boosts: Dict[bytes, float] = {}
         full_prefix = flt.prefix
+        # Levenshtein byte-DFA (search/automaton.py:levenshtein_dfa): the
+        # native sorted-dictionary intersection visits only reachable
+        # subtrees — sublinear in |dict| — instead of running the banded
+        # DP over the whole length-filtered candidate band (reference:
+        # levenshtein_filter.cpp:47-52 intersects a parametric DFA with
+        # the term index). d > 2 keeps the DP (DFA state blowup).
+        lev_dfa = None
+        if flt.max_distance <= 2:
+            from iresearch_tpu.search.automaton import levenshtein_dfa
+
+            lev_dfa = levenshtein_dfa(
+                target, flt.max_distance, flt.with_transpositions,
+                prefix=full_prefix,
+            )
         for s, sr in enumerate(segments):
             fp = sr.field(flt.field)
             if fp is None:
                 continue
+            all_terms = sr.terms(flt.field)
             lo, hi = (
                 sr.term_prefix_range(flt.field, full_prefix)
                 if full_prefix
-                else (0, len(sr.terms(flt.field)))
+                else (0, len(all_terms))
             )
-            terms = sr.terms(flt.field)[lo:hi]
-            # suffix after the fixed prefix is what distance applies to
-            cands = [
-                t[len(full_prefix) :].decode("utf-8", "replace") for t in terms
-            ]
-            lens = np.fromiter((len(c) for c in cands), np.int64, count=len(cands))
-            pre = np.flatnonzero(np.abs(lens - len(target)) <= flt.max_distance)
-            if len(pre) == 0:
+            tids = None
+            if lev_dfa is not None:
+                from iresearch_tpu import native
+
+                tids = native.dfa_intersect(
+                    fp.term_blob,
+                    fp.term_offsets.astype(np.int64),
+                    lo,
+                    hi,
+                    lev_dfa[0],
+                    lev_dfa[1],
+                )
+            if tids is not None:
+                # survivors only: exact distances (for the similarity
+                # boost) over the tiny DFA-matched set
+                tid_list = [int(t) for t in tids]
+                terms_sel = [all_terms[t] for t in tid_list]
+                cands_sel = [
+                    t[len(full_prefix):].decode("utf-8", "replace")
+                    for t in terms_sel
+                ]
+            else:
+                if hi > lo:
+                    from iresearch_tpu.utils.metrics import registry
+
+                    registry().counter(
+                        "irs_fuzzy_band_fallback",
+                        hi - lo,
+                        help_="fuzzy candidates scanned by the banded DP "
+                        "because the Levenshtein DFA path was unavailable "
+                        "(d > 2, state budget, or no native lib)",
+                    )
+                terms = all_terms[lo:hi]
+                # suffix after the fixed prefix carries the distance
+                cands = [
+                    t[len(full_prefix):].decode("utf-8", "replace")
+                    for t in terms
+                ]
+                lens = np.fromiter(
+                    (len(c) for c in cands), np.int64, count=len(cands)
+                )
+                pre = np.flatnonzero(
+                    np.abs(lens - len(target)) <= flt.max_distance
+                )
+                if len(pre) == 0:
+                    continue
+                tid_list = [lo + int(i) for i in pre]
+                terms_sel = [terms[int(i)] for i in pre]
+                cands_sel = [cands[int(i)] for i in pre]
+            if not tid_list:
                 continue
             dists = levenshtein_distances(
-                [cands[i] for i in pre],
+                cands_sel,
                 target,
                 flt.with_transpositions,
                 max_d=flt.max_distance,
             )
             ok = np.flatnonzero(dists <= flt.max_distance)
             for k in ok:
-                idx = int(pre[k])
-                term = terms[idx]
-                d = int(dists[k])
-                size = min(len(cands[idx]), len(target)) or 1
+                idx = int(k)
+                term = terms_sel[idx]
+                d = int(dists[idx])
+                size = min(len(cands_sel[idx]), len(target)) or 1
                 boost = 1.0 - d / size if d else 1.0
+                tid = tid_list[idx]
                 hit = TermHit(
-                    s, lo + idx, _df_of(sr, flt.field, lo + idx), boost, term
+                    s, tid, _df_of(sr, flt.field, tid), boost, term
                 )
                 by_term.setdefault(term, []).append(hit)
                 boosts[term] = max(boosts.get(term, 0.0), boost)

@@ -91,6 +91,114 @@ def test_subrange_intersection():
     assert list(got) == want
 
 
+def _brute_dl(a: str, b: str, transpositions: bool) -> int:
+    """Reference (Damerau-)Levenshtein distance, O(|a||b|)."""
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                transpositions
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+@pytest.mark.parametrize("transpositions", [False, True], ids=["lev", "dam"])
+@pytest.mark.parametrize("d", [1, 2])
+def test_levenshtein_dfa_equals_dp(rng, d, transpositions):
+    """The Levenshtein byte DFA accepts EXACTLY the terms within
+    distance d of the target — verified against a brute-force DP over a
+    random multi-byte dictionary (reference parity:
+    levenshtein_filter.cpp DFA x term-index intersection)."""
+    from iresearch_tpu.search.automaton import levenshtein_dfa
+
+    alphabet = "abcé日"
+    terms = [
+        "".join(
+            alphabet[int(x)]
+            for x in rng.integers(0, len(alphabet), size=rng.integers(0, 7))
+        )
+        for _ in range(400)
+    ]
+    terms_b, blob, offs = _dict(terms)
+    targets = ["abc", "é日a", "", "aaaa", "cbca", "日日"]
+    for tgt in targets:
+        dfa = levenshtein_dfa(tgt, d, transpositions)
+        assert dfa is not None
+        want = [
+            i
+            for i, t in enumerate(terms_b)
+            if _brute_dl(t.decode("utf-8"), tgt, transpositions) <= d
+        ]
+        got = native.dfa_intersect(blob, offs, 0, len(terms_b), dfa[0], dfa[1])
+        if got is None:
+            got = dfa_matches_python(
+                dfa[0], dfa[1], terms_b, 0, len(terms_b)
+            )
+        assert list(got) == want, (tgt, d, transpositions)
+
+
+def test_levenshtein_dfa_prefix(rng):
+    """flt.prefix bytes are matched exactly before the fuzzy suffix."""
+    from iresearch_tpu.search.automaton import levenshtein_dfa
+
+    terms = ["preabc", "preabd", "prabc", "preaxd", "pre", "preab"]
+    terms_b, blob, offs = _dict(terms)
+    dfa = levenshtein_dfa("abc", 1, False, prefix=b"pre")
+    want = [
+        i
+        for i, t in enumerate(terms_b)
+        if t.startswith(b"pre")
+        and _brute_dl(t[3:].decode(), "abc", False) <= 1
+    ]
+    got = dfa_matches_python(dfa[0], dfa[1], terms_b, 0, len(terms_b))
+    assert list(got) == want
+
+
+def test_fuzzy_expansion_uses_dfa(rng):
+    """ByEditDistance expansion through expand_leaf matches the banded-DP
+    band path exactly (same hits, same boosts) and engages the DFA."""
+    from iresearch_tpu.index.reader import DirectoryReader
+    from iresearch_tpu.index.writer import Field, IndexWriter
+    from iresearch_tpu.search import filters as F
+    from iresearch_tpu.search.expand import expand_leaf
+    from iresearch_tpu.search import automaton as am
+    from iresearch_tpu.store.directory import MemoryDirectory
+
+    words = ["cat", "cut", "cart", "chart", "dog", "dig", "doge", "日本", "日木"]
+    d = MemoryDirectory()
+    with IndexWriter(d) as w:
+        for i, word in enumerate(words * 3):
+            w.insert([Field("body", word, analyzer="segmentation")])
+        w.commit()
+    r = DirectoryReader.open(d)
+    for term, dist in [(b"cat", 1), (b"dog", 2), ("日本".encode(), 1)]:
+        flt = F.ByEditDistance("body", term, max_distance=dist)
+        exp = expand_leaf(flt, list(r.segments))
+        got = sorted(
+            (h.tid, round(h.boost, 6)) for h in exp.scored + exp.unscored
+        )
+        # band path: force the DFA off by failing its construction
+        import unittest.mock as mock
+
+        with mock.patch.object(am, "levenshtein_dfa", lambda *a, **k: None):
+            exp2 = expand_leaf(flt, list(r.segments))
+        want = sorted(
+            (h.tid, round(h.boost, 6)) for h in exp2.scored + exp2.unscored
+        )
+        assert got == want, (term, dist, got, want)
+
+
 def test_wildcard_filter_uses_dfa(rng):
     """End-to-end ByWildcard over an index stays regex-exact."""
     from iresearch_tpu.index.reader import DirectoryReader
