@@ -20,7 +20,6 @@ from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
 import regex as _regex
 
-from iresearch_tpu.analysis.porter2 import stem as porter2_stem
 from iresearch_tpu.analysis.token import Token
 
 # Unicode word segmentation: the reference uses ICU BreakIterator
@@ -120,10 +119,13 @@ class SegmentationAnalyzer(Analyzer):
 
 
 class TextAnalyzer(Analyzer):
-    """Segmentation + case fold + accent strip + stopwords + stemming.
+    """Segmentation + case + accent strip + locale stopwords + snowball
+    stemming + optional edge-ngram emission.
 
     Reference: text_token_stream.hpp:45-85 (ICU locale segmentation, case
-    folding, stopword removal, snowball stemming).
+    folding, locale stopword removal, snowball stemming; JSON options at
+    text_token_stream.cpp:423-429/802-811: locale, case, accent, stemming,
+    stopwords, stopwordsPath, edgeNgram{min,max,preserveOriginal}).
     """
 
     name = "text"
@@ -132,22 +134,52 @@ class TextAnalyzer(Analyzer):
         self,
         locale: str = "en",
         stopwords: Optional[Iterable[str]] = None,
+        stopwords_path: Optional[str] = None,
         stemming: bool = True,
         accent: bool = False,
+        case: str = "lower",
+        edge_ngram: Optional[dict] = None,
         no_stop_words: bool = False,
     ) -> None:
-        self._locale = locale.split(".")[0].split("_")[0].split("-")[0]
+        from iresearch_tpu.analysis import snowball as _snow
+        from iresearch_tpu.analysis.stopwords_data import STOPWORDS
+
+        if case not in ("lower", "none", "upper"):
+            raise ValueError(f"bad case option: {case}")
+        self._locale = _snow.normalize_locale(locale)
+        # stopword resolution order mirrors the reference
+        # (text_token_stream.cpp:262-284): explicit list + path = union of
+        # both; path only = from path (built-ins if the locale file is
+        # absent); neither = built-in per-locale defaults.
+        from iresearch_tpu.analysis.stopwords_data import load_stopwords_path
+
+        stop: Optional[frozenset] = None
         if stopwords is not None:
-            self._stopwords = frozenset(stopwords)
-        elif no_stop_words:
-            self._stopwords = frozenset()
-        else:
-            self._stopwords = ENGLISH_STOPWORDS if self._locale == "en" else frozenset()
-        self._stemming = stemming and self._locale == "en"
+            stop = frozenset(stopwords)
+        if stopwords_path:
+            stop = (stop or frozenset()) | load_stopwords_path(
+                stopwords_path, self._locale
+            )
+        if stop is None:
+            if no_stop_words:
+                stop = frozenset()
+            else:
+                stop = STOPWORDS.get(self._locale, frozenset())
+        self._stopwords = stop
+        self._stem = _snow.stemmer(locale) if stemming else None
         self._accent = accent  # True => keep accents
+        self._case = case
+        self._edge: Optional[tuple] = None
+        if edge_ngram:
+            mn = int(edge_ngram.get("min", 1))
+            mx = int(edge_ngram.get("max", mn))
+            self._edge = (mn, mx, bool(edge_ngram.get("preserveOriginal", False)))
 
     def _fold(self, w: str) -> str:
-        w = w.lower()
+        if self._case == "lower":
+            w = w.lower()
+        elif self._case == "upper":
+            w = w.upper()
         if not self._accent:
             w = "".join(
                 c for c in unicodedata.normalize("NFD", w) if not unicodedata.combining(c)
@@ -161,11 +193,24 @@ class TextAnalyzer(Analyzer):
             w = self._fold(m.group(0).strip("'"))
             if not w or w in self._stopwords:
                 continue
-            if self._stemming:
-                w = porter2_stem(w)
+            if self._stem is not None:
+                w = self._stem(w)
             if not w:
                 continue
-            out.append(Token(w.encode("utf-8"), pos, m.start(), m.end()))
+            if self._edge is None:
+                out.append(Token(w.encode("utf-8"), pos, m.start(), m.end()))
+            else:
+                # edge ngrams: prefixes of the (stemmed) token, all at the
+                # token's position (reference: search-ngram mode,
+                # text_token_stream.cpp:121)
+                mn, mx, preserve = self._edge
+                n = len(w)
+                emitted = False
+                for g in range(mn, min(mx, n) + 1):
+                    out.append(Token(w[:g].encode("utf-8"), pos, m.start(), m.end()))
+                    emitted = True
+                if (preserve and n > mx) or not emitted:
+                    out.append(Token(w.encode("utf-8"), pos, m.start(), m.end()))
             pos += 1
         return out
 
@@ -175,7 +220,10 @@ class NormAnalyzer(Analyzer):
 
     name = "norm"
 
-    def __init__(self, case: str = "lower", accent: bool = True) -> None:
+    def __init__(self, case: str = "lower", accent: bool = True, locale: str = "en") -> None:
+        # locale selects the ICU transliterator in the reference; Python's
+        # str.lower/upper are Unicode-default-mapping equivalents
+        self._locale = locale
         self._case = case
         self._accent = accent
 
@@ -193,15 +241,19 @@ class NormAnalyzer(Analyzer):
 
 
 class StemAnalyzer(Analyzer):
-    """Single-token stemming (reference: text_token_stemming_stream.hpp:42)."""
+    """Single-token locale-parameterized stemming (reference:
+    text_token_stemming_stream.hpp:42 — snowball by locale)."""
 
     name = "stem"
 
     def __init__(self, locale: str = "en") -> None:
-        self._locale = locale
+        from iresearch_tpu.analysis import snowball as _snow
+
+        self._locale = _snow.normalize_locale(locale)
+        self._stem = _snow.stemmer(locale) or (lambda w: w)
 
     def tokenize(self, text: str) -> List[Token]:
-        return [Token(porter2_stem(text.lower()).encode("utf-8"), 0, 0, len(text))]
+        return [Token(self._stem(text.lower()).encode("utf-8"), 0, 0, len(text))]
 
 
 class DelimiterAnalyzer(Analyzer):
@@ -439,11 +491,21 @@ register(
     lambda a: TextAnalyzer(
         locale=a.get("locale", "en"),
         stopwords=a.get("stopwords"),
+        stopwords_path=a.get("stopwordsPath"),
         stemming=a.get("stemming", True),
         accent=a.get("accent", False),
+        case=a.get("case", "lower"),
+        edge_ngram=a.get("edgeNgram"),
     ),
 )
-register("norm", lambda a: NormAnalyzer(case=a.get("case", "lower"), accent=a.get("accent", True)))
+register(
+    "norm",
+    lambda a: NormAnalyzer(
+        case=a.get("case", "lower"),
+        accent=a.get("accent", True),
+        locale=a.get("locale", "en"),
+    ),
+)
 register("stem", lambda a: StemAnalyzer(locale=a.get("locale", "en")))
 register("delimiter", lambda a: DelimiterAnalyzer(a.get("delimiter", ",")))
 register("multi_delimiter", lambda a: MultiDelimiterAnalyzer(a.get("delimiters", [","])))
