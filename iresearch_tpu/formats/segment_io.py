@@ -175,6 +175,116 @@ def _read_field_positions(r, key: str, entries: np.ndarray, fmt: str):
     return entries, pools
 
 
+def _read_field(r: BlobPackReader, fname: str, fm: dict, fmt: str) -> FieldPostings:
+    key = f"f.{fname}"
+    entries = r.array(f"{key}.entries")
+    entries2, pos_words = _read_field_positions(r, key, entries, fmt)
+    return FieldPostings(
+        term_blob=r.array(f"{key}.term_blob").tobytes(),
+        term_offsets=r.array(f"{key}.term_offsets"),
+        entries=entries2,
+        base=tuple(r.array(f"{key}.base{c}") for c in range(NUM_CLASSES)),
+        bmax=tuple(r.array(f"{key}.bmax{c}") for c in range(NUM_CLASSES)),
+        bmaxf=tuple(r.array(f"{key}.bmaxf{c}") for c in range(NUM_CLASSES)),
+        doc_words=tuple(r.array(f"{key}.docw{c}") for c in range(NUM_CLASSES)),
+        freq_words=tuple(r.array(f"{key}.freqw{c}") for c in range(NUM_CLASSES)),
+        norms=r.array(f"{key}.norms"),
+        nrm_words=(
+            tuple(r.array(f"{key}.nrmw{c}") for c in range(NUM_CLASSES))
+            if fmt in (FORMAT_V5, FORMAT_V6)
+            else None
+        ),
+        pos_words=pos_words,
+        docs_with_field=fm["docs_with_field"],
+        total_term_freq=fm["total_term_freq"],
+        features=IndexFeatures(fm["features"]),
+        offs_start=r.array(f"{key}.ostart") if f"{key}.ostart" in r else None,
+        offs_end=r.array(f"{key}.oend") if f"{key}.oend" in r else None,
+        pay_len=r.array(f"{key}.paylen") if f"{key}.paylen" in r else None,
+        pay_blob=(
+            r.array(f"{key}.payblob").tobytes()
+            if f"{key}.payblob" in r
+            else b""
+        ),
+    )
+
+
+def _read_column(
+    r: BlobPackReader, cname: str, cm: dict, num_docs: int, data_is_bytes: bool
+) -> Column:
+    from iresearch_tpu.store.codecs import get_compressor
+
+    key = f"c.{cname}"
+    codec = get_compressor(cm.get("codec", "none"))
+    docs = r.array(f"{key}.docs") if f"{key}.docs" in r else None
+    offsets = r.array(f"{key}.offsets") if f"{key}.offsets" in r else None
+    if cm.get("blocked"):
+        from iresearch_tpu.formats.columnstore import ColumnBlocks
+
+        return Column(
+            kind=cm["kind"],
+            docs=docs,
+            offsets=offsets,
+            blob=b"",
+            num_docs=num_docs,
+            blocks=ColumnBlocks(
+                # raw(): a point read faults in + decrypts ONE compression
+                # block, not the whole column payload
+                r.raw(f"{key}.cblocks"),
+                r.array(f"{key}.cboffs"),
+                offsets,
+                codec,
+                len(offsets) - 1,
+            ),
+        )
+    return Column(
+        kind=cm["kind"],
+        docs=docs,
+        offsets=offsets,
+        blob=(
+            codec.decompress(r.array(f"{key}.blob").tobytes())
+            if codec.name != "none"
+            # uncompressed payloads stay zero-copy views (lazy pages)
+            else r.array(f"{key}.blob").tobytes()
+            if data_is_bytes
+            else memoryview(r.array(f"{key}.blob"))
+        ),
+        num_docs=num_docs,
+    )
+
+
+class _LazyMap(dict):
+    """Dict whose values materialize on first access (encrypted mapped
+    opens: a segment open reads only the header; each field/column
+    decrypts when first touched). Subclasses dict so dataclass consumers
+    (iteration, ``in``, ``.get``, ``[]``, ``len``) work unchanged."""
+
+    def __init__(self, keys, build) -> None:
+        super().__init__({k: None for k in keys})
+        self._build = build
+        self._done: set = set()
+
+    def __getitem__(self, k):
+        if k not in self._done:
+            if k not in self:
+                raise KeyError(k)
+            super().__setitem__(k, self._build(k))
+            self._done.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        try:
+            return self[k]
+        except KeyError:
+            return default
+
+    def items(self):
+        return [(k, self[k]) for k in self]
+
+    def values(self):
+        return [self[k] for k in self]
+
+
 def read_segment(data, verify: bool = True) -> "SegmentData":  # noqa: F821
     """Open a segment over ``data`` (bytes or an mmap-backed buffer).
 
@@ -182,7 +292,12 @@ def read_segment(data, verify: bool = True) -> "SegmentData":  # noqa: F821
     (store/directory.py:MMapDirectory) the host pages fields in on first
     touch — the reference's mmap_directory + IOAdvice semantics
     (mmap_directory.hpp:33). ``verify=False`` skips the whole-file CRC
-    (which would fault in every page, defeating lazy opens)."""
+    (which would fault in every page, defeating lazy opens).
+
+    Over a lazy-decrypt buffer (store/codecs.py:LazyDecryptBuffer) the
+    open reads just the header, and each field/column decrypts on first
+    access — the reference's stream-granular encryption semantics
+    (encryption.hpp:56-116)."""
     from iresearch_tpu.index.segment import SegmentData
 
     r = BlobPackReader(data, verify=verify)
@@ -194,79 +309,18 @@ def read_segment(data, verify: bool = True) -> "SegmentData":  # noqa: F821
             f"{sorted(READABLE_FORMATS)} (reference analog: format "
             f"registry versions, formats.hpp:429-480)"
         )
-    fields: Dict[str, FieldPostings] = {}
-    for fname, fm in meta["fields"].items():
-        key = f"f.{fname}"
-        entries = r.array(f"{key}.entries")
-        entries2, pos_words = _read_field_positions(r, key, entries, fmt)
-        fields[fname] = FieldPostings(
-            term_blob=r.array(f"{key}.term_blob").tobytes(),
-            term_offsets=r.array(f"{key}.term_offsets"),
-            entries=entries2,
-            base=tuple(r.array(f"{key}.base{c}") for c in range(NUM_CLASSES)),
-            bmax=tuple(r.array(f"{key}.bmax{c}") for c in range(NUM_CLASSES)),
-            bmaxf=tuple(r.array(f"{key}.bmaxf{c}") for c in range(NUM_CLASSES)),
-            doc_words=tuple(r.array(f"{key}.docw{c}") for c in range(NUM_CLASSES)),
-            freq_words=tuple(r.array(f"{key}.freqw{c}") for c in range(NUM_CLASSES)),
-            norms=r.array(f"{key}.norms"),
-            nrm_words=(
-                tuple(r.array(f"{key}.nrmw{c}") for c in range(NUM_CLASSES))
-                if fmt in (FORMAT_V5, FORMAT_V6)
-                else None
-            ),
-            pos_words=pos_words,
-            docs_with_field=fm["docs_with_field"],
-            total_term_freq=fm["total_term_freq"],
-            features=IndexFeatures(fm["features"]),
-            offs_start=r.array(f"{key}.ostart") if f"{key}.ostart" in r else None,
-            offs_end=r.array(f"{key}.oend") if f"{key}.oend" in r else None,
-            pay_len=r.array(f"{key}.paylen") if f"{key}.paylen" in r else None,
-            pay_blob=(
-                r.array(f"{key}.payblob").tobytes()
-                if f"{key}.payblob" in r
-                else b""
-            ),
+    nd = meta["num_docs"]
+    data_is_bytes = isinstance(data, bytes)
+    fmeta, cmeta = meta["fields"], meta["columns"]
+    if r.lazy:
+        fields = _LazyMap(fmeta, lambda n: _read_field(r, n, fmeta[n], fmt))
+        columns = _LazyMap(
+            cmeta, lambda n: _read_column(r, n, cmeta[n], nd, data_is_bytes)
         )
-    from iresearch_tpu.store.codecs import get_compressor
-
-    columns: Dict[str, Column] = {}
-    for cname, cm in meta["columns"].items():
-        key = f"c.{cname}"
-        codec = get_compressor(cm.get("codec", "none"))
-        docs = r.array(f"{key}.docs") if f"{key}.docs" in r else None
-        offsets = (
-            r.array(f"{key}.offsets") if f"{key}.offsets" in r else None
-        )
-        if cm.get("blocked"):
-            from iresearch_tpu.formats.columnstore import ColumnBlocks
-
-            columns[cname] = Column(
-                kind=cm["kind"],
-                docs=docs,
-                offsets=offsets,
-                blob=b"",
-                num_docs=meta["num_docs"],
-                blocks=ColumnBlocks(
-                    r.array(f"{key}.cblocks"),
-                    r.array(f"{key}.cboffs"),
-                    offsets,
-                    codec,
-                    len(offsets) - 1,
-                ),
-            )
-            continue
-        columns[cname] = Column(
-            kind=cm["kind"],
-            docs=docs,
-            offsets=offsets,
-            blob=(
-                codec.decompress(r.array(f"{key}.blob").tobytes())
-                if codec.name != "none"
-                # uncompressed payloads stay zero-copy views (lazy pages)
-                else r.array(f"{key}.blob").tobytes()
-                if isinstance(data, bytes)
-                else memoryview(r.array(f"{key}.blob"))
-            ),
-            num_docs=meta["num_docs"],
-        )
-    return SegmentData(num_docs=meta["num_docs"], fields=fields, columns=columns)
+    else:
+        fields = {n: _read_field(r, n, fm, fmt) for n, fm in fmeta.items()}
+        columns = {
+            n: _read_column(r, n, cm, nd, data_is_bytes)
+            for n, cm in cmeta.items()
+        }
+    return SegmentData(num_docs=nd, fields=fields, columns=columns)

@@ -41,6 +41,31 @@ class HostResult:
     score: np.ndarray  # f32 [nd], zero where not matched
 
 
+@dataclass
+class SparseResult:
+    """(matched docs, their scores) — the O(matches) twin of HostResult.
+
+    ``docs`` is sorted unique i64; ``score[i]`` is doc ``docs[i]``'s score.
+    Invariant: densifying (scatter) reproduces HostResult exactly up to
+    float accumulation order. Used by the planner's aux leaves so a
+    ByNested/ngram/column query never allocates [nd] host arrays
+    (reference analog: iterators yield only matching docs)."""
+
+    docs: np.ndarray  # i64 [m] sorted unique
+    score: np.ndarray  # f32 [m]
+
+    def densify(self, nd: int) -> HostResult:
+        match = np.zeros(nd, bool)
+        score = np.zeros(nd, np.float32)
+        match[self.docs] = True
+        score[self.docs] = self.score
+        return HostResult(match, score)
+
+
+def _sparse_empty() -> SparseResult:
+    return SparseResult(np.zeros(0, np.int64), np.zeros(0, np.float32))
+
+
 class _LazyExpansions:
     """id(leaf) -> LeafExpansion, expanded on first access.
 
@@ -254,6 +279,10 @@ class HostQuery:
         return HostResult(match, np.where(match, score, 0.0))
 
     def _eval_positional(self, flt, s: int, boost: float) -> HostResult:
+        nd = self.segments[s].num_docs
+        return self._positional_pairs(flt, s, boost).densify(nd)
+
+    def _positional_pairs(self, flt, s: int, boost: float) -> SparseResult:
         """Phrase / same-position as sorted-key set intersection.
 
         Each part becomes a sorted int64 key array ``doc * cap + (pos -
@@ -266,7 +295,6 @@ class HostQuery:
         from iresearch_tpu.formats.postings import term_positions
 
         sr = self.segments[s]
-        nd = sr.num_docs
         if isinstance(flt, F.BySamePosition):
             parts = [(0, fld, [sr.lookup_term(fld, t)]) for fld, t in flt.terms]
             parts = [
@@ -278,10 +306,8 @@ class HostQuery:
                 (off, flt.field, expand_phrase_part(p, flt.field, sr))
                 for off, p in flt.parts
             ]
-        score = np.zeros(nd, np.float32)
-        match = np.zeros(nd, bool)
         if not parts or any(len(tids) == 0 for _, _, tids in parts):
-            return HostResult(match, score)
+            return _sparse_empty()
         cap = np.int64(1) << 32  # positions fit u32; doc*cap never collides
 
         def part_keys(off: int, fld: str, tids) -> Optional[np.ndarray]:
@@ -304,7 +330,7 @@ class HostQuery:
         for off, fld, tids in parts:
             ka = part_keys(off, fld, tids)
             if ka is None:
-                return HostResult(match, score)
+                return _sparse_empty()
             key_arrays.append(ka)
         # smallest part drives; intersect in ascending-size order
         order = sorted(range(len(key_arrays)), key=lambda i: len(key_arrays[i]))
@@ -325,7 +351,7 @@ class HostQuery:
             idf_sum += self.scorer.idf(max(df, 1), max(dwf, 1))
         w = self.scorer.term_weight(boost * flt.boost, idf_sum)
         if len(common) == 0:
-            return HostResult(match, score)
+            return _sparse_empty()
         hit_docs, tf = np.unique(common >> 32, return_counts=True)
         hit_docs = hit_docs.astype(np.int64)
         dl = np.maximum(fp.norms[hit_docs], 1).astype(np.float32)
@@ -336,9 +362,7 @@ class HostQuery:
             dl.reshape(1, -1),
             avgdl,
         ).reshape(-1)
-        score[hit_docs] = sc
-        match[hit_docs] = True
-        return HostResult(match, score)
+        return SparseResult(hit_docs, sc.astype(np.float32))
 
     def _eval_ngram_similarity(self, flt, s: int, boost: float) -> HostResult:
         """Longest ngram-subsequence matching (ngram_similarity_query.cpp).

@@ -106,6 +106,13 @@ class BlobPackReader:
         prefix = 8 + int(header_len)
         self._data_start = prefix + _pad_to(prefix)
 
+    @property
+    def lazy(self) -> bool:
+        """True when the backing buffer decrypts/materializes per slice
+        (store/codecs.py:LazyDecryptBuffer) — blobs should then be read
+        on demand, not at open."""
+        return bool(getattr(self._data, "lazy_decrypt", False))
+
     def names(self):
         return list(self._entries)
 
@@ -113,11 +120,53 @@ class BlobPackReader:
         return name in self._entries
 
     def array(self, name: str) -> np.ndarray:
-        """Return a read-only zero-copy ndarray view of blob ``name``."""
+        """Return a read-only ndarray of blob ``name`` — a zero-copy view
+        into the buffer (lazy OS pages under mmap), or a decrypted copy of
+        just this blob's range for lazy-decrypt buffers."""
         e = self._entries[name]
         start = self._data_start + e["offset"]
-        arr = np.frombuffer(
-            self._data, dtype=np.dtype(e["dtype"]), count=int(np.prod(e["shape"], dtype=np.int64)), offset=start
-        )
-        arr = arr.reshape(e["shape"])
-        return arr
+        count = int(np.prod(e["shape"], dtype=np.int64))
+        if self.lazy:
+            buf = self._data[start : start + int(e["nbytes"])]
+            arr = np.frombuffer(buf, dtype=np.dtype(e["dtype"]), count=count)
+        else:
+            arr = np.frombuffer(
+                self._data, dtype=np.dtype(e["dtype"]), count=count, offset=start
+            )
+        return arr.reshape(e["shape"])
+
+    def raw(self, name: str):
+        """A sliceable view of blob ``name``'s bytes that defers any
+        decrypt/page-in to each slice — for consumers that sub-slice
+        (v6 column blocks) rather than touch the whole blob."""
+        e = self._entries[name]
+        start = self._data_start + e["offset"]
+        if self.lazy:
+            return _SubView(self._data, start, int(e["nbytes"]))
+        return memoryview(self._data)[start : start + int(e["nbytes"])]
+
+
+class _SubView:
+    """Relative-sliceable window over a lazily-materializing buffer."""
+
+    __slots__ = ("_buf", "_start", "_len")
+
+    def __init__(self, buf, start: int, length: int) -> None:
+        self._buf = buf
+        self._start = start
+        self._len = length
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self._len)
+            if step != 1:
+                raise ValueError("sub-views are contiguous only")
+            return self._buf[self._start + start : self._start + stop]
+        i = key + self._len if key < 0 else key
+        return self._buf[self._start + i]
+
+    def tobytes(self) -> bytes:
+        return bytes(self[0 : self._len])

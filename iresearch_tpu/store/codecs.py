@@ -127,9 +127,16 @@ def register_compressor(name: str, factory: Callable[[dict], Compressor]) -> Non
 
 
 class Cipher:
-    """Stateless byte-transform cipher. ``offset`` is the byte position in
-    the logical stream so random-access decrypt works (reference:
-    ctr_encryption)."""
+    """Stateless byte-transform cipher (reference: ctr_encryption,
+    core/utils/encryption.hpp:56-116).
+
+    ``random_access=True`` ciphers additionally implement ``decrypt_at``:
+    decrypting a byte range given its position in the file's ciphertext
+    stream, WITHOUT touching the rest of the file — the property that
+    keeps mmap lazy opens and v6 lazy column blocks alive under
+    encryption (the reference's block-cipher stream wrapping)."""
+
+    random_access = False
 
     def encrypt(self, name: str, data: bytes) -> bytes:
         raise NotImplementedError
@@ -137,9 +144,17 @@ class Cipher:
     def decrypt(self, name: str, data: bytes) -> bytes:
         raise NotImplementedError
 
+    def decrypt_at(self, name: str, data: bytes, offset: int) -> bytes:
+        """Decrypt ``data`` that was read from byte position ``offset`` of
+        the encrypted file ``name``."""
+        raise NotImplementedError(f"{type(self).__name__} is not seekable")
+
 
 class Rot13Cipher(Cipher):
-    """The reference test suite's rot13 stand-in (tests_param.hpp:106-199)."""
+    """The reference test suite's rot13 stand-in (tests_param.hpp:106-199).
+    Byte-wise, so trivially position-independent."""
+
+    random_access = True
 
     def encrypt(self, name: str, data: bytes) -> bytes:
         return bytes((b + 13) & 0xFF for b in data)
@@ -147,29 +162,47 @@ class Rot13Cipher(Cipher):
     def decrypt(self, name: str, data: bytes) -> bytes:
         return bytes((b - 13) & 0xFF for b in data)
 
+    def decrypt_at(self, name: str, data: bytes, offset: int) -> bytes:
+        return self.decrypt(name, data)
+
 
 class XorCtrCipher(Cipher):
     """Keyed XOR keystream derived per (file, counter) via sha256 — the
     structural twin of AES-CTR without a crypto dependency; swap in a real
     block cipher by subclassing Cipher."""
 
+    random_access = True
+    _BLK = 32  # sha256 digest size = keystream block
+
     def __init__(self, key: bytes) -> None:
         self.key = key
 
-    def _stream(self, name: str, n: int) -> bytes:
+    def _stream(self, name: str, n: int, offset: int = 0) -> bytes:
+        """Keystream bytes [offset, offset+n) of file ``name``."""
         out = bytearray()
-        counter = 0
+        counter = offset // self._BLK
+        skip = offset % self._BLK
         seed = hashlib.sha256(self.key + name.encode()).digest()
-        while len(out) < n:
+        while len(out) < n + skip:
             out += hashlib.sha256(seed + struct.pack("<Q", counter)).digest()
             counter += 1
-        return bytes(out[:n])
+        return bytes(out[skip : skip + n])
+
+    @staticmethod
+    def _xor(data: bytes, ks: bytes) -> bytes:
+        import numpy as np
+
+        a = np.frombuffer(data, np.uint8)
+        b = np.frombuffer(ks, np.uint8)
+        return np.bitwise_xor(a, b).tobytes()
 
     def encrypt(self, name: str, data: bytes) -> bytes:
-        ks = self._stream(name, len(data))
-        return bytes(a ^ b for a, b in zip(data, ks))
+        return self._xor(data, self._stream(name, len(data)))
 
     decrypt = encrypt
+
+    def decrypt_at(self, name: str, data: bytes, offset: int) -> bytes:
+        return self._xor(data, self._stream(name, len(data), offset))
 
 
 def _load_crypto():
@@ -243,14 +276,81 @@ class AesCtrCipher(Cipher):
 
     decrypt = encrypt
 
+    random_access = True
+
+    def decrypt_at(self, name: str, data: bytes, offset: int) -> bytes:
+        # CTR counter = 128-bit big-endian IV incremented per 16-byte
+        # block: advance it by offset//16, then drop the first offset%16
+        # keystream bytes by transforming a zero-padded prefix (CTR is an
+        # XOR, so zeros pass the keystream through onto the pad).
+        iv = hashlib.sha256(self.key + name.encode()).digest()[:16]
+        blocks, skip = divmod(offset, 16)
+        if blocks:
+            c = (int.from_bytes(iv, "big") + blocks) % (1 << 128)
+            iv = c.to_bytes(16, "big")
+        out = self._xform_iv(iv, b"\x00" * skip + data)
+        return out[skip:]
+
+
+class LazyDecryptBuffer:
+    """Sliceable view over an encrypted mapped buffer that decrypts ONLY
+    the requested byte ranges (reference: encrypted_input over a block
+    cipher, encryption.hpp:116 — random-access reads stay lazy).
+
+    Supports ``len``, slice/int ``[]`` (returns plaintext bytes/int) and
+    ``tobytes``. Consumers that page lazily through an mmap (blobpack
+    arrays, v6 column blocks) keep that laziness: a slice faults in and
+    decrypts just its own pages.
+    """
+
+    lazy_decrypt = True
+
+    def __init__(self, inner, cipher: Cipher, name: str) -> None:
+        self._inner = inner
+        self._cipher = cipher
+        self._name = name
+
+    def __len__(self) -> int:
+        return len(self._inner)
+
+    def __getitem__(self, key):
+        n = len(self._inner)
+        if isinstance(key, slice):
+            start, stop, step = key.indices(n)
+            if step != 1:
+                raise ValueError("lazy decrypt views are contiguous only")
+            raw = bytes(self._inner[start:stop])
+            return self._cipher.decrypt_at(self._name, raw, start)
+        i = key + n if key < 0 else key
+        return self._cipher.decrypt_at(self._name, bytes(self._inner[i : i + 1]), i)[0]
+
+    def tobytes(self) -> bytes:
+        return self[0 : len(self)]
+
 
 class EncryptedDirectory(Directory):
     """Encrypts every file with the attached cipher (reference: directory
-    encryption attribute, directory_attributes)."""
+    encryption attribute, directory_attributes).
+
+    With a random-access (CTR-family) cipher over a mapped inner store,
+    ``read_mapped`` returns a LazyDecryptBuffer, so encrypted segment
+    opens fault in + decrypt only the blocks actually touched (the
+    reference's stream-granular encryption, encryption.hpp:56-116)."""
 
     def __init__(self, inner: Directory, cipher: Cipher) -> None:
         self.inner = inner
         self.cipher = cipher
+
+    @property
+    def mapped_reads(self) -> bool:
+        return self.inner.mapped_reads and self.cipher.random_access
+
+    def read_mapped(self, name: str):
+        if self.mapped_reads:
+            return LazyDecryptBuffer(
+                self.inner.read_mapped(name), self.cipher, name
+            )
+        return self.read(name)
 
     def write(self, name: str, data: bytes) -> None:
         self.inner.write(name, self.cipher.encrypt(name, data))
