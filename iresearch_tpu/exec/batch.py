@@ -655,7 +655,7 @@ class QueryBatch:
                 p.tree,
                 p.num_leaves,
                 tuple((g.field_name, g.dcls, g.fcls, g.ncls) for g in p.groups),
-                0 if p.aux_match is None else p.aux_match.shape[0],
+                0 if p.aux_pairs is None else len(p.aux_pairs),
                 (bool(p.groups) and p.groups[0].ub is not None)
                 or any(d.ub is not None for d in p.dense_spans),
                 p.exec_mode,
@@ -911,16 +911,13 @@ class QueryBatch:
                 # (IMAX pad) + scores; densified on device in _run_batch
                 aux_sp = []
                 for a in range(A):
-                    docs_l = [
-                        np.flatnonzero(p.aux_match[a]).astype(np.int32)
-                        for p in reps
-                    ]
-                    Mp = _pow2(max(8, max(len(d) for d in docs_l)))
+                    pairs_l = [p.aux_pairs[a] for p in reps]
+                    Mp = _pow2(max(8, max(len(d) for d, _ in pairs_l)))
                     docs_b = np.full((Q, Mp), 2**31 - 1, np.int32)
                     vals_b = np.zeros((Q, Mp), np.float32)
-                    for j, (p, da) in enumerate(zip(reps, docs_l)):
+                    for j, (da, va) in enumerate(pairs_l):
                         docs_b[j, : len(da)] = da
-                        vals_b[j, : len(da)] = p.aux_score[a][da]
+                        vals_b[j, : len(da)] = va
                     aux_sp.append((docs_b, vals_b))
                 aux_sp = tuple(aux_sp)
             else:

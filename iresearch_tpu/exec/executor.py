@@ -450,7 +450,7 @@ def scan_shape(plan):
         plan.exec_mode != "dense"
         or plan.groups
         or not plan.dense_spans
-        or plan.aux_match is not None
+        or plan.aux_pairs is not None
         or plan.device_aux
     ):
         return None
@@ -720,17 +720,15 @@ class DeviceQuery:
         # dense [A, nd] arrays the fold consumes are scattered ON DEVICE
         # and cached with the rest of the device inputs.
         am = asc = None
-        if plan.aux_match is not None:
-            A = plan.aux_match.shape[0]
+        if plan.aux_pairs is not None:
+            A = len(plan.aux_pairs)
             nd_p = plan.nd_pad
             dev_idx = {i for i, _ in plan.device_aux}
             am = jnp.zeros((A, nd_p), jnp.bool_)
             asc = jnp.zeros((A, nd_p), jnp.float32)
-            for a in range(A):
+            for a, (docs_a, vals_a) in enumerate(plan.aux_pairs):
                 if a in dev_idx:
                     continue  # filled by the device phrase below
-                docs_a = np.flatnonzero(plan.aux_match[a]).astype(np.int32)
-                vals_a = plan.aux_score[a][docs_a].astype(np.float32)
                 am = am.at[a, jnp.asarray(docs_a)].set(True, mode="drop")
                 asc = asc.at[a, jnp.asarray(docs_a)].set(
                     jnp.asarray(vals_a), mode="drop"

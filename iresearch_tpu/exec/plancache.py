@@ -91,7 +91,7 @@ def get_plan(
     plan = compiler.compile(
         flt, seg_idx, wand=wand, device_phrase=device_phrase
     )
-    if key is not None and plan.aux_match is None and not plan.device_aux:
+    if key is not None and plan.aux_pairs is None and not plan.device_aux:
         rows = sum(len(g.rows_d) for g in plan.groups)
         if rows <= _ROW_LIMIT:
             _CACHE[key] = plan

@@ -373,7 +373,7 @@ class ShardedSearcher:
             dkeys = tuple((u[0], u[1], u[2], u[3]) for u in uordered)
             A = max(
                 [0] + [
-                    0 if p.aux_match is None else p.aux_match.shape[0]
+                    0 if p.aux_pairs is None else len(p.aux_pairs)
                     for p in plans
                 ]
             )
@@ -525,13 +525,17 @@ class ShardedSearcher:
                 dense_dyn.append(dyn)
                 dense_static.append((BITS[cls], dleaf, ndrows, True))
             if A:
+                # scatter the sparse per-plan pairs into the stacked
+                # shard_map input (dense [S,Q,A,nd] is the stacking
+                # format; the pairs keep per-plan host churn O(matches))
                 am = np.zeros((self.S, Q, A, self.nd_pad), np.bool_)
                 asc = np.zeros((self.S, Q, A, self.nd_pad), np.float32)
                 for j, qi in enumerate(qis):
                     for i, p in enumerate(per_query[qi][0]):
-                        if p.aux_match is not None:
-                            am[i, j, : p.aux_match.shape[0], : p.aux_match.shape[1]] = p.aux_match
-                            asc[i, j, : p.aux_score.shape[0], : p.aux_score.shape[1]] = p.aux_score
+                        if p.aux_pairs is not None:
+                            for a, (da, va) in enumerate(p.aux_pairs):
+                                am[i, j, a, da] = True
+                                asc[i, j, a, da] = va
             else:  # unused dummies keep the shard_map arg structure static
                 am = np.zeros((self.S, 1, 1, 1), np.bool_)
                 asc = np.zeros((self.S, 1, 1, 1), np.float32)

@@ -364,7 +364,9 @@ class HostQuery:
         ).reshape(-1)
         return SparseResult(hit_docs, sc.astype(np.float32))
 
-    def _eval_ngram_similarity(self, flt, s: int, boost: float) -> HostResult:
+    def _eval_ngram_similarity(
+        self, flt, s: int, boost: float, sparse: bool = False
+    ):
         """Longest ngram-subsequence matching (ngram_similarity_query.cpp).
 
         A doc matches when the longest subsequence of the query ngrams that
@@ -372,17 +374,23 @@ class HostQuery:
         threshold); score = filter_boost (len/Q) * scorer(tf=count of
         position-disjoint longest sequences). Difference from the
         reference: disjoint repeats may use any longest pattern, not only
-        the first-found one.
+        the first-found one. Internally sparse (per-hit-doc dict);
+        ``sparse=True`` returns the (docs, scores) pairs directly.
         """
         import math as _math
 
         sr = self.segments[s]
         nd = sr.num_docs
-        score = np.zeros(nd, np.float32)
-        match = np.zeros(nd, bool)
+
+        def _out(docs: List[int], scs: List[float]):
+            pairs = SparseResult(
+                np.asarray(docs, np.int64), np.asarray(scs, np.float32)
+            )
+            return pairs if sparse else pairs.densify(nd)
+
         fp = sr.field(flt.field)
         if fp is None or not fp.has_positions or not flt.ngrams:
-            return HostResult(match, score)
+            return _out([], [])
         Q = len(flt.ngrams)
         mm = min(max(int(_math.ceil(Q * flt.threshold)), 1), Q)
         # positions per query index per doc
@@ -470,8 +478,11 @@ class HostQuery:
             chain.reverse()
             return best_len, chain
 
+        out_docs: List[int] = []
+        out_scs: List[float] = []
         # prefilter: a doc can only reach mm if >= mm distinct ngrams hit it
-        for d, slots in doc_pos.items():
+        for d in sorted(doc_pos):
+            slots = doc_pos[d]
             if not sr.alive[d]:
                 continue
             if sum(1 for sl in slots if sl) < mm:
@@ -496,9 +507,9 @@ class HostQuery:
                 dl.reshape(1, 1),
                 avgdl,
             )[0, 0]
-            score[d] = fb * sc
-            match[d] = True
-        return HostResult(match, score)
+            out_docs.append(int(d))
+            out_scs.append(float(fb * sc))
+        return _out(out_docs, out_scs)
 
     def _phrase_part_df(self, field_name: str, tids_in_sr, sr) -> int:
         """Index-wide df of a phrase part (sum of its variants' terms)."""
@@ -616,6 +627,215 @@ class HostQuery:
             r = self._eval(c, s, 1.0)
             match &= ~r.match
         return HostResult(match, np.where(match, score, 0.0))
+
+    # --- sparse evaluation (O(matches) host churn) -----------------------
+    #
+    # Twin of _eval that returns (docs, scores) pairs and never allocates
+    # [nd]-sized host arrays on its native paths (reference analog:
+    # iterators yield only matching docs, nested_filter.cpp). The dense
+    # _eval stays the oracle; test_sparse_eval fuzzes eval_pairs against
+    # it. Complement-shaped nodes (Not, All, min_match<=0 Or, Proxy)
+    # have inherently O(nd) match sets and fall back to densify+sparsify.
+
+    def eval_pairs(self, flt: F.Filter, s: int, boost: float = 1.0) -> SparseResult:
+        if isinstance(flt, F.Empty):
+            return _sparse_empty()
+        if isinstance(flt, F.ByColumnExistence):
+            return self._column_pairs(flt, s)
+        if isinstance(
+            flt,
+            (
+                F.ByTerm,
+                F.ByTerms,
+                F.ByPrefix,
+                F.ByRange,
+                F.ByGranularRange,
+                F.ByWildcard,
+                F.ByEditDistance,
+            ),
+        ):
+            return self._terms_pairs(flt, s, boost)
+        if isinstance(flt, (F.ByPhrase, F.BySamePosition)):
+            return self._positional_pairs(flt, s, boost)
+        if isinstance(flt, F.ByNgramSimilarity):
+            return self._ngram_pairs(flt, s, boost)
+        if isinstance(flt, F.ByNested):
+            return self._nested_pairs(flt, s, boost)
+        if isinstance(flt, F.And):
+            return self._and_pairs(flt, s, boost)
+        if isinstance(flt, F.Or) and flt.min_match >= 1:
+            return self._or_pairs(flt, s, boost)
+        r = self._eval(flt, s, boost)  # fallback: inherently O(nd) nodes
+        docs = np.flatnonzero(r.match).astype(np.int64)
+        return SparseResult(docs, r.score[docs].astype(np.float32))
+
+    def _column_pairs(self, flt, s: int) -> SparseResult:
+        sr = self.segments[s]
+        if getattr(flt, "prefix_match", False):
+            names = [n for n in sr.column_names() if n.startswith(flt.column)]
+        else:
+            names = [flt.column] if sr.column(flt.column) is not None else []
+        arrs = []
+        for n in names:
+            col = sr.column(n)
+            if col is not None:
+                arrs.append(col.doc_ids().astype(np.int64))
+        if not arrs:
+            return _sparse_empty()
+        docs = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        return SparseResult(docs, np.zeros(len(docs), np.float32))
+
+    def _terms_pairs(self, flt, s: int, boost: float) -> SparseResult:
+        sr = self.segments[s]
+        fp = sr.field(flt.field)
+        if fp is None:
+            return _sparse_empty()
+        exp = self._expansions[id(flt)]
+        dwf, ttf = self._field(flt.field)
+        avgdl = (ttf / dwf) if dwf else 1.0
+        leaf_boost = boost * flt.boost
+        doc_arrs: List[np.ndarray] = []
+        sc_arrs: List[np.ndarray] = []
+        for h in exp.scored:
+            if h.seg != s:
+                continue
+            docs, freqs = decode_term(fp, h.tid)
+            idf = self.scorer.idf(exp.stats_df[h.key], dwf)
+            w = self.scorer.term_weight(leaf_boost * h.boost, idf)
+            dl = np.maximum(fp.norms[docs], 1).astype(np.float32)
+            sc = score_block(
+                self.scorer, np.float32(w), freqs.astype(np.float32), dl, avgdl
+            )
+            doc_arrs.append(docs.astype(np.int64))
+            sc_arrs.append(sc.astype(np.float64))
+        for h in exp.unscored:
+            if h.seg != s:
+                continue
+            docs, _ = decode_term(fp, h.tid)
+            doc_arrs.append(docs.astype(np.int64))
+            sc_arrs.append(np.zeros(len(docs), np.float64))
+        for tid in exp.unscored_tids.get(s, ()):
+            docs, _ = decode_term(fp, int(tid))
+            doc_arrs.append(docs.astype(np.int64))
+            sc_arrs.append(np.zeros(len(docs), np.float64))
+        if not doc_arrs:
+            return _sparse_empty()
+        all_docs = np.concatenate(doc_arrs)
+        ud, inv = np.unique(all_docs, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(ud))
+        # f32 accumulation in term order matches the dense score[docs] +=
+        ssum = np.zeros(len(ud), np.float32)
+        off = 0
+        for d, sc in zip(doc_arrs, sc_arrs):
+            ssum[inv[off : off + len(d)]] += sc.astype(np.float32)
+            off += len(d)
+        keep = cnt >= max(1, getattr(flt, "min_match", 1))
+        return SparseResult(ud[keep], ssum[keep])
+
+    def _ngram_pairs(self, flt, s: int, boost: float) -> SparseResult:
+        r = self._eval_ngram_similarity(flt, s, boost, sparse=True)
+        return r
+
+    def _nested_pairs(self, flt: F.ByNested, s: int, boost: float) -> SparseResult:
+        """O(matches) block join: counts/sums via searchsorted + reduceat
+        over the sparse child pairs (nested_filter.cpp)."""
+        parent = self.eval_pairs(flt.parent, s, 1.0)
+        child = self.eval_pairs(flt.child, s, boost * flt.boost)
+        parents = parent.docs
+        if len(parents) == 0:
+            return _sparse_empty()
+        starts = np.concatenate([[0], parents[:-1] + 1])
+        lo_idx = np.searchsorted(child.docs, starts)
+        hi_idx = np.searchsorted(child.docs, parents)  # children < parent
+        cnt = hi_idx - lo_idx
+        lo = flt.min_match
+        hi = flt.max_match if flt.max_match is not None else np.iinfo(np.int64).max
+        ok = (cnt >= lo) & (cnt <= hi)
+        if len(child.docs):
+            # same reduceat the dense oracle uses (zeros add exactly); a
+            # trailing 0.0 sentinel keeps bound == len(child.docs) a valid
+            # reduceat index without clipping the final child off
+            bounds = np.empty(2 * len(parents), np.int64)
+            bounds[0::2] = lo_idx
+            bounds[1::2] = hi_idx
+            nonempty = lo_idx < hi_idx
+            padded = np.concatenate(
+                [child.score.astype(np.float64), [0.0]]
+            )
+            sums = np.add.reduceat(padded, bounds)[0::2]
+            sums = np.where(nonempty, sums, 0.0)
+        else:
+            sums = np.zeros(len(parents), np.float64)
+        return SparseResult(parents[ok], sums[ok].astype(np.float32))
+
+    def _child_scores_at(self, r: SparseResult, docs: np.ndarray) -> np.ndarray:
+        """Scores of ``r`` at ``docs`` (docs ⊆ r.docs)."""
+        if len(docs) == 0:
+            return np.zeros(0, np.float32)
+        return r.score[np.searchsorted(r.docs, docs)]
+
+    def _and_pairs(self, flt: F.And, s: int, boost: float) -> SparseResult:
+        pos, neg = self._split_not(flt.filters)
+        if not pos:  # And of pure exclusions matches ~everything: dense
+            r = self._eval(flt, s, boost)
+            docs = np.flatnonzero(r.match).astype(np.int64)
+            return SparseResult(docs, r.score[docs].astype(np.float32))
+        b = boost * flt.boost
+        rs = [self.eval_pairs(c, s, b) for c in pos]
+        docs = rs[0].docs
+        for r in rs[1:]:
+            docs = np.intersect1d(docs, r.docs, assume_unique=True)
+        for c in neg:
+            nr = self.eval_pairs(c, s, 1.0)
+            docs = docs[~np.isin(docs, nr.docs, assume_unique=True)]
+        if len(docs) == 0:
+            return _sparse_empty()
+        if flt.merge == "noop":
+            return SparseResult(docs, np.zeros(len(docs), np.float32))
+        stack = np.stack([self._child_scores_at(r, docs) for r in rs])
+        if flt.merge == "sum":
+            score = np.sum(stack, axis=0, dtype=np.float32)
+        elif flt.merge == "max":
+            score = np.max(stack, axis=0).astype(np.float32)
+        else:  # min — every child matches every doc in the intersection
+            score = np.min(stack, axis=0).astype(np.float32)
+        return SparseResult(docs, score)
+
+    def _or_pairs(self, flt: F.Or, s: int, boost: float) -> SparseResult:
+        pos, neg = self._split_not(flt.filters)
+        b = boost * flt.boost
+        rs = [self.eval_pairs(c, s, b) for c in pos]
+        if not rs:
+            return _sparse_empty()
+        all_docs = np.concatenate([r.docs for r in rs])
+        if len(all_docs) == 0:
+            return _sparse_empty()
+        ud, inv = np.unique(all_docs, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(ud))
+        if flt.merge == "sum":
+            score = np.zeros(len(ud), np.float32)
+            off = 0
+            for r in rs:  # child-order f32 accumulation (match dense sum)
+                score[inv[off : off + len(r.docs)]] += r.score
+                off += len(r.docs)
+        elif flt.merge == "noop":
+            score = np.zeros(len(ud), np.float32)
+        else:
+            fill = -np.inf if flt.merge == "max" else np.inf
+            score = np.full(len(ud), fill, np.float32)
+            ufunc = np.maximum if flt.merge == "max" else np.minimum
+            off = 0
+            for r in rs:
+                ufunc.at(score, inv[off : off + len(r.docs)], r.score)
+                off += len(r.docs)
+            score = np.where(np.isfinite(score), score, 0.0).astype(np.float32)
+        keep = cnt >= flt.min_match
+        docs, score = ud[keep], score[keep]
+        for c in neg:
+            nr = self.eval_pairs(c, s, 1.0)
+            m = ~np.isin(docs, nr.docs, assume_unique=True)
+            docs, score = docs[m], score[m]
+        return SparseResult(docs, score)
 
 
 def match_docs(flt: F.Filter, sr: SegmentReader) -> np.ndarray:
