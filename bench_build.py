@@ -51,6 +51,7 @@ def main():
     d = MemoryDirectory()
     opts = IndexWriterOptions(invert_backend="numpy", segment_docs_max=1 << 20)
     t1 = time.time()
+    reg_s = [0.0]  # mutex-HELD time (thread-scaling serial fraction)
     with IndexWriter(d, opts) as w:
         stop = threading.Event()
 
@@ -87,6 +88,7 @@ def main():
         stop.set()
         ct.join()
         w.commit()
+        reg_s[0] = w.stats["register_held_s"]
     build_s = time.time() - t1
     r = DirectoryReader.open(d)
     assert r.live_docs_count == NUM_DOCS
@@ -95,6 +97,16 @@ def main():
         f"indexed {NUM_DOCS} docs / {total} tokens in {build_s:.1f}s with "
         f"{THREADS} indexer threads -> {dps:.0f} docs/s "
         f"({total/build_s/1e6:.2f}M tokens/s), {len(r.segments)} segment(s)"
+    )
+    # thread-scaling evidence (tests/test_build_scaling.py proves the
+    # native tokenizer drops the GIL; here we report the measured
+    # mutex-serial fraction + its Amdahl bound for the record)
+    s_frac = reg_s[0] / build_s if build_s else 0.0
+    log(
+        f"mutex-held (register) time {reg_s[0]:.2f}s = {100*s_frac:.0f}% of "
+        f"wall; Amdahl bound for the serialized register step: "
+        f"{1.0/(s_frac + (1-s_frac)/4):.2f}x @4 threads, "
+        f"{1.0/(s_frac + (1-s_frac)/8):.2f}x @8 threads"
     )
     print(json.dumps({
         "metric": "index_build_docs_per_sec",

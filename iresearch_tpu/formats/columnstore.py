@@ -30,6 +30,142 @@ _BLOCK_SHIFT = 16
 _BLOCK_CACHE = 8  # decompressed blocks kept per column
 
 
+def _pack_bits(vals: np.ndarray, w: int) -> np.ndarray:
+    """LSB-first bit-pack of non-negative ``vals`` at ``w`` bits each
+    into a u8 stream (format v7 address tables)."""
+    if w == 0 or len(vals) == 0:
+        return np.zeros(0, np.uint8)
+    v = vals.astype(np.uint64)
+    n = len(v)
+    nbytes = (n * w + 7) >> 3
+    bits = ((v[:, None] >> np.arange(w, dtype=np.uint64)) & 1).astype(np.uint8)
+    flat = np.zeros(nbytes * 8, np.uint8)
+    flat[: n * w] = bits.ravel()
+    return np.packbits(flat, bitorder="little")
+
+
+def _unpack_bits(packed: np.ndarray, w: int, n: int) -> np.ndarray:
+    """Inverse of :func:`_pack_bits` — ``n`` values of ``w`` bits → u64."""
+    if w == 0 or n == 0:
+        return np.zeros(n, np.uint64)
+    flat = np.unpackbits(packed, bitorder="little", count=n * w)
+    bits = flat.reshape(n, w).astype(np.uint64)
+    return (bits << np.arange(w, dtype=np.uint64)).sum(axis=1)
+
+
+class PackedOffsets:
+    """Bit-packed column address table (format v7).
+
+    The raw v6 table is u64 ``[n+1]`` — 8 B/value. Here value LENGTHS are
+    bit-packed per 65536-value block at the block's minimal width, with
+    u64 absolute bases only at block boundaries — typically ≤ 1 B/value
+    (reference: columnstore2.hpp:83 avg-encoded address tables). Supports
+    the narrow indexing surface the readers use (``x[i]``, ``len``) and
+    decodes one block per touch with a small LRU, so lazy/mapped opens
+    never materialize the full table."""
+
+    def __init__(
+        self,
+        bases: np.ndarray,  # u64 [nb+1] absolute offsets at block bounds
+        widths: np.ndarray,  # u8  [nb] bits per length in each block
+        pack: np.ndarray,  # u8 concatenated per-block bit streams
+        pack_offs: np.ndarray,  # u64 [nb+1] byte offsets into ``pack``
+        nvals: int,  # number of VALUES (table length is nvals+1)
+    ) -> None:
+        self.bases = bases
+        self.widths = widths
+        self.pack_bytes = pack
+        self.pack_offs = pack_offs
+        self._n = nvals
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+
+    @classmethod
+    def pack(cls, offsets: np.ndarray) -> "PackedOffsets":
+        n = len(offsets) - 1
+        nb = max(1, -(-n // COLUMN_BLOCK))
+        lens = np.diff(offsets.astype(np.int64))
+        bases = np.zeros(nb + 1, np.uint64)
+        widths = np.zeros(nb, np.uint8)
+        poffs = np.zeros(nb + 1, np.uint64)
+        parts = []
+        for b in range(nb):
+            lo, hi = b << _BLOCK_SHIFT, min((b + 1) << _BLOCK_SHIFT, n)
+            bases[b] = offsets[lo]
+            blk = lens[lo:hi]
+            w = int(blk.max(initial=0)).bit_length()
+            widths[b] = w
+            part = _pack_bits(blk, w)
+            parts.append(part)
+            poffs[b + 1] = poffs[b] + len(part)
+        bases[nb] = offsets[n]
+        pack = (
+            np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        )
+        return cls(bases, widths, pack, poffs, n)
+
+    def __len__(self) -> int:
+        return self._n + 1
+
+    def _block(self, b: int) -> np.ndarray:
+        """Absolute offsets [nv+1] of block ``b``."""
+        blk = self._cache.get(b)
+        if blk is None:
+            lo, hi = int(self.pack_offs[b]), int(self.pack_offs[b + 1])
+            nv = min(COLUMN_BLOCK, self._n - (b << _BLOCK_SHIFT))
+            lens = _unpack_bits(
+                np.asarray(self.pack_bytes[lo:hi]), int(self.widths[b]), nv
+            )
+            blk = np.zeros(nv + 1, np.uint64)
+            np.cumsum(lens, out=blk[1:])
+            blk += self.bases[b]
+            self._cache[b] = blk
+            while len(self._cache) > _BLOCK_CACHE:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(b)
+        return blk
+
+    def __getitem__(self, i: int) -> np.uint64:
+        if i < 0:
+            i += self._n + 1
+        if not (0 <= i <= self._n):
+            raise IndexError(i)
+        if (i & (COLUMN_BLOCK - 1)) == 0:  # block bound: no decode
+            return self.bases[i >> _BLOCK_SHIFT]
+        if i == self._n:
+            return self.bases[-1]
+        b = i >> _BLOCK_SHIFT
+        return self._block(b)[i & (COLUMN_BLOCK - 1)]
+
+    def materialize(self) -> np.ndarray:
+        """Full u64 [n+1] table (merge/convert/re-write paths)."""
+        nb = len(self.widths)
+        out = np.zeros(self._n + 1, np.uint64)
+        for b in range(nb):
+            lo, hi = b << _BLOCK_SHIFT, min((b + 1) << _BLOCK_SHIFT, self._n)
+            out[lo : hi + 1] = self._block(b)
+        out[self._n] = self.bases[-1]
+        return out
+
+    @property
+    def nbytes(self) -> int:
+        return (
+            self.bases.nbytes
+            + self.widths.nbytes
+            + self.pack_bytes.nbytes
+            + self.pack_offs.nbytes
+        )
+
+
+def offsets_array(offsets) -> Optional[np.ndarray]:
+    """``offsets`` as a plain u64 ndarray (materializes PackedOffsets)."""
+    if offsets is None:
+        return None
+    if isinstance(offsets, PackedOffsets):
+        return offsets.materialize()
+    return offsets
+
+
 class ColumnBlocks:
     """Lazily-decompressed per-block column payloads (format v6).
 
@@ -215,8 +351,9 @@ def column_parts(
     new_docs = new_docs[order]
     if col.kind == "mask" or col.offsets is None:
         return new_docs, np.zeros(len(new_docs), np.int64), b""
-    lens_all = np.diff(col.offsets.astype(np.int64))
-    starts_all = col.offsets[:-1].astype(np.int64)
+    offs = offsets_array(col.offsets)
+    lens_all = np.diff(offs.astype(np.int64))
+    starts_all = offs[:-1].astype(np.int64)
     lens = lens_all[keep][order]
     starts = starts_all[keep][order]
     total = int(lens.sum())

@@ -51,9 +51,17 @@ FORMAT_V5 = "iresearch_tpu/5"
 # the whole column (reference: columnstore2.hpp:83,208-219). Postings
 # layout identical to v5.
 FORMAT_V6 = "iresearch_tpu/6"
-CURRENT_FORMAT = FORMAT_V6
-READABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6}
-WRITABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6}
+# v7: column address tables are bit-packed per 65536-value block
+# (columnstore.py:PackedOffsets) — value lengths at the block's minimal
+# width + u64 bases at block bounds, ~1 B/value vs v6's raw u64 8 B/value
+# (reference: avg-encoded address tables, columnstore2.hpp:83). Payloads
+# and postings identical to v6.
+FORMAT_V7 = "iresearch_tpu/7"
+CURRENT_FORMAT = FORMAT_V7
+READABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6, FORMAT_V7}
+WRITABLE_FORMATS = {FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6, FORMAT_V7}
+# versions whose fields carry inline norm pools (NCLS/NSTART + nrmw*)
+_NORM_POOL_FORMATS = {FORMAT_V5, FORMAT_V6, FORMAT_V7}
 
 
 def write_segment(
@@ -124,10 +132,31 @@ def write_segment(
         if col.docs is not None:
             w.add(f"{key}.docs", col.docs)
         if col.offsets is not None:
-            w.add(f"{key}.offsets", col.offsets)
+            if version == FORMAT_V7:
+                # bit-packed address table (columnstore.py:PackedOffsets)
+                from iresearch_tpu.formats.columnstore import (
+                    PackedOffsets,
+                    offsets_array,
+                )
+
+                po = (
+                    col.offsets
+                    if isinstance(col.offsets, PackedOffsets)
+                    else PackedOffsets.pack(offsets_array(col.offsets))
+                )
+                cmeta["packed_offsets"] = True
+                cmeta["nvals"] = int(len(po) - 1)
+                w.add(f"{key}.obase", po.bases)
+                w.add(f"{key}.owidth", po.widths)
+                w.add(f"{key}.opack", po.pack_bytes)
+                w.add(f"{key}.opoffs", po.pack_offs)
+            else:
+                from iresearch_tpu.formats.columnstore import offsets_array
+
+                w.add(f"{key}.offsets", offsets_array(col.offsets))
         blob = col.full_blob()
         if (
-            version == FORMAT_V6
+            version in (FORMAT_V6, FORMAT_V7)
             and codec.name != "none"
             and col.offsets is not None
             and len(blob)
@@ -191,7 +220,7 @@ def _read_field(r: BlobPackReader, fname: str, fm: dict, fmt: str) -> FieldPosti
         norms=r.array(f"{key}.norms"),
         nrm_words=(
             tuple(r.array(f"{key}.nrmw{c}") for c in range(NUM_CLASSES))
-            if fmt in (FORMAT_V5, FORMAT_V6)
+            if fmt in _NORM_POOL_FORMATS
             else None
         ),
         pos_words=pos_words,
@@ -217,7 +246,20 @@ def _read_column(
     key = f"c.{cname}"
     codec = get_compressor(cm.get("codec", "none"))
     docs = r.array(f"{key}.docs") if f"{key}.docs" in r else None
-    offsets = r.array(f"{key}.offsets") if f"{key}.offsets" in r else None
+    if cm.get("packed_offsets"):
+        from iresearch_tpu.formats.columnstore import PackedOffsets
+
+        # v7 bit-packed address table — decoded one block per touch, so
+        # mapped/lazy opens never fault in the full table
+        offsets = PackedOffsets(
+            r.array(f"{key}.obase"),
+            r.array(f"{key}.owidth"),
+            r.array(f"{key}.opack"),
+            r.array(f"{key}.opoffs"),
+            cm["nvals"],
+        )
+    else:
+        offsets = r.array(f"{key}.offsets") if f"{key}.offsets" in r else None
     if cm.get("blocked"):
         from iresearch_tpu.formats.columnstore import ColumnBlocks
 

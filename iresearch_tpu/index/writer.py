@@ -13,6 +13,7 @@ evaluator so the writer has no device dependency.
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Dict, List, Optional, Sequence, Union
@@ -94,7 +95,7 @@ class IndexWriterOptions:
     invert_backend: str = "auto"  # 'device' | 'numpy' | 'auto'
     keep_positions: bool = True
     column_compression: str = "none"  # stored-values codec (none | zlib | lz4)
-    format_version: str = "iresearch_tpu/6"  # on-disk segment format to write
+    format_version: str = "iresearch_tpu/7"  # on-disk segment format to write
     sort: Optional[SortSpec] = None  # primary sort (None = insertion order)
 
 
@@ -323,8 +324,8 @@ class _PendingSegment:
             # primary sort: remap doc ids everywhere and reorder ticks
             # (reference: DocMap applied at flush, segment_writer.cpp:230)
             self.ticks = list(np.asarray(self.ticks)[np.argsort(doc_map)])
-        out_fields = {}
-        for name, pf in self.fields.items():
+
+        def encode_one(name: str, pf: "_PendingField"):
             # sorted term dictionary + tid remap (reference sorts terms at
             # flush: fields_data::flush, field_data.cpp:1124)
             terms_raw = pf.terms.terms()
@@ -383,7 +384,7 @@ class _PendingSegment:
                         ),
                         b"".join(pay_sorted),
                     )
-            out_fields[name] = encode_field_postings(
+            return encode_field_postings(
                 inv.e_doc,
                 inv.e_freq,
                 inv.term_ptr,
@@ -395,6 +396,44 @@ class _PendingSegment:
                 offs=offs,
                 pays=pays,
             )
+
+        # per-field encode is numpy-dominated (GIL-released), so fields
+        # encode in parallel on multicore hosts (reference: one thread
+        # per field family inside the consolidating flush,
+        # utils/index-put.cpp:456-560); results are order-independent
+        out_fields = {}
+        items = list(self.fields.items())
+        nthreads = min(
+            len(items),
+            int(os.environ.get("IRS_FLUSH_THREADS", os.cpu_count() or 1)),
+        )
+        if nthreads > 1:
+            from iresearch_tpu.utils.pools import ThreadPool, WaitGroup
+
+            results: Dict[str, object] = {}
+            errors: List[BaseException] = []
+            pool = ThreadPool(nthreads, name="irs-flush")
+            wg = WaitGroup()
+
+            def run(nm, pfd):
+                def task():
+                    try:
+                        results[nm] = encode_one(nm, pfd)
+                    except BaseException as e:  # noqa: BLE001 — re-raised
+                        errors.append(e)
+
+                return task
+
+            for name, pf in items:
+                pool.submit(run(name, pf), wg)
+            wg.wait()
+            pool.stop()
+            if errors:
+                raise errors[0]
+            out_fields = {name: results[name] for name, _ in items}
+        else:
+            for name, pf in items:
+                out_fields[name] = encode_one(name, pf)
         columns = {
             name: cb.build(self.num_docs) for name, cb in self.columns.items()
         }
@@ -515,6 +554,8 @@ class IndexWriter:
         self._removes: List = []  # (tick, filter)
         self._tick = 0
         self._analyzer_cache: Dict[str, Analyzer] = {}
+        # observability: mutex-held ingest time (see _register_batch)
+        self.stats: Dict[str, float] = {"register_held_s": 0.0}
 
     # --- helpers -------------------------------------------------------
 
@@ -531,8 +572,15 @@ class IndexWriter:
         """Merge a transaction's pre-tokenized segment under the ingest
         mutex. The mutex covers only tick assignment and the vectorized
         tid remap/append — tokenization already happened in the
-        transaction (reference: SegmentContext pool, index_writer.hpp:183)."""
+        transaction (reference: SegmentContext pool, index_writer.hpp:183).
+
+        ``stats['register_held_s']`` accumulates the mutex-HELD time (not
+        acquisition wait) — the serial term in the thread-scaling Amdahl
+        bound that bench_build.py and test_build_scaling.py report."""
+        import time as _time
+
         with self._mutex:
+            _t0 = _time.perf_counter()
             doc_ticks: List[int] = []
             for kind, payload in ops:
                 self._tick += 1
@@ -556,6 +604,7 @@ class IndexWriter:
             else:
                 tx_seg.reset()
                 self._ctx_pool.release(tx_seg)
+            self.stats["register_held_s"] += _time.perf_counter() - _t0
 
     def _roll_segment_locked(self) -> None:
         """Seal the in-progress segment — a pointer swap only. The

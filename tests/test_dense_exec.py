@@ -303,3 +303,32 @@ def test_dense_disabled_env_matches(reader, monkeypatch):
     assert [d for d, _ in on] == [d for d, _ in off]
     for (da, sa), (db, sb) in zip(on, off):
         assert sa == pytest.approx(sb, rel=1e-6)
+
+
+def test_batched_and_dense_scan_conj(reader):
+    """Batched conjunctive fused scan (ADVICE r3 #4): QueryBatch over
+    And(dense, dense) trees must take the scan_conj=True rescore (fagg
+    via minimum) and agree with the per-query device path exactly."""
+    from iresearch_tpu.exec import DeviceQuery
+    from iresearch_tpu.exec.batch import QueryBatch
+    from iresearch_tpu.exec.executor import scan_shape
+    from tests.topk_util import assert_topk_equiv
+
+    t = _dense_terms(reader)
+    assert len(t) >= 3, "fixture must expose >=3 dense terms"
+    filters = [
+        F.And(F.ByTerm("body", t[0]), F.ByTerm("body", t[1])),
+        F.And(F.ByTerm("body", t[1]), F.ByTerm("body", t[2])),
+    ]
+    # the plans really are the conjunctive fused-scan shape — otherwise
+    # this test silently exercises some other tier
+    for flt in filters:
+        p = DeviceQuery(flt, list(reader.segments), BM25()).plan(0)
+        assert scan_shape(p) == "and", (flt, p.exec_mode, p.tree)
+    qb = QueryBatch(filters, list(reader.segments), BM25())
+    res = qb.search(k=10)
+    for flt, got in zip(filters, res):
+        want = DeviceQuery(flt, list(reader.segments), BM25()).top_k(10)
+        assert_topk_equiv(got, want)
+        hq = HostQuery(flt, list(reader.segments), BM25())
+        assert_topk_equiv(got, hq.top_k(10))

@@ -14,6 +14,7 @@ from iresearch_tpu.formats.segment_io import (
     FORMAT_V4,
     FORMAT_V5,
     FORMAT_V6,
+    FORMAT_V7,
     read_segment,
     write_segment,
 )
@@ -50,7 +51,9 @@ QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6])
+@pytest.mark.parametrize(
+    "version", [FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6, FORMAT_V7]
+)
 def test_write_read_search(version):
     reader = _build(MemoryDirectory(), version)
     ref = _build(MemoryDirectory(), FORMAT_V5)
@@ -58,7 +61,9 @@ def test_write_read_search(version):
         assert host_search(reader, q, k=20) == host_search(ref, q, k=20)
 
 
-@pytest.mark.parametrize("version", [FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6])
+@pytest.mark.parametrize(
+    "version", [FORMAT_V3, FORMAT_V4, FORMAT_V5, FORMAT_V6, FORMAT_V7]
+)
 def test_segment_roundtrip_positions(version):
     reader = _build(MemoryDirectory(), FORMAT_V5)
     seg = reader.segments[0].data
@@ -70,7 +75,7 @@ def test_segment_roundtrip_positions(version):
     np.testing.assert_array_equal(fp_a.positions_flat(), fp_b.positions_flat())
 
 
-@pytest.mark.parametrize("version", [FORMAT_V5, FORMAT_V6])
+@pytest.mark.parametrize("version", [FORMAT_V5, FORMAT_V6, FORMAT_V7])
 def test_roundtrip_keeps_inline_norm_pools(version):
     # inline norms are a PERFORMANCE contract, not just a correctness one:
     # losing them on read silently sends every norm read through the [nd]
@@ -113,7 +118,9 @@ def test_unknown_format_rejected(monkeypatch):
      (FORMAT_V4, FORMAT_V5), (FORMAT_V5, FORMAT_V4),
      (FORMAT_V3, FORMAT_V5), (FORMAT_V5, FORMAT_V3),
      (FORMAT_V5, FORMAT_V6), (FORMAT_V6, FORMAT_V5),
-     (FORMAT_V3, FORMAT_V6), (FORMAT_V6, FORMAT_V3)]
+     (FORMAT_V3, FORMAT_V6), (FORMAT_V6, FORMAT_V3),
+     (FORMAT_V6, FORMAT_V7), (FORMAT_V7, FORMAT_V6),
+     (FORMAT_V3, FORMAT_V7), (FORMAT_V7, FORMAT_V3)]
 )
 def test_convert_cli_both_directions(tmp_path, src, dst):
     from iresearch_tpu.cli.index_convert import main as convert_main
@@ -131,3 +138,40 @@ def test_convert_cli_both_directions(tmp_path, src, dst):
     seg_files = [f for f in FSDirectory(str(b)).list() if f.endswith(".seg")]
     raw = bytes(FSDirectory(str(b)).read(seg_files[0]))
     assert dst.encode() in raw and src.encode() not in raw
+
+
+def test_v7_packed_offsets_size_and_laziness():
+    """v7 contract: column address tables cost ~1 B/value on disk (vs raw
+    u64 8 B/value) and point reads decode one 65536-value block, never the
+    whole table (reference: avg-encoded address tables,
+    columnstore2.hpp:83)."""
+    from iresearch_tpu.formats.columnstore import COLUMN_BLOCK, PackedOffsets
+    from iresearch_tpu.index.segment import SegmentData
+    from iresearch_tpu.formats.columnstore import ColumnBuilder
+
+    rng = np.random.default_rng(7)
+    n = 3 * COLUMN_BLOCK + 123
+    lens = rng.integers(1, 40, size=n)
+    cb = ColumnBuilder("x")
+    pos = 0
+    payload = rng.integers(0, 256, size=int(lens.sum()), dtype=np.uint8).tobytes()
+    for i, ln in enumerate(lens):
+        cb.add(i, payload[pos : pos + int(ln)])
+        pos += int(ln)
+    col = cb.build(n)
+    seg = SegmentData(num_docs=n, fields={}, columns={"x": col})
+    blob = write_segment(seg, version=FORMAT_V7)
+    back = read_segment(blob)
+    c = back.columns["x"]
+    po = c.offsets
+    assert isinstance(po, PackedOffsets)
+    # size: ≤ 2 B/value all-in (bases + widths + pack + pack offsets)
+    assert po.nbytes <= 2 * n, (po.nbytes, n)
+    # laziness: a point read decodes exactly one block
+    assert len(po._cache) == 0
+    raw = np.concatenate([[0], np.cumsum(lens)]).astype(np.uint64)
+    expect = payload[int(raw[COLUMN_BLOCK + 5]) : int(raw[COLUMN_BLOCK + 6])]
+    assert c.get(COLUMN_BLOCK + 5) == expect
+    assert set(po._cache) == {1}
+    # exactness vs the raw table
+    np.testing.assert_array_equal(po.materialize(), raw)
