@@ -26,6 +26,12 @@ from iresearch_tpu.analysis.token import Token
 # (segmentation_token_stream.hpp:33); \w+ over NFC text with the `regex`
 # module's Unicode properties is our equivalent host segmentation.
 _WORD_RE = _regex.compile(r"[\w'']+", _regex.UNICODE)
+# scripts the dictionary segmenter handles (analysis/cjk.py): Han, kana,
+# Hangul — a regex "word" containing any of these is re-split there
+_CJK_RE = _regex.compile(
+    "[ᄀ-ᇿ〇぀-ヿㇰ-ㇿ"
+    "㐀-䶿一-鿿가-힣]"
+)
 
 # Default English stopword list (the reference ships per-language lists and
 # can load them from disk; this is the classic Snowball English set).
@@ -84,6 +90,10 @@ class SegmentationAnalyzer(Analyzer):
     def bulk_tids(self, text: str, termdict):
         """Whole tokenize+term-lookup loop in C++ (ASCII input), appending
         into ``termdict``; None -> caller uses tokenize() per token."""
+        if _CJK_RE.search(text):
+            # CJK needs the dictionary word break (analysis/cjk.py); the
+            # native alnum-run tokenizer would emit whole Han runs
+            return None
         return termdict.tokenize_to_tids(text, self._case, self._word_break)
 
     def tokenize(self, text: str) -> List[Token]:
@@ -103,6 +113,22 @@ class SegmentationAnalyzer(Analyzer):
         for m in _WORD_RE.finditer(text):
             w = m.group(0).strip("'")
             if not w:
+                continue
+            if _CJK_RE.search(w):
+                # dictionary-based CJK word break (analysis/cjk.py) —
+                # the ICU BreakIterator CjkBreakEngine analog
+                from iresearch_tpu.analysis.cjk import split_word
+
+                base = m.start() + m.group(0).index(w[0])
+                for sub, rs, re_ in split_word(w) or ((w, 0, len(w)),):
+                    if self._case == "lower":
+                        sub = sub.lower()
+                    elif self._case == "upper":
+                        sub = sub.upper()
+                    out.append(
+                        Token(sub.encode("utf-8"), pos, base + rs, base + re_)
+                    )
+                    pos += 1
                 continue
             if self._word_break == "alpha" and not any(c.isalpha() for c in w):
                 # alpha mode keeps tokens containing letters; 'all' keeps
@@ -190,29 +216,51 @@ class TextAnalyzer(Analyzer):
         out = []
         pos = 0
         for m in _WORD_RE.finditer(text):
-            w = self._fold(m.group(0).strip("'"))
-            if not w or w in self._stopwords:
-                continue
-            if self._stem is not None:
-                w = self._stem(w)
-            if not w:
-                continue
-            if self._edge is None:
-                out.append(Token(w.encode("utf-8"), pos, m.start(), m.end()))
+            w0 = m.group(0).strip("'")
+            if w0 and _CJK_RE.search(w0):
+                # locale-independent dictionary word break for CJK runs
+                # (analysis/cjk.py); snowball has no CJK stemmers, so
+                # sub-tokens skip stemming
+                from iresearch_tpu.analysis.cjk import split_word
+
+                base = m.start() + m.group(0).index(w0[0])
+                cands = [
+                    (sub, base + rs, base + re_)
+                    for sub, rs, re_ in (split_word(w0) or ())
+                ]
             else:
-                # edge ngrams: prefixes of the (stemmed) token, all at the
-                # token's position (reference: search-ngram mode,
-                # text_token_stream.cpp:121)
-                mn, mx, preserve = self._edge
-                n = len(w)
-                emitted = False
-                for g in range(mn, min(mx, n) + 1):
-                    out.append(Token(w[:g].encode("utf-8"), pos, m.start(), m.end()))
-                    emitted = True
-                if (preserve and n > mx) or not emitted:
-                    out.append(Token(w.encode("utf-8"), pos, m.start(), m.end()))
-            pos += 1
+                cands = [(w0, m.start(), m.end())]
+            for w0c, cs, ce in cands:
+                if self._emit(out, w0c, cs, ce, pos):
+                    pos += 1
         return out
+
+    def _emit(
+        self, out: List[Token], w0: str, cs: int, ce: int, pos: int
+    ) -> bool:
+        """Fold/stop/stem/edge-ngram one word; True if token(s) emitted."""
+        w = self._fold(w0)
+        if not w or w in self._stopwords:
+            return False
+        if self._stem is not None and not _CJK_RE.search(w):
+            w = self._stem(w)
+        if not w:
+            return False
+        if self._edge is None:
+            out.append(Token(w.encode("utf-8"), pos, cs, ce))
+        else:
+            # edge ngrams: prefixes of the (stemmed) token, all at the
+            # token's position (reference: search-ngram mode,
+            # text_token_stream.cpp:121)
+            mn, mx, preserve = self._edge
+            n = len(w)
+            emitted = False
+            for g in range(mn, min(mx, n) + 1):
+                out.append(Token(w[:g].encode("utf-8"), pos, cs, ce))
+                emitted = True
+            if (preserve and n > mx) or not emitted:
+                out.append(Token(w.encode("utf-8"), pos, cs, ce))
+        return True
 
 
 class NormAnalyzer(Analyzer):
