@@ -174,6 +174,19 @@ def pack_position_pools(
     prank = np.arange(P, dtype=np.int64) - pos_base[tid_of]
     pblk = prank >> 7
     plane = prank & (BLOCK - 1)
+    # native one-pass scatter-pack (iresearch_native.cpp:irs_scatter_pack)
+    # — skips the per-class mask + zeroed [rows,128] matrix round trips
+    from iresearch_tpu import native as _native
+
+    nat = _native.scatter_pack(
+        pos_flat,
+        pstart[tid_of] + pblk,
+        plane.astype(np.uint8),
+        pcls[tid_of].astype(np.uint8),
+        prows,
+    )
+    if nat is not None:
+        return pcls, pstart.astype(np.uint32), nat
     pools = []
     for c in range(NUM_CLASSES):
         sel = pcls[tid_of] == c
@@ -182,6 +195,64 @@ def pack_position_pools(
             mat[(pstart[tid_of] + pblk)[sel], plane[sel]] = pos_flat[sel]
         pools.append(pack_blocks(mat, BITS[c]))
     return pcls, pstart.astype(np.uint32), tuple(pools)
+
+
+def _encode_pools_class_numpy(
+    c, dcls, fcls, ncls, tid_of_entry, dstart, fstart, nstart,
+    blk_in_term, lane, delta, e_doc, e_freq, e_norm,
+    drows, frows, nrows,
+    pools_dw, pools_fw, pools_nw, pools_base, pools_bmax, pools_bmaxf,
+):
+    """Pure-numpy pool encode for one width class (fallback when the
+    native scatter-pack kernel is unavailable; bit-identical output)."""
+    b = BITS[c]
+    # doc-delta pool
+    sel = dcls[tid_of_entry] == c
+    r = (dstart[tid_of_entry] + blk_in_term)[sel]
+    ln = lane[sel]
+    mat = np.zeros((drows[c], BLOCK), np.uint32)
+    mat[r, ln] = delta[sel]
+    pools_dw.append(pack_blocks(mat, b))
+    pb = np.zeros(drows[c], np.uint32)
+    is_base = ln == 0
+    pb[r[is_base]] = e_doc[sel][is_base]
+    pools_base.append(pb)
+    pbm = np.zeros(drows[c], np.uint32)
+    # docs ascend within each block row, so the row max is the LAST
+    # entry of the row — one fancy assignment instead of maximum.at
+    # (ufunc.at is ~us/element; it dominated 5M-doc encodes)
+    docs_c = e_doc[sel]
+    if len(r):
+        is_last = np.empty(len(r), bool)
+        np.not_equal(r[:-1], r[1:], out=is_last[:-1])
+        is_last[-1] = True
+        pbm[r[is_last]] = docs_c[is_last]
+    pools_bmax.append(pbm)
+    # freq pool
+    self_f = fcls[tid_of_entry] == c
+    rf = (fstart[tid_of_entry] + blk_in_term)[self_f]
+    lnf = lane[self_f]
+    matf = np.zeros((frows[c], BLOCK), np.uint32)
+    matf[rf, lnf] = e_freq[self_f]
+    pools_fw.append(pack_blocks(matf, b))
+    pbmf = np.zeros(frows[c], np.uint32)
+    # freqs are unordered within a row: segmented reduceat over the
+    # row-run boundaries (rf is non-decreasing)
+    freqs_c = e_freq[self_f]
+    if len(rf):
+        bnds = np.empty(len(rf), bool)
+        bnds[0] = True
+        np.not_equal(rf[1:], rf[:-1], out=bnds[1:])
+        starts_rf = np.flatnonzero(bnds)
+        pbmf[rf[starts_rf]] = np.maximum.reduceat(freqs_c, starts_rf)
+    pools_bmaxf.append(pbmf)
+    # norm pool (per-entry doc lengths; padding lanes stay 0 and are
+    # gated by freq==0 in the executor)
+    sel_n = ncls[tid_of_entry] == c
+    rn = (nstart[tid_of_entry] + blk_in_term)[sel_n]
+    matn = np.zeros((nrows[c], BLOCK), np.uint32)
+    matn[rn, lane[sel_n]] = e_norm[sel_n]
+    pools_nw.append(pack_blocks(matn, b))
 
 
 def encode_field_postings(
@@ -299,56 +370,63 @@ def encode_field_postings(
 
     pools_dw, pools_fw, pools_base, pools_bmax, pools_bmaxf = [], [], [], [], []
     pools_nw = []
-    for c in range(NUM_CLASSES):
-        b = BITS[c]
-        # doc-delta pool
-        sel = dcls[tid_of_entry] == c
-        r = (dstart[tid_of_entry] + blk_in_term)[sel]
-        ln = lane[sel]
-        mat = np.zeros((drows[c], BLOCK), np.uint32)
-        mat[r, ln] = delta[sel]
-        pools_dw.append(pack_blocks(mat, b))
-        pb = np.zeros(drows[c], np.uint32)
-        is_base = ln == 0
-        pb[r[is_base]] = e_doc[sel][is_base]
-        pools_base.append(pb)
-        pbm = np.zeros(drows[c], np.uint32)
-        # docs ascend within each block row, so the row max is the LAST
-        # entry of the row — one fancy assignment instead of maximum.at
-        # (ufunc.at is ~us/element; it dominated 5M-doc encodes)
-        docs_c = e_doc[sel]
-        if len(r):
-            is_last = np.empty(len(r), bool)
-            np.not_equal(r[:-1], r[1:], out=is_last[:-1])
-            is_last[-1] = True
-            pbm[r[is_last]] = docs_c[is_last]
-        pools_bmax.append(pbm)
-        # freq pool
-        self_f = fcls[tid_of_entry] == c
-        rf = (fstart[tid_of_entry] + blk_in_term)[self_f]
-        lnf = lane[self_f]
-        matf = np.zeros((frows[c], BLOCK), np.uint32)
-        matf[rf, lnf] = e_freq[self_f]
-        pools_fw.append(pack_blocks(matf, b))
-        pbmf = np.zeros(frows[c], np.uint32)
-        # freqs are unordered within a row: segmented reduceat over the
-        # row-run boundaries (rf is non-decreasing)
-        freqs_c = e_freq[self_f]
-        if len(rf):
-            bnds = np.empty(len(rf), bool)
-            bnds[0] = True
-            np.not_equal(rf[1:], rf[:-1], out=bnds[1:])
-            starts_rf = np.flatnonzero(bnds)
-            pbmf[rf[starts_rf]] = np.maximum.reduceat(freqs_c, starts_rf)
-        pools_bmaxf.append(pbmf)
-        # norm pool (per-entry doc lengths; padding lanes stay 0 and are
-        # gated by freq==0 in the executor)
-        sel_n = ncls[tid_of_entry] == c
-        rn = (nstart[tid_of_entry] + blk_in_term)[sel_n]
-        matn = np.zeros((nrows[c], BLOCK), np.uint32)
-        matn[rn, lane[sel_n]] = e_norm[sel_n]
-        pools_nw.append(pack_blocks(matn, b))
+    from iresearch_tpu import native as _native
 
+    lane8 = lane.astype(np.uint8)
+    dcls_e = dcls[tid_of_entry].astype(np.uint8)
+    drow = dstart[tid_of_entry] + blk_in_term
+    nat_dw = _native.scatter_pack(delta, drow, lane8, dcls_e, drows)
+    if nat_dw is not None:
+        # native one-pass packing for the three word-pool families, plus
+        # global-row (class-offset) scatters for base/bmax/bmaxf — no
+        # per-class masks or zeroed [rows,128] matrices anywhere
+        fcls_e = fcls[tid_of_entry].astype(np.uint8)
+        ncls_e = ncls[tid_of_entry].astype(np.uint8)
+        frow = fstart[tid_of_entry] + blk_in_term
+        nrow = nstart[tid_of_entry] + blk_in_term
+        pools_dw = list(nat_dw)
+        pools_fw = list(
+            _native.scatter_pack(e_freq, frow, lane8, fcls_e, frows)
+        )
+        pools_nw = list(
+            _native.scatter_pack(e_norm, nrow, lane8, ncls_e, nrows)
+        )
+        doff = np.zeros(NUM_CLASSES + 1, np.int64)
+        np.cumsum(drows, out=doff[1:])
+        dgrow = doff[dcls_e] + drow  # global row id per entry
+        pb_all = np.zeros(doff[-1], np.uint32)
+        is_base = lane == 0
+        pb_all[dgrow[is_base]] = e_doc[is_base]
+        pbm_all = np.zeros(doff[-1], np.uint32)
+        # docs ascend within each block row; rows of one term are
+        # contiguous in entry order, so "last of its run" = row max
+        is_last = np.empty(E, bool)
+        np.not_equal(dgrow[:-1], dgrow[1:], out=is_last[:-1])
+        is_last[-1] = True
+        pbm_all[dgrow[is_last]] = e_doc[is_last]
+        pools_base = [pb_all[doff[c] : doff[c + 1]] for c in range(NUM_CLASSES)]
+        pools_bmax = [pbm_all[doff[c] : doff[c + 1]] for c in range(NUM_CLASSES)]
+        foff = np.zeros(NUM_CLASSES + 1, np.int64)
+        np.cumsum(frows, out=foff[1:])
+        fgrow = foff[fcls_e] + frow
+        pbmf_all = np.zeros(foff[-1], np.uint32)
+        bnds = np.empty(E, bool)
+        bnds[0] = True
+        np.not_equal(fgrow[1:], fgrow[:-1], out=bnds[1:])
+        starts_f = np.flatnonzero(bnds)
+        pbmf_all[fgrow[starts_f]] = np.maximum.reduceat(e_freq, starts_f)
+        pools_bmaxf = [
+            pbmf_all[foff[c] : foff[c + 1]] for c in range(NUM_CLASSES)
+        ]
+    else:
+        for c in range(NUM_CLASSES):
+            _encode_pools_class_numpy(
+                c, dcls, fcls, ncls, tid_of_entry, dstart, fstart, nstart,
+                blk_in_term, lane, delta, e_doc, e_freq, e_norm,
+                drows, frows, nrows,
+                pools_dw, pools_fw, pools_nw,
+                pools_base, pools_bmax, pools_bmaxf,
+            )
     pos_base = np.zeros(T, dtype=np.uint64)
     pos_pools = None
     if pos_flat is not None:

@@ -143,6 +143,19 @@ def load() -> Optional[ctypes.CDLL]:
             ]
         except AttributeError:
             lib.irs_tokenize_to_tids_utf8 = None
+        # scatter-pack encoder kernel (older .so builds lack it)
+        try:
+            lib.irs_scatter_pack.restype = None
+            lib.irs_scatter_pack.argtypes = [
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_void_p),
+            ]
+        except AttributeError:
+            lib.irs_scatter_pack = None
         _lib = lib
         return _lib
 
@@ -230,6 +243,43 @@ def dfa_intersect(
         cap,
     )
     return out[:n].copy()
+
+
+def scatter_pack(
+    vals: np.ndarray,
+    row: np.ndarray,
+    lane: np.ndarray,
+    cls: np.ndarray,
+    rows_per_class,
+) -> Optional[tuple]:
+    """One-pass classed planar bit-pack (encoder hot loop).
+
+    ``vals[i]`` goes to class ``cls[i]``'s pool at block-row ``row[i]``,
+    lane ``lane[i]`` — layout identical to formats/bitpack.pack_blocks.
+    Returns the 6 per-class word arrays (row 0 zero sentinel included in
+    ``rows_per_class``), or None when the native library is unavailable.
+    """
+    lib = load()
+    if lib is None or getattr(lib, "irs_scatter_pack", None) is None:
+        return None
+    from iresearch_tpu.formats.bitpack import BITS
+
+    outs = tuple(
+        np.zeros((int(rows_per_class[c]), 4 * BITS[c]), np.uint32)
+        for c in range(len(BITS))
+    )
+    ptrs = (ctypes.c_void_p * len(outs))(
+        *(o.ctypes.data for o in outs)
+    )
+    lib.irs_scatter_pack(
+        np.ascontiguousarray(vals, np.uint32),
+        np.ascontiguousarray(row, np.int64),
+        np.ascontiguousarray(lane, np.uint8),
+        np.ascontiguousarray(cls, np.uint8),
+        len(vals),
+        ptrs,
+    )
+    return outs
 
 
 def crc32c(data: bytes, seed: int = 0) -> Optional[int]:

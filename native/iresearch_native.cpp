@@ -476,4 +476,31 @@ uint32_t irs_crc32c(const uint8_t* data, int64_t len, uint32_t seed) {
   return ~crc;
 }
 
+// Scatter-pack: write classed planar bit-packed pools in ONE pass over
+// the element stream (the encoder hot loop; replaces the per-class
+// numpy mask -> zeroed [rows,128] matrix -> pack_blocks pipeline, which
+// zeroes + re-reads every pool twice). Planar layout per
+// formats/bitpack.py: at width b, lane j of a 128-lane block lives in
+// word j % (4b) at bit (j / (4b)) * b. Widths are the pow2 classes
+// {1,2,4,8,16,32}, so word-column and shift are shift/mask arithmetic.
+// ``outs`` are pre-zeroed per-class word arrays (row 0 = sentinel).
+void irs_scatter_pack(const uint32_t* vals, const int64_t* row,
+                      const uint8_t* lane, const uint8_t* cls, int64_t n,
+                      uint32_t** outs) {
+  static const uint32_t kBits[6] = {1, 2, 4, 8, 16, 32};
+  // wpb = 4*b is a power of two: log2(wpb) and log2(b) per class
+  static const uint32_t kWpbLog[6] = {2, 3, 4, 5, 6, 7};
+  static const uint32_t kBitLog[6] = {0, 1, 2, 3, 4, 5};
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t c = cls[i];
+    const uint32_t wl = kWpbLog[c];
+    const uint32_t wpb_mask = (1u << wl) - 1u;
+    const uint32_t j = lane[i];
+    const uint32_t shift = (j >> wl) << kBitLog[c];
+    outs[c][(static_cast<uint64_t>(row[i]) << wl) + (j & wpb_mask)] |=
+        vals[i] << shift;
+  }
+  (void)kBits;
+}
+
 }  // extern "C"

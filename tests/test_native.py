@@ -174,10 +174,8 @@ def test_utf8_bulk_tids_matches_python():
     texts = [
         "Grüße aus München — Äpfel und Öl!",
         "naïve café déjà-vu; Россия Москва 2024",
-        "日本語のテキストと English words mixed",
         "O'Neill's 'quoted' l'été d'accord",
         "ελληνικά ΚΕΙΜΕΝΟ",  # plain sigma only
-        "数字123と半角ｶﾅ",
         "çağrı ÇAĞRI ıspanak İstanbul",
     ]
     for case in ("lower", "none", "upper"):
@@ -192,6 +190,12 @@ def test_utf8_bulk_tids_matches_python():
             terms = td.terms()
             got = [terms[i] for i in tids]
             assert got == want, (case, text, got, want)
+    # CJK input is NOT the native tokenizer's contract anymore: the
+    # analyzer defers it to the dictionary word break (analysis/cjk.py,
+    # covered by test_cjk.py) — bulk_tids must decline, not mis-split
+    an = get_analyzer("segmentation")
+    for text in ["日本語のテキストと English words mixed", "数字123と半角ｶﾅ"]:
+        assert an.bulk_tids(text, TermDict()) is None, text
 
 
 def test_utf8_case_complex_falls_back():
