@@ -233,6 +233,25 @@ def main():
         f"{n_lat}): {lat*1000:.3f} ms (HighTerm)"
     )
 
+    # latency percentiles (BASELINE north-star row "p99 tracked"): each
+    # query individually completion-synced, so every sample carries one
+    # full relay d2h fetch — report raw and rtt-subtracted. On a
+    # PCIe-local host the raw percentiles ARE the serving latency; through
+    # the relay the subtracted column is the engine-side bound and the
+    # raw column is dominated by relay fetch variance.
+    samples = []
+    for _ in range(60):
+        t2 = time.time()
+        v, _d = dq.execute_segment_async(0, K)
+        sync(v)
+        samples.append(time.time() - t2)
+    qs = np.quantile(np.array(samples), [0.5, 0.95, 0.99])
+    log(
+        "single-query latency percentiles (per-query sync, HighTerm): "
+        f"p50 {qs[0]*1000:.1f} / p95 {qs[1]*1000:.1f} / p99 {qs[2]*1000:.1f} ms raw; "
+        f"rtt-subtracted p50 {(qs[0]-rtt)*1000:.2f} / p99 {(qs[2]-rtt)*1000:.2f} ms"
+    )
+
     # breadth categories: phrase on device, prefix/fuzzy expansions, wand.
     # Prefix matches luceneutil Prefix3 selectivity: a 3-char prefix over
     # a RARE term band ("t01" = ranks 10k-20k). Prefixing the hottest ids
@@ -296,7 +315,24 @@ def main():
     # blocks of passes, then force completion with a real sync — queries
     # only count once their top-k exists on device. Periodic syncs also
     # bound the relay queue (a huge unsynced backlog can wedge the relay).
-    BLOCK_PASSES = 8
+    # The enqueue depth adapts to the measured relay d2h RTT: the fetch is
+    # a FIXED relay artifact (µs on a PCIe-local host; 5-180 ms observed
+    # through the dev relay depending on its health), so each block must
+    # carry enough real work that the artifact stays a small fraction of
+    # elapsed — otherwise the loop measures the relay, not the engine.
+    # One synced 8-pass block calibrates per-pass cost; depth is then
+    # sized so the RTT is ≤ ~1/8 of block wall, capped at 64 passes
+    # (≈ 10^3 dispatches) to bound the unsynced backlog.
+    tc = time.time()
+    for _ in range(8):
+        res = prep.run_grouped()
+    sync(res[-1][0][0])
+    per_pass = max((time.time() - tc - rtt) / 8, 1e-4)
+    BLOCK_PASSES = int(min(64, max(8, round(7 * rtt / per_pass))))
+    log(
+        f"calibration: {per_pass*1000:.1f} ms/pass enqueue+compute, "
+        f"rtt {rtt*1000:.1f} ms -> BLOCK_PASSES={BLOCK_PASSES}"
+    )
     t1 = time.time()
     nq = 0
     while True:
