@@ -43,11 +43,17 @@ def log(*a):
 
 
 NUM_DOCS = int(__import__("os").environ.get("BENCH_DOCS", 50_000))
+# Corpora beyond SEG_DOCS split into segments of SEG_DOCS docs each —
+# the shape a real index has after tiered consolidation (the reference
+# caps segments via ConsolidateTier; a 25M-doc reference index is also
+# several segments), and the shape that keeps doc*pos_cap positional
+# keys inside int31 (CLAUDE.md) at 10M+ docs.
+SEG_DOCS = int(__import__("os").environ.get("BENCH_SEG_DOCS", 5_000_000))
 VOCAB = 30_000
 K = 10
 
 
-def build_corpus():
+def build_corpus(num_docs=NUM_DOCS, seed=42):
     """Zipf(1.25) token ids clipped to VOCAB, sampled by inverse CDF.
 
     The clipped zipf IS a finite categorical (P(k) ∝ k^-1.25 for k <
@@ -57,8 +63,8 @@ def build_corpus():
     a 1-vCPU host; ~20 s this way). Same law as the round-1/2 corpora;
     sample paths differ.
     """
-    rng = np.random.default_rng(42)
-    lens = rng.integers(32, 96, size=NUM_DOCS)
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(32, 96, size=num_docs)
     total = int(lens.sum())
     ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
     pmf = ranks ** -1.25
@@ -104,31 +110,40 @@ def main():
     cache_dir = __import__("os").path.join(
         __import__("os").path.dirname(__file__) or ".", ".bench_cache"
     )
-    cache_file = __import__("os").path.join(
-        cache_dir, f"seg_{NUM_DOCS}_{VOCAB}_v5.bin"
-    )
-    ntokens = None
-    if __import__("os").path.exists(cache_file):
-        from iresearch_tpu.formats.segment_io import read_segment
+    seg_sizes = [
+        min(SEG_DOCS, NUM_DOCS - i * SEG_DOCS)
+        for i in range(-(-NUM_DOCS // SEG_DOCS))
+    ]
 
-        with open(cache_file, "rb") as f:
-            data = read_segment(f.read())
-        fp = data.fields["body"]
-        ntokens = fp.total_term_freq
-        log(f"index loaded from cache ({time.time()-t0:.1f}s)")
-    else:
-        lens, tids = build_corpus()
-        ntokens = len(tids)
-        doc_of_tok = np.repeat(np.arange(NUM_DOCS), lens)
+    def build_segment(si: int, n: int):
+        """Load-or-build one segment of n docs (seed 42+si). Segment 0's
+        cache name matches the legacy single-segment file so a 10M-doc
+        run reuses the 5M-doc run's build."""
+        suffix = "" if si == 0 else f"_s{42 + si}"
+        cache_file = __import__("os").path.join(
+            cache_dir, f"seg_{n}_{VOCAB}_v5{suffix}.bin"
+        )
+        if __import__("os").path.exists(cache_file):
+            from iresearch_tpu.formats.segment_io import read_segment
+
+            with open(cache_file, "rb") as f:
+                data = read_segment(f.read())
+            log(f"segment {si} loaded from cache ({time.time()-t0:.1f}s)")
+            return data
+        lens, tids = build_corpus(n, seed=42 + si)
+        doc_of_tok = np.repeat(np.arange(n), lens)
         # vectorized within-doc positions (a per-doc loop crawls at 5M docs)
         starts = np.cumsum(lens) - lens
         pos_of_tok = (
             np.arange(len(tids), dtype=np.int64) - np.repeat(starts, lens)
         ).astype(np.uint32)
-        log(f"corpus: {NUM_DOCS} docs, {len(tids)} tokens ({time.time()-t0:.1f}s)")
+        log(
+            f"segment {si} corpus: {n} docs, {len(tids)} tokens "
+            f"({time.time()-t0:.1f}s)"
+        )
 
         # vocab: term id t spelled as zero-padded decimal so order is stable
-        inv = invert_numpy(tids, doc_of_tok, pos_of_tok, VOCAB, NUM_DOCS)
+        inv = invert_numpy(tids, doc_of_tok, pos_of_tok, VOCAB, n)
         present = np.flatnonzero(np.diff(inv.term_ptr) > 0)
         terms_l = [b"t%06d" % t for t in present]
         blob = b"".join(terms_l)
@@ -136,11 +151,11 @@ def main():
         offs[1:] = np.cumsum([len(t) for t in terms_l])
         # compact term_ptr to present terms only
         tp = np.concatenate([inv.term_ptr[present], [inv.term_ptr[-1]]])
-        fp = encode_field_postings(
+        fpn = encode_field_postings(
             inv.e_doc, inv.e_freq, tp, blob, offs, inv.norms, inv.pos_flat,
             IndexFeatures.FREQ | IndexFeatures.POS,
         )
-        data = SegmentData(NUM_DOCS, {"body": fp}, {})
+        data = SegmentData(n, {"body": fpn}, {})
         try:
             from iresearch_tpu.formats.segment_io import write_segment
 
@@ -149,20 +164,29 @@ def main():
                 f.write(write_segment(data))
         except Exception as e:  # cache is best-effort
             log(f"cache write skipped: {e}")
-    sr = SegmentReader("bench", data)
+        return data
+
+    seg_data = [build_segment(si, n) for si, n in enumerate(seg_sizes)]
+    srs = [SegmentReader(f"bench{si}", d) for si, d in enumerate(seg_data)]
+    sr = srs[0]
+    fp = seg_data[0].fields["body"]
+    ntokens = sum(d.fields["body"].total_term_freq for d in seg_data)
     tv = sr.terms("body")
     terms = [tv[i] for i in range(len(tv))]
     # honest all-in memory ledger: postings + positions + term dict + meta
-    pool_bytes = sum(a.nbytes for a in fp.doc_words + fp.freq_words)
-    nrm_bytes = sum(a.nbytes for a in fp.nrm_words) if fp.nrm_words else 0
-    pos_bytes = sum(a.nbytes for a in fp.pos_words) if fp.pos_words else 0
-    dict_bytes = len(fp.term_blob) + fp.term_offsets.nbytes
-    meta_bytes = sum(
-        a.nbytes for a in fp.base + fp.bmax + fp.bmaxf
-    ) + fp.entries.nbytes + fp.norms.nbytes
+    pool_bytes = nrm_bytes = pos_bytes = dict_bytes = meta_bytes = 0
+    for d in seg_data:
+        f_ = d.fields["body"]
+        pool_bytes += sum(a.nbytes for a in f_.doc_words + f_.freq_words)
+        nrm_bytes += sum(a.nbytes for a in f_.nrm_words) if f_.nrm_words else 0
+        pos_bytes += sum(a.nbytes for a in f_.pos_words) if f_.pos_words else 0
+        dict_bytes += len(f_.term_blob) + f_.term_offsets.nbytes
+        meta_bytes += sum(
+            a.nbytes for a in f_.base + f_.bmax + f_.bmaxf
+        ) + f_.entries.nbytes + f_.norms.nbytes
     total_bytes = pool_bytes + nrm_bytes + pos_bytes + dict_bytes + meta_bytes
     log(
-        f"index built ({time.time()-t0:.1f}s): {fp.num_terms} terms, "
+        f"index built ({time.time()-t0:.1f}s): {len(srs)} segment(s), "
         f"postings {pool_bytes/1e6:.1f}MB + inline norms {nrm_bytes/1e6:.1f}MB "
         f"+ positions {pos_bytes/1e6:.1f}MB "
         f"+ dict {dict_bytes/1e6:.1f}MB + meta {meta_bytes/1e6:.1f}MB "
@@ -218,14 +242,22 @@ def main():
     rtt = sorted(rtts)[2]
     log(f"relay d2h round-trip: {rtt*1000:.1f} ms (excluded where noted)")
 
+    nseg = len(srs)
+
+    def exec_all_segments(dq_, k):
+        """Enqueue the query on every segment; a 'query' is global."""
+        for si in range(nseg):
+            v, _d = dq_.execute_segment_async(si, k)
+        return v
+
     # single-query serving latency, amortized over a completion-synced run
     lat_flt = F.ByTerm("body", high[0])
-    dq = DeviceQuery(lat_flt, [sr], scorer)
-    sync(dq.execute_segment_async(0, K)[0])  # compile + warm
+    dq = DeviceQuery(lat_flt, srs, scorer)
+    sync(exec_all_segments(dq, K))  # compile + warm
     t2 = time.time()
     n_lat = 100
     for _ in range(n_lat):
-        v, _d = dq.execute_segment_async(0, K)
+        v = exec_all_segments(dq, K)
     sync(v)
     lat = (time.time() - t2 - rtt) / n_lat
     log(
@@ -242,7 +274,7 @@ def main():
     samples = []
     for _ in range(60):
         t2 = time.time()
-        v, _d = dq.execute_segment_async(0, K)
+        v = exec_all_segments(dq, K)
         sync(v)
         samples.append(time.time() - t2)
     qs = np.quantile(np.array(samples), [0.5, 0.95, 0.99])
@@ -292,24 +324,102 @@ def main():
     for name, flt in extras:
         reps = 3 if name == "PrefixHot" else 20
         try:
-            dq = DeviceQuery(flt, [sr], scorer, wand=(name == "OrHigh4+WAND"))
-            sync(dq.execute_segment_async(0, K)[0])
+            dq = DeviceQuery(flt, srs, scorer, wand=(name == "OrHigh4+WAND"))
+            sync(exec_all_segments(dq, K))
             t2 = time.time()
             for _ in range(reps):
-                v, _d = dq.execute_segment_async(0, K)
+                v = exec_all_segments(dq, K)
             sync(v)
             log(f"{name}: {(time.time()-t2-rtt)/reps*1000:.3f} ms/query (completion-synced)")
         except Exception as e:  # a tail category must not kill the QPS phases
             log(f"{name}: FAILED ({type(e).__name__}: {str(e)[:200]})")
 
-    qb = QueryBatch([flt for _, flt in tasks], [sr], scorer, wand=True)
-    prep = qb.prepare(0, K)
+    qb = QueryBatch([flt for _, flt in tasks], srs, scorer, wand=True)
+
+    # multi-segment batched execution: dispatch every segment's fused
+    # program per pass, then ONE fused assemble+merge dispatch — each
+    # segment's per-group [Qg,k] outputs concatenate and permute back to
+    # query order (signature groups differ per segment: row buckets
+    # depend on that segment's dfs), then a top-k over the S*k global
+    # candidates with per-segment doc bases. Global top-k is produced ON
+    # DEVICE every pass; nothing crosses to host until the block sync.
+    bases_np = np.zeros(nseg, np.int32)
+    np.cumsum([s.num_docs for s in srs[:-1]], out=bases_np[1:])
+
+    @jax.jit
+    def _assemble_merge(gvs, gds, perms_arr):
+        """gvs/gds: per segment, the tuple of per-group [Qg,k] arrays;
+        perms_arr [S,Q] maps query order -> concat-of-groups order."""
+        vs = jnp.stack([
+            jnp.concatenate(v, axis=0)[perms_arr[s]]
+            for s, v in enumerate(gvs)
+        ])
+        ds = jnp.stack([
+            jnp.concatenate(d, axis=0)[perms_arr[s]]
+            for s, d in enumerate(gds)
+        ])
+        s_, q_, k_ = vs.shape
+        v = jnp.swapaxes(vs, 0, 1).reshape(q_, s_ * k_)
+        d = jnp.swapaxes(
+            ds + jnp.asarray(bases_np)[:, None, None], 0, 1
+        ).reshape(q_, s_ * k_)
+        # lexicographic (score desc, doc asc): per-segment top-k emits
+        # equal-score docs in survivor-row order, so a plain top_k would
+        # leave tie order segment-dependent
+        sd, dd = jax.lax.sort((-v, d), dimension=1, num_keys=2)
+        return -sd[:, :k_], dd[:, :k_]
+
+    def _perms_for(preps_):
+        """[S,Q] i32: inverse permutation of each segment's group order."""
+        perms = []
+        for p in preps_:
+            qorder = np.concatenate(
+                [np.asarray(c[0], np.int64) for c in p._templates]
+            )
+            perms.append(np.argsort(qorder).astype(np.int32))
+        return jnp.asarray(np.stack(perms))
+
+    def merged_run(preps_, perms_):
+        outs = [p.run_grouped() for p in preps_]
+        gvs = tuple(tuple(g[0][0] for g in o) for o in outs)
+        gds = tuple(tuple(g[0][1] for g in o) for o in outs)
+        return _assemble_merge(gvs, gds, perms_)
+
+    preps = [qb.prepare(si, K) for si in range(nseg)]
+    task_perms = _perms_for(preps) if nseg > 1 else None
+
+    def run_pass():
+        if nseg == 1:
+            return preps[0].run_grouped()[-1][0]
+        return merged_run(preps, task_perms)
 
     # warmup: compile every batch signature
     tw = time.time()
-    res = prep.run_grouped()
-    sync(res[-1][0][0])
-    log(f"warmup/compile done ({time.time()-tw:.1f}s, {len(prep._calls)} dispatch groups)")
+    res_v, res_d = run_pass()
+    sync(res_v)
+    log(
+        f"warmup/compile done ({time.time()-tw:.1f}s, "
+        f"{nseg}x{len(preps[0]._calls)} dispatch groups)"
+    )
+
+    if nseg > 1 and os.environ.get("BENCH_VERIFY_MERGE"):
+        # opt-in exactness check of the fused device merge against the
+        # host-merge reference path (QueryBatch.search): same docs in
+        # order, scores to 1e-5. Off by default: search() fetches every
+        # per-query array (hundreds of relay round-trips).
+        ref = qb.search(K)
+        got_v = np.asarray(res_v)
+        got_d = np.asarray(res_d)
+        for qi, ref_q in enumerate(ref):
+            n_ref = len(ref_q)
+            finite = np.isfinite(got_v[qi])
+            assert int(finite.sum()) == n_ref, (qi, int(finite.sum()), n_ref)
+            for j, (rd, rv) in enumerate(ref_q):
+                assert int(got_d[qi, j]) == rd, (qi, j, int(got_d[qi, j]), rd)
+                assert abs(got_v[qi, j] - rv) <= 1e-5 * max(1.0, abs(rv)), (
+                    qi, j, float(got_v[qi, j]), rv
+                )
+        log(f"device merge verified vs host merge over {len(ref)} queries")
 
     # timed run (batched dispatch, the TPU-native serving shape): enqueue
     # blocks of passes, then force completion with a real sync — queries
@@ -325,8 +435,8 @@ def main():
     # (≈ 10^3 dispatches) to bound the unsynced backlog.
     tc = time.time()
     for _ in range(8):
-        res = prep.run_grouped()
-    sync(res[-1][0][0])
+        res_v, _res_d = run_pass()
+    sync(res_v)
     per_pass = max((time.time() - tc - rtt) / 8, 1e-4)
     BLOCK_PASSES = int(min(64, max(8, round(7 * rtt / per_pass))))
     log(
@@ -337,9 +447,9 @@ def main():
     nq = 0
     while True:
         for _ in range(BLOCK_PASSES):
-            res = prep.run_grouped()
+            res_v, _res_d = run_pass()
             nq += len(tasks)
-        sync(res[-1][0][0])
+        sync(res_v)
         elapsed = time.time() - t1
         log(f"  {nq} queries complete at {elapsed:.2f}s")
         if elapsed >= 2.0 or nq >= 500 * len(tasks):
@@ -359,11 +469,16 @@ def main():
             b = term_at(200 + (rot + j) % 1200)
             fresh.append(F.ByTerm("body", a))
             fresh.append(F.And(F.ByTerm("body", a), F.ByTerm("body", b)))
-        qb2 = QueryBatch(fresh, [sr], scorer, wand=True)
-        res2 = qb2.prepare(0, K).run_grouped()
+        qb2 = QueryBatch(fresh, srs, scorer, wand=True)
+        if nseg == 1:
+            res2 = qb2.prepare(0, K).run_grouped()
+            last = res2[-1][0][0]
+        else:  # prepare + dispatch + fused device merge across segments
+            preps2 = [qb2.prepare(si, K) for si in range(nseg)]
+            last, _ld = merged_run(preps2, _perms_for(preps2))
         if do_sync:
-            sync(res2[-1][0][0])
-        return len(fresh), res2
+            sync(last)
+        return len(fresh), last
 
     # warm the rotation set's jit signatures once (steady-state server),
     # then time fresh filter objects over the same term shapes: prepare,
@@ -381,9 +496,9 @@ def main():
         pend = 0
         for _ in range(4):  # bounded enqueue depth, like the batched phase
             for r in rots:
-                n, res2 = serve_batch(r, do_sync=False)
+                n, last2 = serve_batch(r, do_sync=False)
                 pend += n
-        sync(res2[-1][0][0])
+        sync(last2)
         nserve += pend
     serve_el = time.time() - t3
     log(
