@@ -337,61 +337,19 @@ def main():
     qb = QueryBatch([flt for _, flt in tasks], srs, scorer, wand=True)
 
     # multi-segment batched execution: dispatch every segment's fused
-    # program per pass, then ONE fused assemble+merge dispatch — each
-    # segment's per-group [Qg,k] outputs concatenate and permute back to
-    # query order (signature groups differ per segment: row buckets
-    # depend on that segment's dfs), then a top-k over the S*k global
-    # candidates with per-segment doc bases. Global top-k is produced ON
-    # DEVICE every pass; nothing crosses to host until the block sync.
-    bases_np = np.zeros(nseg, np.int32)
-    np.cumsum([s.num_docs for s in srs[:-1]], out=bases_np[1:])
+    # program per pass, then ONE fused assemble+merge dispatch producing
+    # the global [Q,k] top-k ON DEVICE (exec/segmerge.py) — nothing
+    # crosses to host until the block sync.
+    if nseg == 1:
+        prep = qb.prepare(0, K)
+        ngroups = len(prep._calls)
 
-    @jax.jit
-    def _assemble_merge(gvs, gds, perms_arr):
-        """gvs/gds: per segment, the tuple of per-group [Qg,k] arrays;
-        perms_arr [S,Q] maps query order -> concat-of-groups order."""
-        vs = jnp.stack([
-            jnp.concatenate(v, axis=0)[perms_arr[s]]
-            for s, v in enumerate(gvs)
-        ])
-        ds = jnp.stack([
-            jnp.concatenate(d, axis=0)[perms_arr[s]]
-            for s, d in enumerate(gds)
-        ])
-        s_, q_, k_ = vs.shape
-        v = jnp.swapaxes(vs, 0, 1).reshape(q_, s_ * k_)
-        d = jnp.swapaxes(
-            ds + jnp.asarray(bases_np)[:, None, None], 0, 1
-        ).reshape(q_, s_ * k_)
-        # lexicographic (score desc, doc asc): per-segment top-k emits
-        # equal-score docs in survivor-row order, so a plain top_k would
-        # leave tie order segment-dependent
-        sd, dd = jax.lax.sort((-v, d), dimension=1, num_keys=2)
-        return -sd[:, :k_], dd[:, :k_]
-
-    def _perms_for(preps_):
-        """[S,Q] i32: inverse permutation of each segment's group order."""
-        perms = []
-        for p in preps_:
-            qorder = np.concatenate(
-                [np.asarray(c[0], np.int64) for c in p._templates]
-            )
-            perms.append(np.argsort(qorder).astype(np.int32))
-        return jnp.asarray(np.stack(perms))
-
-    def merged_run(preps_, perms_):
-        outs = [p.run_grouped() for p in preps_]
-        gvs = tuple(tuple(g[0][0] for g in o) for o in outs)
-        gds = tuple(tuple(g[0][1] for g in o) for o in outs)
-        return _assemble_merge(gvs, gds, perms_)
-
-    preps = [qb.prepare(si, K) for si in range(nseg)]
-    task_perms = _perms_for(preps) if nseg > 1 else None
-
-    def run_pass():
-        if nseg == 1:
-            return preps[0].run_grouped()[-1][0]
-        return merged_run(preps, task_perms)
+        def run_pass():
+            return prep.run_grouped()[-1][0]
+    else:
+        mb = qb.prepare_all(K)
+        ngroups = len(mb.preps[0]._calls)
+        run_pass = mb.run
 
     # warmup: compile every batch signature
     tw = time.time()
@@ -399,7 +357,7 @@ def main():
     sync(res_v)
     log(
         f"warmup/compile done ({time.time()-tw:.1f}s, "
-        f"{nseg}x{len(preps[0]._calls)} dispatch groups)"
+        f"{nseg}x{ngroups} dispatch groups)"
     )
 
     if nseg > 1 and os.environ.get("BENCH_VERIFY_MERGE"):
@@ -474,8 +432,7 @@ def main():
             res2 = qb2.prepare(0, K).run_grouped()
             last = res2[-1][0][0]
         else:  # prepare + dispatch + fused device merge across segments
-            preps2 = [qb2.prepare(si, K) for si in range(nseg)]
-            last, _ld = merged_run(preps2, _perms_for(preps2))
+            last, _ld = qb2.prepare_all(K).run()
         if do_sync:
             sync(last)
         return len(fresh), last

@@ -618,6 +618,17 @@ class QueryBatch:
             out.append(cands[:k])
         return out
 
+    def prepare_all(self, k: int):
+        """Prepared GLOBAL batch over every segment: run() dispatches
+        each segment's fused program plus one device merge and returns
+        global (vals [Q,k], docs [Q,k]) — see exec/segmerge.py."""
+        from iresearch_tpu.exec.segmerge import MergedBatch
+
+        return MergedBatch(
+            [self.prepare(si, k) for si in range(len(self.segments))],
+            [sr.num_docs for sr in self.segments],
+        )
+
     def prepare(self, seg_idx: int, k: int) -> "PreparedBatch":
         """Stack plans into device arrays once; re-runnable cheaply."""
         import jax.numpy as jnp

@@ -1,0 +1,117 @@
+"""Device-side global top-k merge across segments.
+
+A multi-segment index (the shape any real index has after tiered
+consolidation — reference: ConsolidateTier,
+/root/reference/core/utils/index_utils.hpp:32-84, and the per-segment
+execute loop in /root/reference/utils/index-search.cpp:714-780) answers
+a query by executing per segment and merging the per-segment top-k.
+The reference merges in the caller's min-heap on the CPU; here the
+merge is ONE fused device dispatch so nothing crosses to host until
+the caller fetches the final [Q, k]:
+
+* each segment's :class:`PreparedBatch` yields per signature group a
+  ``[Qg, k]`` (vals, docs) pair — groups differ per segment (row
+  buckets depend on that segment's dfs), so the outputs concatenate
+  and permute back to query order with a per-segment inverse
+  permutation (static per prepared batch);
+* the ``[S, Q, k]`` stack merges by a lexicographic ``lax.sort`` over
+  the ``S*k`` global candidates per query — (score desc, global doc
+  asc).  Per-segment top-k emits equal-score docs in survivor-row
+  order, so a plain ``top_k`` of the concat would leave tie order
+  segment-dependent; the two-key sort restores the engine-wide
+  deterministic (score, doc) order.
+
+Global doc ids are ``segment_base + local_doc`` with bases the prefix
+sum of segment doc counts (must stay < 2^31: jax x64 is off).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _assemble_merge(gvs, gds, perms, bases):
+    """Fuse assemble + merge into one dispatch.
+
+    gvs/gds: tuple over segments of tuples of per-group [Qg, k] arrays
+    (vals f32 / local docs i32); perms [S, Q] i32 maps query order to
+    concat-of-groups order; bases [S] i32 per-segment doc offsets.
+    Returns global (vals [Q, k] f32, docs [Q, k] i32).
+    """
+    vs = jnp.stack([
+        jnp.concatenate(v, axis=0)[perms[s]] for s, v in enumerate(gvs)
+    ])
+    ds = jnp.stack([
+        jnp.concatenate(d, axis=0)[perms[s]] for s, d in enumerate(gds)
+    ])
+    s_, q_, k_ = vs.shape
+    v = jnp.swapaxes(vs, 0, 1).reshape(q_, s_ * k_)
+    d = jnp.swapaxes(
+        ds + bases[:, None, None], 0, 1
+    ).reshape(q_, s_ * k_)
+    sd, dd = jax.lax.sort((-v, d), dimension=1, num_keys=2)
+    return -sd[:, :k_], dd[:, :k_]
+
+
+def _perm_of(prep) -> np.ndarray:
+    """Inverse permutation of a PreparedBatch's group order ([Q] i32)."""
+    qorder = np.concatenate(
+        [np.asarray(c[0], np.int64) for c in prep._templates]
+    )
+    return np.argsort(qorder).astype(np.int32)
+
+
+class MergedBatch:
+    """Prepared multi-segment batch: run() -> global (vals, docs) [Q,k].
+
+    Built from one :class:`PreparedBatch` per segment (same queries,
+    same k).  ``run()`` enqueues every segment's fused program plus one
+    merge dispatch; the result stays on device (async) until fetched.
+    """
+
+    def __init__(self, preps: Sequence, num_docs: Sequence[int]) -> None:
+        if len(preps) != len(num_docs):
+            raise ValueError("one PreparedBatch per segment required")
+        total = int(np.sum(np.asarray(num_docs, np.int64)))
+        if total >= 2**31:
+            raise ValueError(
+                f"global doc ids need {total} < 2^31 (jax x64 is off); "
+                "split the index across shards instead"
+            )
+        self.preps = list(preps)
+        bases = np.zeros(len(preps), np.int32)
+        np.cumsum(np.asarray(num_docs[:-1], np.int64), out=bases[1:])
+        self._bases = jnp.asarray(bases)
+        self._perms = jnp.asarray(
+            np.stack([_perm_of(p) for p in self.preps])
+        )
+
+    def run(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        outs = [p.run_grouped() for p in self.preps]
+        gvs = tuple(tuple(g[0][0] for g in o) for o in outs)
+        gds = tuple(tuple(g[0][1] for g in o) for o in outs)
+        return _assemble_merge(gvs, gds, self._perms, self._bases)
+
+    def search(self, k: int) -> List[List[Tuple[int, float]]]:
+        """Fetched global top-k as [(global_doc, score), ...] per query
+        (finite-score entries only) — same convention as
+        QueryBatch.search."""
+        vals, docs = self.run()
+        vals = np.asarray(vals)
+        docs = np.asarray(docs)
+        out: List[List[Tuple[int, float]]] = []
+        for qi in range(vals.shape[0]):
+            fin = np.isfinite(vals[qi])
+            out.append(
+                [
+                    (int(d), float(v))
+                    for v, d in zip(vals[qi][fin][:k], docs[qi][fin][:k])
+                ]
+            )
+        return out
