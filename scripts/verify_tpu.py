@@ -130,6 +130,45 @@ def check_wand_and_fuzz():
     print("10 random boolean trees (wand where eligible) vs oracle: OK")
 
 
+def check_segmerge():
+    """Fused device cross-segment merge == host merge (exec/segmerge.py)."""
+    from iresearch_tpu.exec.batch import QueryBatch
+    from iresearch_tpu.search import filters as F
+    from iresearch_tpu.search.scorers import BM25
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(300):
+        n = int(rng.integers(2, 12))
+        idx = np.minimum(rng.zipf(1.5, size=n) - 1, len(words) - 1)
+        docs.append(" ".join(words[j] for j in idx))
+    from iresearch_tpu.index.reader import DirectoryReader
+    from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+    from iresearch_tpu.store.directory import MemoryDirectory
+
+    d = MemoryDirectory()
+    with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
+        for i, t in enumerate(docs):
+            w.insert([Field("body", t, analyzer="segmentation")])
+            if i == 140:
+                w.commit()  # two segments
+        w.commit()
+    r = DirectoryReader.open(d)
+    filters = [F.ByTerm("body", w) for w in words[:4]] + [
+        F.Or(F.ByTerm("body", "alpha"), F.ByTerm("body", "zeta")),
+        F.And(F.ByTerm("body", "alpha"), F.ByTerm("body", "gamma")),
+    ]
+    qb = QueryBatch(filters, list(r.segments), BM25(), wand=True)
+    got = qb.prepare_all(8).search(8)
+    ref = qb.search(8)
+    for g, rf in zip(got, ref):
+        assert len(g) == len(rf), (g, rf)
+        for (gd, gv), (rd, rv) in zip(g, rf):
+            assert gd == rd and abs(gv - rv) <= 1e-5 * max(1, abs(rv))
+    print(f"device cross-segment merge vs host merge: OK ({len(got)} queries)")
+
+
 if __name__ == "__main__":
     import jax
 
@@ -137,4 +176,5 @@ if __name__ == "__main__":
     check_bm25_oracle()
     check_phrase()
     check_wand_and_fuzz()
+    check_segmerge()
     print("VERIFY_TPU PASS on", jax.devices()[0].platform)
