@@ -85,6 +85,21 @@ def _chunked_vmap(one, xs, q: int, width: int):
     )
 
 
+def _stack_dense_dyn(dense_dyn):
+    """WAND upper bounds may arrive as a tuple of Q per-plan device
+    arrays [ndrows] (uploaded once per cached plan, see _dense_ub_dev) —
+    stack to [Q, ndrows] in-trace (a device-side concat) so the vmapped
+    bodies see one array per span. No-op for spans without the tuple."""
+    import jax.numpy as jnp
+
+    return tuple(
+        dd[:2] + (jnp.stack(dd[2]),) + dd[3:]
+        if len(dd) > 2 and isinstance(dd[2], tuple)
+        else dd
+        for dd in dense_dyn
+    )
+
+
 def _bucket4(n: int) -> int:
     """Row-count bucket at 4x granularity: queries within one bucket batch
     into one dispatch (row padding <=4x, dwarfed by per-dispatch cost),
@@ -130,6 +145,7 @@ def _run_batch(
     from iresearch_tpu.formats.spec import BLOCK as BLOCK_LANES
     from iresearch_tpu.ops.topk import wide_top_k
 
+    dense_dyn = _stack_dense_dyn(dense_dyn)
     if use_scan:
         # fused row-max scan (ops/dense_scan.py): single-leaf sum trees
         # whose spans are all grid-resident skip the [nd] fold entirely.
@@ -325,6 +341,8 @@ def _run_batch_candidates(
     """Vmapped scale-proportional tiers (exec/candidates.py): per-batch
     work ∝ Q × postings, independent of corpus size."""
     from iresearch_tpu.exec.candidates import candidate_body
+
+    dense_dyn = _stack_dense_dyn(dense_dyn)
 
     def one(xs):
         rowsets, leaf_min, nreal, ddyn = xs
@@ -532,6 +550,8 @@ def _run_batch_wand(
     dense_static=(),
 ):
     """Vmapped block-max WAND: per-query θ and pruning in one dispatch."""
+
+    dense_dyn = _stack_dense_dyn(dense_dyn)
 
     def one(xs):
         rowsets, leaf_min, ddyn = xs
@@ -862,7 +882,13 @@ class QueryBatch:
                     [p.dense_spans[di].w for p in reps], np.float32
                 )
                 if use_wand:
-                    ub = np.stack([p.dense_spans[di].ub for p in reps])
+                    # ds.ub is a per-BLOCK [ndrows] array fixed for the
+                    # lifetime of a cached plan; upload it ONCE per plan
+                    # (plan.cache) and pass the Q device arrays — the
+                    # fused program stacks them in-trace. Restacking +
+                    # re-uploading [Q, ndrows] f32 per prepare was the
+                    # bulk of serving-shaped h2d bytes at 5M docs.
+                    ub = tuple(_dense_ub_dev(p, di) for p in reps)
                     other = np.asarray(
                         [p.dense_spans[di].other for p in reps], np.float32
                     )
@@ -1035,6 +1061,20 @@ def clear_fused_cache() -> None:
     _FUSED_CACHE.clear()
 
 
+def _dense_ub_dev(p, di):
+    """Device-resident copy of plan p's dense span di block upper bounds,
+    uploaded once per plan (plan.cache is the sanctioned per-plan device
+    cache; the plan itself is never mutated)."""
+    import jax.numpy as jnp
+
+    key = ("dense_ub_dev", di)
+    dev = p.cache.get(key)
+    if dev is None:
+        dev = jnp.asarray(p.dense_spans[di].ub)
+        p.cache[key] = dev
+    return dev
+
+
 def _pack_args(calls):
     """Replace every HOST numpy array in the calls' args with a slice of
     one per-dtype packed buffer, uploaded in ONE transfer each.
@@ -1099,13 +1139,22 @@ def _pack_args(calls):
         for qis, args, kwargs, fn in calls
     )
     buffers = {}
+    _dt = {"i32": np.int32, "f32": np.float32, "u8": np.uint8}
     for kk, parts in buf.items():
         if not parts:
             continue
-        cat = np.concatenate(parts)
-        pad = _pow2(max(8, cat.size)) - cat.size  # bucket h2d shapes
-        if pad:
-            cat = np.pad(cat, (0, pad))
+        # single-allocation pack: concatenate-then-pad touches every page
+        # TWICE (concat alloc+copy, then np.pad alloc+copy+zero); on a host
+        # whose anonymous-page zeroing is slow that doubles prepare cost.
+        # One np.empty of the padded pow2 size (bucketed h2d shapes), fill
+        # the parts, zero only the tail.
+        total = off[kk]
+        cat = np.empty(_pow2(max(8, total)), _dt[kk])
+        o = 0
+        for p in parts:
+            cat[o : o + p.size] = p
+            o += p.size
+        cat[o:] = 0
         buffers[kk] = jnp.asarray(cat)
     return templates, tuple(dev_args), buffers, {}
 
