@@ -100,6 +100,45 @@ def _stack_dense_dyn(dense_dyn):
     )
 
 
+def _joint_pad(ctxs, qis, sig):
+    """Cross-segment padding needs for one joint group.
+
+    ctxs: the (plans, sky_specs, sigs) of every segment whose per-segment
+    signature equals ``sig``; qis: the group's query indices.  Returns
+    (pad_rows, pad_aux) — pow2 row counts per posting group and pow2 aux
+    match counts per aux leaf, maxed over segments and queries — so each
+    of those segments stacks to identical shapes and their fused programs
+    share one compiled executable."""
+    gkeys, A, sky = sig[2], sig[3], sig[10]
+    pad_rows = pad_aux = None
+    if sky is None and gkeys:
+        pad_rows = tuple(
+            _pow2(
+                max(
+                    len(c[0][qi].groups[gi].rows_d)
+                    for c in ctxs
+                    for qi in qis
+                )
+            )
+            for gi in range(len(gkeys))
+        )
+    if sky is None and A:
+        pad_aux = tuple(
+            _pow2(
+                max(
+                    8,
+                    max(
+                        len(c[0][qi].aux_pairs[a][0])
+                        for c in ctxs
+                        for qi in qis
+                    ),
+                )
+            )
+            for a in range(A)
+        )
+    return (pad_rows, pad_aux)
+
+
 def _bucket4(n: int) -> int:
     """Row-count bucket at 4x granularity: queries within one bucket batch
     into one dispatch (row padding <=4x, dwarfed by per-dispatch cost),
@@ -641,22 +680,57 @@ class QueryBatch:
     def prepare_all(self, k: int):
         """Prepared GLOBAL batch over every segment: run() dispatches
         each segment's fused program plus one device merge and returns
-        global (vals [Q,k], docs [Q,k]) — see exec/segmerge.py."""
+        global (vals [Q,k], docs [Q,k]) — see exec/segmerge.py.
+
+        Queries are grouped by a JOINT cross-segment signature and padded
+        to the cross-segment maximum, so segments whose per-segment
+        signatures (and pow2-padded pool shapes) coincide — the common
+        case for equal-size segments of one corpus — produce IDENTICAL
+        fused programs: one compiled executable serves every segment
+        instead of one per segment.  This bounds the compiled-program
+        set of a multi-segment index (reference executes per segment
+        with shared prepared state, index-search.cpp:714-780; here the
+        sharing extends to the compiled artifact itself)."""
         from iresearch_tpu.exec.segmerge import MergedBatch
 
+        nseg = len(self.segments)
+        if nseg > 1:
+            ctxs = [self._plans_and_sigs(si, k) for si in range(nseg)]
+            joint: Dict[tuple, List[int]] = defaultdict(list)
+            for qi in range(len(self.queries)):
+                joint[tuple(c[2][qi] for c in ctxs)].append(qi)
+            per_seg = []
+            for s in range(nseg):
+                gl = []
+                for jsig, qis in joint.items():
+                    sig_s = jsig[s]
+                    # pad to the max need over segments SHARING this
+                    # per-segment signature (equal sigs => compatible
+                    # group structure => elementwise max is well-typed)
+                    same = [
+                        s2 for s2 in range(nseg) if jsig[s2] == sig_s
+                    ]
+                    pad = _joint_pad(
+                        [ctxs[s2] for s2 in same], qis, sig_s
+                    )
+                    gl.append((sig_s, qis, pad))
+                per_seg.append(gl)
+            preps = [
+                self.prepare(si, k, _groups=per_seg[si], _ctx=ctxs[si])
+                for si in range(nseg)
+            ]
+        else:
+            preps = [self.prepare(si, k) for si in range(nseg)]
         return MergedBatch(
-            [self.prepare(si, k) for si in range(len(self.segments))],
-            [sr.num_docs for sr in self.segments],
+            preps, [sr.num_docs for sr in self.segments]
         )
 
-    def prepare(self, seg_idx: int, k: int) -> "PreparedBatch":
-        """Stack plans into device arrays once; re-runnable cheaply."""
-        import jax.numpy as jnp
-
+    def _plans_and_sigs(self, seg_idx: int, k: int):
+        """(plans, sky_specs, sigs): per-query plan + stacking signature
+        for one segment — the grouping key of prepare()."""
         plans = [q.plan_for_k(seg_idx, k) for q in self.queries]
         sr = self.segments[seg_idx]
 
-        groups_by_sig: Dict[tuple, List[int]] = defaultdict(list)
         # skyline specs computed up front: eligibility is per QUERY (the θ
         # cut and cost gate depend on the term), so a signature group must
         # split by skyline bucket — one ineligible query must not drag its
@@ -680,6 +754,7 @@ class QueryBatch:
                     p.cache[skey] = sp
             sky_specs[qi] = sp
 
+        sigs = []
         for qi, p in enumerate(plans):
             sp = sky_specs[qi]
             sig = (
@@ -707,12 +782,41 @@ class QueryBatch:
                 if sp is None
                 else (sp.classes, _bucket4(len(sp.row_ids))),
             )
-            groups_by_sig[sig].append(qi)
+            sigs.append(sig)
+        return plans, sky_specs, sigs
+
+    def prepare(
+        self, seg_idx: int, k: int, _groups=None, _ctx=None
+    ) -> "PreparedBatch":
+        """Stack plans into device arrays once; re-runnable cheaply.
+
+        ``_groups``/``_ctx`` (internal, from prepare_all): precomputed
+        [(sig, qis, pad)] joint grouping + this segment's plan context —
+        pads row/aux stacks to the cross-segment max so same-signature
+        segments compile to one shared executable."""
+        import jax.numpy as jnp
+
+        if _ctx is not None:
+            plans, sky_specs, _sigs = _ctx
+        else:
+            plans, sky_specs, _sigs = self._plans_and_sigs(seg_idx, k)
+        sr = self.segments[seg_idx]
+
+        if _groups is not None:
+            grouped = _groups
+        else:
+            groups_by_sig: Dict[tuple, List[int]] = defaultdict(list)
+            for qi, sig in enumerate(_sigs):
+                groups_by_sig[sig].append(qi)
+            grouped = [
+                (sig, qis, None) for sig, qis in groups_by_sig.items()
+            ]
 
         calls = []
-        for sig, qis in groups_by_sig.items():
+        for sig, qis, pad in grouped:
             tree, num_leaves, gkeys, A, use_wand, exec_mode, driver_gi, \
                 driver_leaf, _buckets, dkeys, sky_M = sig
+            pad_rows, pad_aux = pad if pad is not None else (None, None)
             reps = [plans[qi] for qi in qis]
             Q = len(qis)
             nd = reps[0].nd_pad
@@ -747,10 +851,15 @@ class QueryBatch:
                 calls.append((qis, args, kwargs, _run_batch_skyline))
                 continue
             # pad each group to the max row count within this bucket
-            Rs = [
-                _pow2(max(len(p.groups[gi].rows_d) for p in reps))
-                for gi in range(len(gkeys))
-            ]
+            # (cross-segment max when prepare_all supplied a joint pad)
+            Rs = (
+                list(pad_rows)
+                if pad_rows is not None
+                else [
+                    _pow2(max(len(p.groups[gi].rows_d) for p in reps))
+                    for gi in range(len(gkeys))
+                ]
+            )
             if exec_mode == "dslice":
                 # single group / single span: ship 3 start rows + count +
                 # weight per query instead of [Q, R] row arrays
@@ -949,7 +1058,11 @@ class QueryBatch:
                 aux_sp = []
                 for a in range(A):
                     pairs_l = [p.aux_pairs[a] for p in reps]
-                    Mp = _pow2(max(8, max(len(d) for d, _ in pairs_l)))
+                    Mp = (
+                        pad_aux[a]
+                        if pad_aux is not None
+                        else _pow2(max(8, max(len(d) for d, _ in pairs_l)))
+                    )
                     docs_b = np.full((Q, Mp), 2**31 - 1, np.int32)
                     vals_b = np.zeros((Q, Mp), np.float32)
                     for j, (da, va) in enumerate(pairs_l):

@@ -88,3 +88,74 @@ def test_merged_batch_rejects_int32_overflow():
 
     with pytest.raises(ValueError):
         MergedBatch([object(), object()], [2**30, 2**30 + 7])
+
+
+def test_equal_shape_segments_share_fused_executable():
+    """Equal-size segments of one corpus (the post-consolidation shape)
+    must stack to IDENTICAL fused programs under prepare_all: the joint
+    cross-segment signature grouping + cross-segment max padding makes
+    every per-segment PreparedBatch carry the same template key, so one
+    compiled executable serves all segments (relay/HBM program count is
+    O(1) in segments, not O(S))."""
+    from iresearch_tpu.exec.batch import QueryBatch
+
+    d = MemoryDirectory()
+    with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
+        for s in range(3):
+            # near-identical document streams per segment: term dfs (hence
+            # pool bit-width classes and _bucket4 row buckets) agree, the
+            # shape-sharing precondition that equal-size segments of one
+            # corpus approach statistically. Segment 1 gets extra docs so
+            # its per-term row counts DIFFER within the shared buckets —
+            # the cross-segment max padding (_joint_pad) must absorb that.
+            rng = np.random.default_rng(5)
+            for i in range(200):
+                n = int(rng.integers(4, 15))
+                idx = np.minimum(rng.zipf(1.4, size=n) - 1, len(WORDS) - 1)
+                w.insert([
+                    Field(
+                        "body",
+                        " ".join(WORDS[j] for j in idx),
+                        analyzer="segmentation",
+                    )
+                ])
+            if s == 1:
+                for i in range(24):
+                    w.insert([
+                        Field(
+                            "body",
+                            " ".join(WORDS[(i + j) % 6] for j in range(6)),
+                            analyzer="segmentation",
+                        )
+                    ])
+            w.commit()
+    r = DirectoryReader.open(d)
+    segs = list(r.segments)
+    assert len(segs) == 3
+    qb = QueryBatch(_filters(), segs, BM25(), wand=True)
+    mb = qb.prepare_all(7)
+    keys = {p._key for p in mb.preps}
+    assert len(keys) == 1, (
+        f"{len(keys)} distinct fused keys across equal-shape segments"
+    )
+    # stacked/packed host-array shapes must match EVERYWHERE — that is
+    # _joint_pad's guarantee (cross-segment max padding)
+    bufs = [
+        tuple((kk, v.shape) for kk, v in sorted(p._buffers.items()))
+        for p in mb.preps
+    ]
+    assert bufs[0] == bufs[1] == bufs[2]
+    # full executable signature (incl. pool dev-arg shapes) matches for
+    # the two truly identical segments; segment 1's larger pools may
+    # cross a pow2 bucket at this toy scale (at 5M docs pow2 pool
+    # buckets are wide and equal-size segments coincide)
+    shp = [
+        tuple((a.shape, str(a.dtype)) for a in p._dev_args)
+        for p in mb.preps
+    ]
+    assert shp[0] == shp[2]
+    # and results must stay exact vs the host merge
+    got = mb.search(7)
+    ref = qb.search(7)
+    for g, r_ in zip(got, ref):
+        assert [dd for dd, _ in g] == [dd for dd, _ in r_]
