@@ -722,7 +722,7 @@ class QueryBatch:
         else:
             preps = [self.prepare(si, k) for si in range(nseg)]
         return MergedBatch(
-            preps, [sr.num_docs for sr in self.segments]
+            preps, [sr.num_docs for sr in self.segments], k
         )
 
     def _plans_and_sigs(self, seg_idx: int, k: int):

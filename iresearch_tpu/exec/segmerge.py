@@ -35,20 +35,38 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
-def _assemble_merge(gvs, gds, perms, bases):
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _assemble_merge(gvs, gds, perms, bases, *, k: int):
     """Fuse assemble + merge into one dispatch.
 
-    gvs/gds: tuple over segments of tuples of per-group [Qg, k] arrays
+    gvs/gds: tuple over segments of tuples of per-group [Qg, k'] arrays
     (vals f32 / local docs i32); perms [S, Q] i32 maps query order to
     concat-of-groups order; bases [S] i32 per-segment doc offsets.
+    Prepare clamps each group's k' to min(k, nd, lanes), so a tiny
+    segment (a normal pre-consolidation shape) yields k' < k — every
+    group pads to the requested global ``k`` with (-inf, 0) sentinels
+    before stacking (padded entries sort last and are non-finite, the
+    same not-a-match convention the per-segment top-k uses).
     Returns global (vals [Q, k] f32, docs [Q, k] i32).
     """
+
+    def padk(a, fill):
+        if a.shape[1] == k:
+            return a
+        return jnp.pad(
+            a, ((0, 0), (0, k - a.shape[1])), constant_values=fill
+        )
+
     vs = jnp.stack([
-        jnp.concatenate(v, axis=0)[perms[s]] for s, v in enumerate(gvs)
+        jnp.concatenate([padk(g, -jnp.inf) for g in v], axis=0)[perms[s]]
+        for s, v in enumerate(gvs)
     ])
     ds = jnp.stack([
-        jnp.concatenate(d, axis=0)[perms[s]] for s, d in enumerate(gds)
+        jnp.concatenate([padk(g, 0) for g in d], axis=0)[perms[s]]
+        for s, d in enumerate(gds)
     ])
     s_, q_, k_ = vs.shape
     v = jnp.swapaxes(vs, 0, 1).reshape(q_, s_ * k_)
@@ -75,9 +93,16 @@ class MergedBatch:
     merge dispatch; the result stays on device (async) until fetched.
     """
 
-    def __init__(self, preps: Sequence, num_docs: Sequence[int]) -> None:
+    def __init__(
+        self, preps: Sequence, num_docs: Sequence[int], k: int = None
+    ) -> None:
         if len(preps) != len(num_docs):
             raise ValueError("one PreparedBatch per segment required")
+        # global k: the cross-segment merge width; None resolves at run()
+        # to the max per-group width over all segments (every group's k'
+        # is the requested k clamped by segment size, so the max IS the
+        # request whenever any segment is big enough to satisfy it).
+        self.k = None if k is None else int(k)
         total = int(np.sum(np.asarray(num_docs, np.int64)))
         if total >= 2**31:
             raise ValueError(
@@ -96,7 +121,10 @@ class MergedBatch:
         outs = [p.run_grouped() for p in self.preps]
         gvs = tuple(tuple(g[0][0] for g in o) for o in outs)
         gds = tuple(tuple(g[0][1] for g in o) for o in outs)
-        return _assemble_merge(gvs, gds, self._perms, self._bases)
+        k = self.k
+        if k is None:
+            k = max(g.shape[1] for v in gvs for g in v)
+        return _assemble_merge(gvs, gds, self._perms, self._bases, k=k)
 
     def search(self, k: int) -> List[List[Tuple[int, float]]]:
         """Fetched global top-k as [(global_doc, score), ...] per query

@@ -83,6 +83,49 @@ def test_merged_batch_deterministic_tie_order(reader):
             assert v0 > v1 or (v0 == v1 and d0 < d1), q
 
 
+def test_tiny_segment_pads_to_requested_k():
+    """A segment whose padded doc count is below the requested k clamps
+    its per-group top-k to k' < k; the device merge must pad that
+    group's output back to [Qg, k] with (-inf, 0) instead of raising a
+    shape mismatch (a normal pre-consolidation index has tiny fresh
+    segments next to big consolidated ones)."""
+    from iresearch_tpu.exec.batch import QueryBatch
+
+    d = MemoryDirectory()
+    with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
+        rng = np.random.default_rng(3)
+        for i in range(60):
+            n = int(rng.integers(3, 12))
+            idx = np.minimum(rng.zipf(1.4, size=n) - 1, len(WORDS) - 1)
+            w.insert([
+                Field(
+                    "body",
+                    " ".join(WORDS[j] for j in idx),
+                    analyzer="segmentation",
+                )
+            ])
+        w.commit()
+        for i in range(4):  # 4-doc tail segment: nd_pad < k=10
+            w.insert([
+                Field(
+                    "body",
+                    " ".join(WORDS[j % 5] for j in range(i, i + 4)),
+                    analyzer="segmentation",
+                )
+            ])
+        w.commit()
+    r = DirectoryReader.open(d)
+    segs = list(r.segments)
+    assert len(segs) == 2 and segs[1].num_docs == 4
+    qb = QueryBatch(_filters(), segs, BM25(), wand=True)
+    got = qb.prepare_all(10).search(10)  # crashed before the pad fix
+    ref = qb.search(10)
+    for qi, (g, rf) in enumerate(zip(got, ref)):
+        assert [dd for dd, _ in g] == [dd for dd, _ in rf], qi
+        for (gd, gv), (rd, rv) in zip(g, rf):
+            assert gv == pytest.approx(rv, rel=1e-5)
+
+
 def test_merged_batch_rejects_int32_overflow():
     from iresearch_tpu.exec.segmerge import MergedBatch
 
