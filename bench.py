@@ -221,7 +221,6 @@ def main():
     ]
 
     scorer = BM25()
-    from iresearch_tpu.exec.batch import QueryBatch
 
     # The dev-relay acks dispatches at ENQUEUE: block_until_ready returns
     # before compute completes, so honest timing must end with a real d2H
@@ -243,21 +242,27 @@ def main():
     log(f"relay d2h round-trip: {rtt*1000:.1f} ms (excluded where noted)")
 
     nseg = len(srs)
+    from iresearch_tpu.exec.batch import QueryBatch
 
-    def exec_all_segments(dq_, k):
-        """Enqueue the query on every segment; a 'query' is global."""
-        for si in range(nseg):
-            v, _d = dq_.execute_segment_async(si, k)
-        return v
+    def prep_single(flt, wand=False):
+        """A run() enqueuing the FULL global query: every segment's
+        dispatch plus the fused device merge for multi-segment indexes
+        (ADVICE r4 item 2: latency loops must include the merge), or the
+        single-segment DeviceQuery fast path."""
+        if nseg == 1:
+            dq_ = DeviceQuery(flt, srs, scorer, wand=wand)
+            return lambda: dq_.execute_segment_async(0, K)[0]
+        mb_ = QueryBatch([flt], srs, scorer, wand=wand).prepare_all(K)
+        return lambda: mb_.run()[0]
 
-    # single-query serving latency, amortized over a completion-synced run
-    lat_flt = F.ByTerm("body", high[0])
-    dq = DeviceQuery(lat_flt, srs, scorer)
-    sync(exec_all_segments(dq, K))  # compile + warm
+    # single-query serving latency, amortized over a completion-synced
+    # run (per query = all segments + device merge)
+    run_single = prep_single(F.ByTerm("body", high[0]))
+    sync(run_single())  # compile + warm
     t2 = time.time()
     n_lat = 100
     for _ in range(n_lat):
-        v = exec_all_segments(dq, K)
+        v = run_single()
     sync(v)
     lat = (time.time() - t2 - rtt) / n_lat
     log(
@@ -274,7 +279,7 @@ def main():
     samples = []
     for _ in range(60):
         t2 = time.time()
-        v = exec_all_segments(dq, K)
+        v = run_single()
         sync(v)
         samples.append(time.time() - t2)
     qs = np.quantile(np.array(samples), [0.5, 0.95, 0.99])
@@ -316,6 +321,16 @@ def main():
             ),
         ),
         ("OrHigh4+WAND", F.Or(*[F.ByTerm("body", t) for t in high[:4]])),
+        # luceneutil MinMatch2High2Med (index-search.cpp:93-143): skyline
+        # min_match pruning (count>=2 survivor rows + host-rescored θ)
+        (
+            "MinMatch2High2Med",
+            F.Or(
+                F.ByTerm("body", high[3]), F.ByTerm("body", high[4]),
+                F.ByTerm("body", med[3]), F.ByTerm("body", med[4]),
+                min_match=2,
+            ),
+        ),
     ]
     if NUM_DOCS >= 1_000_000:
         extras.append(
@@ -324,11 +339,11 @@ def main():
     for name, flt in extras:
         reps = 3 if name == "PrefixHot" else 20
         try:
-            dq = DeviceQuery(flt, srs, scorer, wand=(name == "OrHigh4+WAND"))
-            sync(exec_all_segments(dq, K))
+            run_x = prep_single(flt, wand=(name == "OrHigh4+WAND"))
+            sync(run_x())
             t2 = time.time()
             for _ in range(reps):
-                v = exec_all_segments(dq, K)
+                v = run_x()
             sync(v)
             log(f"{name}: {(time.time()-t2-rtt)/reps*1000:.3f} ms/query (completion-synced)")
         except Exception as e:  # a tail category must not kill the QPS phases

@@ -453,16 +453,37 @@ class PipelineAnalyzer(Analyzer):
 class CollationAnalyzer(Analyzer):
     """Collation sort key (reference: collation_token_stream.hpp:40).
 
-    Without ICU we emit an NFKD case-folded key: equal strings under
-    locale-insensitive comparison map to equal terms.
+    With a system ICU present the key is the locale-TAILORED binary
+    sort key from ucol_getSortKey — byte order == collation order, so
+    range queries over collation keys honor e.g. Swedish å/ä/ö > z
+    (reference: collation_token_stream.cpp:65-80). Without ICU we fall
+    back to an NFKD case-folded key (equal strings under
+    locale-insensitive comparison map to equal terms; cross-term ORDER
+    is only approximate) and bump a cap counter.
     """
 
     name = "collation"
 
     def __init__(self, locale: str = "en") -> None:
         self._locale = locale
+        self._coll = None
+        from iresearch_tpu.analysis.icu import get_icu
+
+        self._icu = get_icu()
+        if self._icu is not None:
+            self._coll = self._icu.collator(locale)
 
     def tokenize(self, text: str) -> List[Token]:
+        if self._coll is not None:
+            key = self._icu.sort_key(self._coll, text)
+            return [Token(key, 0, 0, len(text))]
+        from iresearch_tpu.utils.metrics import registry
+
+        registry().counter(
+            "irs_collation_nfkd_fallback",
+            help_="collation keys produced by the locale-INSENSITIVE "
+            "NFKD fallback (no usable libicui18n in this image)",
+        )
         key = unicodedata.normalize("NFKD", text).casefold().encode("utf-8")
         return [Token(key, 0, 0, len(text))]
 

@@ -493,7 +493,7 @@ def _run_batch_dslice(
 
 @partial(
     jax.jit,
-    static_argnames=("scorer", "span_bits", "k", "ndrows", "conj"),
+    static_argnames=("scorer", "span_bits", "k", "ndrows", "conj", "mm"),
 )
 def _run_batch_skyline(
     span_pools,  # per span: u32 dense pool (shared across queries)
@@ -508,6 +508,7 @@ def _run_batch_skyline(
     k: int,
     ndrows: int,
     conj: bool = False,
+    mm: int = 1,
 ):
     """Batched survivor-row skyline top-k (exec/skyline.py): each query
     gathers only its θ-surviving grid rows instead of scanning the whole
@@ -537,6 +538,7 @@ def _run_batch_skyline(
             k=k,
             ndrows=ndrows,
             conj=conj,
+            mm=mm,
         )
 
     # [chunk, M, 128] f32 intermediates x ~4 operands
@@ -696,6 +698,23 @@ class QueryBatch:
         nseg = len(self.segments)
         if nseg > 1:
             ctxs = [self._plans_and_sigs(si, k) for si in range(nseg)]
+            # skyline stacks pad within their 4x row bucket only
+            # (ADVICE r4 item 3): when one query's per-segment buckets
+            # differ, lift every segment to the cross-segment max so
+            # same-class skyline groups share one compiled executable
+            # (remaining diversity — per-segment pow2 POOL shapes — is
+            # inherent to unequal segments and documented below)
+            for qi in range(len(self.queries)):
+                svals = [c[2][qi][10] for c in ctxs]
+                if (
+                    all(sv is not None for sv in svals)
+                    and len({sv[0] for sv in svals}) == 1
+                    and len({sv[1] for sv in svals}) > 1
+                ):
+                    mx = max(sv[1] for sv in svals)
+                    for c in ctxs:
+                        sig = c[2][qi]
+                        c[2][qi] = sig[:10] + ((sig[10][0], mx),)
             joint: Dict[tuple, List[int]] = defaultdict(list)
             for qi in range(len(self.queries)):
                 joint[tuple(c[2][qi] for c in ctxs)].append(qi)
@@ -847,6 +866,7 @@ class QueryBatch:
                     k=min(k, nd),
                     ndrows=s0.ndrows,
                     conj=s0.conj,
+                    mm=s0.min_match,
                 )
                 calls.append((qis, args, kwargs, _run_batch_skyline))
                 continue

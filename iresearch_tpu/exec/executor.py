@@ -393,21 +393,23 @@ _USE_SKYLINE = (
 
 @partial(
     jax.jit,
-    static_argnames=("scorer", "span_bits", "k", "ndrows", "conj"),
+    static_argnames=("scorer", "span_bits", "k", "ndrows", "conj", "mm"),
 )
 def _run_segment_skyline(
     span_pools, norms_grid, row_ids, starts, ws, avgdl,
-    *, scorer, span_bits, k, ndrows, conj=False,
+    *, scorer, span_bits, k, ndrows, conj=False, mm=1,
 ):
     """Survivor-row gather + exact rescore (exec/skyline.py): the θ-pruned
     analog of the reference wanderator's block skipping
-    (formats_10.cpp:2426-2825) for dense-grid sum trees — disjunctive or
-    conjunctive (conjunction.hpp:231-436)."""
+    (formats_10.cpp:2426-2825) for dense-grid sum trees — disjunctive,
+    conjunctive (conjunction.hpp:231-436), or min_match
+    (disjunction.hpp:860-1100)."""
     from iresearch_tpu.exec.skyline import skyline_topk
 
     return skyline_topk(
         span_pools, norms_grid, row_ids, starts, ws, avgdl,
         scorer=scorer, span_bits=span_bits, k=k, ndrows=ndrows, conj=conj,
+        mm=mm,
     )
 
 
@@ -823,9 +825,12 @@ class DeviceQuery:
         )
         sr0 = self.prepared.segments[plan.seg_idx]
         shape = scan_shape(plan) if _USE_DENSE_SCAN else None
+        from iresearch_tpu.exec.skyline import skyline_shape
+
+        sky_shape = skyline_shape(plan) if _USE_SKYLINE else None
         # deletes need no gate on the grid tiers: the dense cache zeroes
         # deleted docs' freqs at build (formats/dense.py)
-        if shape in ("or", "and") and _USE_SKYLINE:
+        if sky_shape is not None:
             # device inputs cached per (plan, k): through a relay every
             # fresh scalar upload costs a fixed h2d round-trip, so the
             # serving loop must not rebuild them per call
@@ -863,6 +868,7 @@ class DeviceQuery:
                     k=kk,
                     ndrows=spec.ndrows,
                     conj=spec.conj,
+                    mm=spec.min_match,
                 )
         if (
             shape is not None

@@ -231,6 +231,9 @@ class SkylineSpec:
     avgdl: float
     k: int
     conj: bool = False  # And tree: match = all spans hit (min-agg)
+    # >= 2: min_match disjunction — match = (count of hitting spans) >= mm
+    # (reference: min-match early pruning, disjunction.hpp:860-1100)
+    min_match: int = 1
 
     def signature(self) -> tuple:
         return (
@@ -240,6 +243,7 @@ class SkylineSpec:
             self.ndrows,
             self.k,
             self.conj,
+            self.min_match,
         )
 
 
@@ -252,14 +256,15 @@ def _scorer_supported(scorer: Scorer) -> bool:
 CONJ_THETA_SAMPLE = int(os.environ.get("IRS_SKYLINE_CONJ_SAMPLE", "512"))
 
 
-def _host_conj_theta(ski, fp, spans, ws, rows, scorer, avgdl, k) -> float:
-    """k-th best EXACT conjunctive score over the given grid rows,
-    computed on host from the numpy grid pools (0.0 when < k matches).
+def _host_conj_theta(ski, fp, spans, ws, rows, scorer, avgdl, k, mm=None) -> float:
+    """k-th best EXACT conjunctive (or min_match ``mm``) score over the
+    given grid rows, computed on host from the numpy grid pools (0.0 when
+    < k matches).
 
-    Every value returned is the score of a real all-hit doc, so it is a
-    true lower bound of the k-th conjunctive score — the And analog of
-    the Or path's champion-pair lb_top (deletes are already zeroed out
-    of the grid at cache build)."""
+    Every value returned is the score of a real all-hit (or >=mm-hit)
+    doc, so it is a true lower bound of the k-th matching score — the
+    And/MinMatch analog of the Or path's champion-pair lb_top (deletes
+    are already zeroed out of the grid at cache build)."""
     from iresearch_tpu.formats.bitpack import unpack_blocks
 
     cache = ski.cache
@@ -273,6 +278,7 @@ def _host_conj_theta(ski, fp, spans, ws, rows, scorer, avgdl, k) -> float:
     dl[valid] = np.maximum(norms[idx[valid]], 1).astype(np.float32)
     score = np.zeros((C, BLOCK_L), np.float32)
     fmin = None
+    cnt = np.zeros((C, BLOCK_L), np.int32) if mm is not None else None
     for ds, w in zip(spans, ws):
         f = unpack_blocks(
             cache.pools[ds.cls][ds.start + rows], BITS[ds.cls]
@@ -280,28 +286,69 @@ def _host_conj_theta(ski, fp, spans, ws, rows, scorer, avgdl, k) -> float:
         score += score_block(
             scorer, np.float32(w), f, dl, np.float32(avgdl), xp=np
         )
-        fmin = f if fmin is None else np.minimum(fmin, f)
-    hits = score[fmin > 0.0]
+        if mm is not None:
+            cnt += (f > 0.0).astype(np.int32)
+        else:
+            fmin = f if fmin is None else np.minimum(fmin, f)
+    hits = score[cnt >= mm] if mm is not None else score[fmin > 0.0]
     if len(hits) < k:
         return 0.0
     return float(-np.partition(-hits, k - 1)[k - 1])
 
 
-def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
-    """Compute the survivor schedule for an eligible plan, else None.
+def skyline_shape(plan):
+    """Tree shape eligible for skyline execution: "or" | "and" (from
+    scan_shape) | int mm >= 2 (a min_match disjunction of all-dense
+    leaves) | None.
 
-    Eligibility: single-leaf disjunctive sum tree OR all-leaf
-    conjunctive sum tree whose spans are all dense-grid resident in ONE
-    field (scan_shape "or"/"and"), 1 ≤ k ≤ K_MAX, supported scorer,
-    positive θ, strong enough pruning (the scan-ratio cost gate).
-    Deletes are baked into the grid (formats/dense.py), so no gate here.
+    The mm case extends the reference's min-match early pruning
+    (disjunction.hpp:860-1100) to the survivor-row tier: the fused scan
+    cannot evaluate a count threshold, but the skyline gather rescores
+    exact per-lane hit counts for free.
     """
     from iresearch_tpu.exec.executor import scan_shape
 
+    shape = scan_shape(plan)
+    if shape is not None:
+        return shape
+    if (
+        plan.exec_mode != "dense"
+        or plan.groups
+        or not plan.dense_spans
+        or plan.aux_pairs is not None
+        or plan.device_aux
+    ):
+        return None
+    L = plan.num_leaves
+    if any(int(m) > 1 for m in plan.leaf_min_match[:L]):
+        return None
+    t = plan.tree
+    if (
+        t[0] == "or"
+        and not t[2]  # no Not children
+        and t[4] == "sum"
+        and int(t[3]) >= 2
+        and all(c[0] == "leaf" for c in t[1])
+        and sorted(c[1] for c in t[1]) == list(range(L))
+        and [ds.leaf for ds in plan.dense_spans] == list(range(L))
+    ):
+        return int(t[3])
+    return None
+
+
+def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
+    """Compute the survivor schedule for an eligible plan, else None.
+
+    Eligibility: single-leaf disjunctive sum tree, all-leaf conjunctive
+    sum tree, or min_match disjunction whose spans are all dense-grid
+    resident in ONE field (skyline_shape), 1 ≤ k ≤ K_MAX, supported
+    scorer, positive θ, strong enough pruning (the scan-ratio cost gate).
+    Deletes are baked into the grid (formats/dense.py), so no gate here.
+    """
     if not (1 <= k <= K_MAX) or not _scorer_supported(scorer):
         return None
-    shape = scan_shape(plan)
-    if shape not in ("or", "and"):
+    shape = skyline_shape(plan)
+    if shape not in ("or", "and") and not isinstance(shape, int):
         return None
     spans = plan.dense_spans
     fields = {ds.field_name for ds in spans}
@@ -315,7 +362,8 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
         # positive θ already excludes from the top-k
         scored = [ds for ds in spans if ds.w > 0.0]
     else:
-        # a conjunction's every span gates matches, scored or not
+        # a conjunction's / min_match count's every span gates matches,
+        # scored or not
         scored = list(spans)
     if not scored:
         return None
@@ -338,15 +386,17 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
         theta_eps = theta * (1.0 - 1e-5) - 1e-30
         rows = ski.survivors(scored, ws, theta_eps)
     else:
-        # all-hit row mask: every span must hit the row
-        allhit = None
+        # candidate row mask: every span must hit the row (And), or at
+        # least mm spans must (min_match) — a row can host a matching
+        # doc only if enough spans have any hit in its 128-doc block
+        mm = S if shape == "and" else min(int(shape), S + 1)
+        hitcnt = np.zeros(ndrows, np.int32)
         acc = np.zeros(ndrows, np.float32)
         for ds, w in zip(scored, ws):
             seg = slice(ds.start, ds.start + ndrows)
-            hit = ski.cache.bmaxf[ds.cls][seg] > 0
-            allhit = hit if allhit is None else (allhit & hit)
+            hitcnt += (ski.cache.bmaxf[ds.cls][seg] > 0).astype(np.int32)
             acc += np.float32(w) * ski.ub[ds.cls][seg]
-        cand = np.flatnonzero(allhit).astype(np.int32)
+        cand = np.flatnonzero(hitcnt >= mm).astype(np.int32)
         rows = cand
         if len(cand) > 4 * k:
             # θ from an exact host rescore of the top-C candidate rows
@@ -355,6 +405,7 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
             theta = _host_conj_theta(
                 ski, sr.data.fields[fname], scored, ws, top, scorer,
                 scored[0].avgdl, k,
+                mm=None if shape == "and" else mm,
             )
             if theta > 0.0:
                 theta_eps = theta * (1.0 - 1e-5) - 1e-30
@@ -374,6 +425,7 @@ def skyline_spec(plan, sr, scorer: Scorer, k: int) -> Optional[SkylineSpec]:
         avgdl=float(scored[0].avgdl),
         k=k,
         conj=shape == "and",
+        min_match=1 if shape in ("or", "and") else int(shape),
     )
 
 
@@ -390,6 +442,7 @@ def skyline_topk(
     k: int,
     ndrows: int,
     conj: bool = False,
+    mm: int = 1,
 ):
     """Exact (vals f32 [k], docs i32 [k]) over the survivor rows only."""
     import jax.numpy as jnp
@@ -415,11 +468,16 @@ def skyline_topk(
             jnp.int32
         ).astype(jnp.float32)
         score = score + score_block(scorer, ws[s], f, dl, avgdl, xp=jnp)
-        fagg = f if fagg is None else (
-            jnp.minimum(fagg, f) if conj else fagg + f
-        )
+        if mm > 1:  # per-lane hit count for the min_match threshold
+            c = (f > 0.0).astype(jnp.int32)
+            fagg = c if fagg is None else fagg + c
+        else:
+            fagg = f if fagg is None else (
+                jnp.minimum(fagg, f) if conj else fagg + f
+            )
     lane = jnp.arange(BLOCK, dtype=jnp.int32)
-    match = (fagg > 0.0) & (~parked)[:, None]
+    hit = fagg >= mm if mm > 1 else fagg > 0.0
+    match = hit & (~parked)[:, None]
     docs = jnp.where(
         match, safe[:, None] * BLOCK + lane[None, :], IMAX
     )
@@ -442,6 +500,7 @@ def skyline_topk_batch(
     k: int,
     ndrows: int,
     conj: bool = False,
+    mm: int = 1,
 ):
     """Batched skyline_topk: per-query (vals [Q, k], docs [Q, k]).
 
@@ -475,11 +534,16 @@ def skyline_topk_batch(
         score = score + score_block(
             scorer, ws_b[:, s, None, None], f, dl, avgdl, xp=jnp
         )
-        fagg = f if fagg is None else (
-            jnp.minimum(fagg, f) if conj else fagg + f
-        )
+        if mm > 1:  # per-lane hit count for the min_match threshold
+            c = (f > 0.0).astype(jnp.int32)
+            fagg = c if fagg is None else fagg + c
+        else:
+            fagg = f if fagg is None else (
+                jnp.minimum(fagg, f) if conj else fagg + f
+            )
     lane = jnp.arange(BLOCK, dtype=jnp.int32)
-    match = (fagg > 0.0) & (~parked)[:, :, None]
+    hit = fagg >= mm if mm > 1 else fagg > 0.0
+    match = hit & (~parked)[:, :, None]
     docs = jnp.where(
         match, safe[:, :, None] * BLOCK + lane[None, None, :], IMAX
     )

@@ -193,7 +193,13 @@ class ColumnBlocks:
         blk = self._cache.get(b)
         if blk is None:
             lo, hi = int(self._boffs[b]), int(self._boffs[b + 1])
-            blk = self._codec.decompress(bytes(self._comp[lo:hi]))
+            raw = bytes(self._comp[lo:hi])
+            if b > 0 and getattr(self._codec, "dict_blocks", False):
+                # carried-dict codecs (lz4dict) compress blocks 1+ against
+                # block 0 — a point read needs at most one extra block
+                blk = self._codec.decompress_with_dict(raw, self._block(0))
+            else:
+                blk = self._codec.decompress(raw)
             self._cache[b] = blk
             while len(self._cache) > _BLOCK_CACHE:
                 self._cache.popitem(last=False)
@@ -220,10 +226,20 @@ def split_column_blocks(offsets: np.ndarray, blob: bytes, codec):
     nb = max(1, -(-n // COLUMN_BLOCK))
     parts = []
     boffs = np.zeros(nb + 1, np.uint64)
+    with_dict = getattr(codec, "dict_blocks", False)
+    dict0 = None
     for b in range(nb):
         lo = int(offsets[b << _BLOCK_SHIFT])
         hi = int(offsets[min((b + 1) << _BLOCK_SHIFT, n)])
-        part = codec.compress(blob[lo:hi])
+        chunk = blob[lo:hi]
+        if b == 0:
+            part = codec.compress(chunk)
+            if with_dict:
+                dict0 = chunk
+        elif with_dict:
+            part = codec.compress_with_dict(chunk, dict0)
+        else:
+            part = codec.compress(chunk)
         parts.append(part)
         boffs[b + 1] = boffs[b] + len(part)
     return b"".join(parts), boffs

@@ -276,6 +276,42 @@ def expand_leaf(flt: F.Filter, segments: List[SegmentReader]) -> LeafExpansion:
         ]
         if all(r is not None for r in ranges):
             return _expand_ranges(flt, segments, ranges)
+        # general wildcard, multi-segment: one byte-DFA intersect against
+        # the merged dictionary instead of S per-segment scans (VERDICT
+        # r4 item 2); visit order is term-major (sampling tie-breaks are
+        # policy, and prepare stays shared so device/oracle agree)
+        if isinstance(flt, F.ByWildcard) and len(segments) > 1:
+            from iresearch_tpu.index.multidict import merged_dict
+            from iresearch_tpu.search.automaton import wildcard_dfa
+
+            dfa = wildcard_dfa(flt.pattern)
+            md = merged_dict(segments, flt.field) if dfa is not None else None
+            if md is not None:
+                prefix = wildcard_fixed_prefix(flt.pattern)
+                lo, hi = (
+                    md.prefix_range(prefix) if prefix else (0, md.num_terms)
+                )
+                mids = md.dfa_intersect(lo, hi, dfa[0], dfa[1])
+                if mids is not None:
+                    hits = []
+                    for m in mids:
+                        mid = int(m)
+                        term = md.term(mid)
+                        for s, sr in enumerate(segments):
+                            tid = int(md.seg_tid[s, mid])
+                            if tid >= 0:
+                                hits.append(
+                                    TermHit(
+                                        s, tid,
+                                        _df_of(sr, flt.field, tid),
+                                        1.0, term,
+                                    )
+                                )
+                    exp.scored, exp.unscored = _sample(
+                        hits, flt.scored_terms_limit
+                    )
+                    exp.finalize_stats()
+                    return exp
         # non-range wildcard: regex scan (see automaton note in
         # _iterate_matching)
         hits: List[TermHit] = []
@@ -310,7 +346,56 @@ def expand_leaf(flt: F.Filter, segments: List[SegmentReader]) -> LeafExpansion:
                 target, flt.max_distance, flt.with_transpositions,
                 prefix=full_prefix,
             )
-        for s, sr in enumerate(segments):
+        # multi-segment: ONE DFA intersect + ONE distance pass against
+        # the merged dictionary replaces S per-segment intersections
+        # (VERDICT r4 item 2; reference analog: one automaton intersect
+        # with cached multiterm state, multiterm_query.hpp)
+        mids = md = None
+        if lev_dfa is not None and len(segments) > 1:
+            from iresearch_tpu.index.multidict import merged_dict
+
+            md = merged_dict(segments, flt.field)
+            if md is not None:
+                lo, hi = (
+                    md.prefix_range(full_prefix)
+                    if full_prefix
+                    else (0, md.num_terms)
+                )
+                mids = md.dfa_intersect(lo, hi, lev_dfa[0], lev_dfa[1])
+        if mids is not None:
+            terms_sel = [md.term(int(m)) for m in mids]
+            cands_sel = [
+                t[len(full_prefix):].decode("utf-8", "replace")
+                for t in terms_sel
+            ]
+            if terms_sel:
+                dists = levenshtein_distances(
+                    cands_sel, target, flt.with_transpositions,
+                    max_d=flt.max_distance,
+                )
+                for k in np.flatnonzero(dists <= flt.max_distance):
+                    idx = int(k)
+                    term = terms_sel[idx]
+                    d = int(dists[idx])
+                    size = min(len(cands_sel[idx]), len(target)) or 1
+                    boost = 1.0 - d / size if d else 1.0
+                    mid = int(mids[idx])
+                    hl = by_term.setdefault(term, [])
+                    for s, sr in enumerate(segments):
+                        tid = int(md.seg_tid[s, mid])
+                        if tid >= 0:
+                            hl.append(
+                                TermHit(
+                                    s, tid,
+                                    _df_of(sr, flt.field, tid),
+                                    boost, term,
+                                )
+                            )
+                    boosts[term] = max(boosts.get(term, 0.0), boost)
+            segments_iter = []  # merged path covered every segment
+        else:
+            segments_iter = list(enumerate(segments))
+        for s, sr in segments_iter:
             fp = sr.field(flt.field)
             if fp is None:
                 continue

@@ -105,10 +105,161 @@ class Lz4Compressor(Compressor):
         return out.raw
 
 
+def _varint_encode_u64(vals) -> bytes:
+    """Vectorized LEB128 of a u64 array (reference: vwrite<uint64_t>,
+    store_utils.hpp bytes_io)."""
+    import numpy as np
+
+    v = np.ascontiguousarray(vals, np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # 7-bit group count per value: 1 + #{k >= 1 : v >= 2^(7k)}
+    nb = np.ones(n, np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    starts = np.cumsum(nb) - nb
+    out = np.zeros(int(nb.sum()), np.uint8)
+    for j in range(10):
+        sel = nb > j
+        if not sel.any():
+            break
+        byte = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[sel] - 1 > j).astype(np.uint8) << 7
+        out[starts[sel] + j] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def _varint_decode_u64(data: bytes):
+    """Inverse of _varint_encode_u64 (whole-buffer vectorized decode)."""
+    import numpy as np
+
+    b = np.frombuffer(data, np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, np.uint64)
+    ends = np.flatnonzero(b < 0x80)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    vals = np.zeros(len(ends), np.uint64)
+    maxlen = int((ends - starts).max()) + 1
+    for j in range(maxlen):
+        sel = starts + j <= ends
+        vals[sel] |= (
+            b[starts[sel] + j].astype(np.uint64) & np.uint64(0x7F)
+        ) << np.uint64(7 * j)
+    return vals
+
+
+class DeltaCompressor(Compressor):
+    """Delta + zig-zag varint codec for u64-aligned payloads (reference:
+    delta_compression.cpp — delta::encode over the u64 view, then
+    zig_zag_encode64 + vwrite per value). Payloads whose size is not a
+    multiple of 8 are framed raw (flag byte 0) so the codec is total."""
+
+    name = "delta"
+
+    def compress(self, data: bytes) -> bytes:
+        import numpy as np
+
+        if len(data) % 8:
+            return b"\x00" + data
+        v = np.frombuffer(data, np.uint64)
+        d = np.diff(v, prepend=np.uint64(0)).view(np.int64)
+        zz = ((d << 1) ^ (d >> 63)).view(np.uint64)
+        return b"\x01" + struct.pack("<I", len(v)) + _varint_encode_u64(zz)
+
+    def decompress(self, data: bytes) -> bytes:
+        import numpy as np
+
+        if data[:1] == b"\x00":
+            return data[1:]
+        (n,) = struct.unpack_from("<I", data, 1)
+        zz = _varint_decode_u64(data[5:])
+        if len(zz) != n:
+            raise ValueError(f"delta codec: {len(zz)} values, want {n}")
+        # unsigned zig-zag decode: logical shift + all-ones mask on odd
+        with np.errstate(over="ignore"):
+            d = (zz >> np.uint64(1)) ^ (
+                np.uint64(0) - (zz & np.uint64(1))
+            )
+            return np.cumsum(d, dtype=np.uint64).tobytes()
+
+
+class Lz4DictCompressor(Compressor):
+    """LZ4 with a carried dictionary across column blocks (reference:
+    streaming/dict lz4, lz4compression.hpp:47-71 LZ4_stream /
+    LZ4_streamDecode). Block 0 of a column compresses standalone and
+    doubles as the dictionary (last <=64 KB) for every later block —
+    point reads stay lazy: any block needs at most block 0 extra."""
+
+    name = "lz4dict"
+    dict_blocks = True
+
+    def __init__(self) -> None:
+        if _LZ4 is None:
+            raise RuntimeError(
+                "liblz4 not found; use the 'zlib' or 'none' codec instead"
+            )
+        _LZ4.LZ4_createStream.restype = ctypes.c_void_p
+        _LZ4.LZ4_freeStream.argtypes = [ctypes.c_void_p]
+        _LZ4.LZ4_loadDict.restype = ctypes.c_int
+        _LZ4.LZ4_loadDict.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int
+        ]
+        _LZ4.LZ4_compress_fast_continue.restype = ctypes.c_int
+        _LZ4.LZ4_compress_fast_continue.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        _LZ4.LZ4_decompress_safe_usingDict.restype = ctypes.c_int
+        _LZ4.LZ4_decompress_safe_usingDict.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        self._plain = Lz4Compressor()
+
+    def compress(self, data: bytes) -> bytes:
+        return self._plain.compress(data)
+
+    def decompress(self, data: bytes) -> bytes:
+        return self._plain.decompress(data)
+
+    def compress_with_dict(self, data: bytes, dict_: bytes) -> bytes:
+        dict_ = dict_[-65536:]  # LZ4 dictionary window
+        n = len(data)
+        bound = _LZ4.LZ4_compressBound(n)
+        out = ctypes.create_string_buffer(bound)
+        stream = _LZ4.LZ4_createStream()
+        try:
+            _LZ4.LZ4_loadDict(stream, dict_, len(dict_))
+            written = _LZ4.LZ4_compress_fast_continue(
+                stream, data, out, n, bound, 1
+            )
+        finally:
+            _LZ4.LZ4_freeStream(stream)
+        if written <= 0:
+            raise RuntimeError("LZ4_compress_fast_continue failed")
+        return struct.pack("<I", n) + out.raw[:written]
+
+    def decompress_with_dict(self, data: bytes, dict_: bytes) -> bytes:
+        dict_ = dict_[-65536:]
+        (n,) = struct.unpack_from("<I", data)
+        out = ctypes.create_string_buffer(n)
+        got = _LZ4.LZ4_decompress_safe_usingDict(
+            data[4:], out, len(data) - 4, n, dict_, len(dict_)
+        )
+        if got != n:
+            raise RuntimeError(
+                f"LZ4_decompress_safe_usingDict returned {got}, want {n}"
+            )
+        return out.raw
+
+
 _COMPRESSORS: Dict[str, Callable[[dict], Compressor]] = {
     "none": lambda a: Compressor(),
     "zlib": lambda a: ZlibCompressor(level=int(a.get("level", 6))),
     "lz4": lambda a: Lz4Compressor(),
+    "lz4dict": lambda a: Lz4DictCompressor(),
+    "delta": lambda a: DeltaCompressor(),
 }
 
 

@@ -169,6 +169,41 @@ def check_segmerge():
     print(f"device cross-segment merge vs host merge: OK ({len(got)} queries)")
 
 
+def check_min_match_skyline():
+    """min_match skyline pruning (exec/skyline.py mm path) on-chip vs
+    the host oracle — count-threshold survivors + host-rescored θ."""
+    from iresearch_tpu.exec import DeviceQuery
+    from iresearch_tpu.exec import skyline as sky
+    from iresearch_tpu.exec.skyline import skyline_spec
+    from iresearch_tpu.search import filters as F
+    from iresearch_tpu.search.host_eval import HostQuery
+    from iresearch_tpu.search.scorers import BM25
+
+    rng = np.random.default_rng(29)
+    words = [f"w{i:03d}" for i in range(300)]
+    docs = []
+    for _ in range(3000):
+        n = int(rng.integers(5, 40))
+        idx = np.minimum(rng.zipf(1.25, size=n) - 1, len(words) - 1)
+        docs.append(" ".join(words[j] for j in idx))
+    r = build(docs)
+    ratio = sky.SKYLINE_SCAN_RATIO
+    sky.SKYLINE_SCAN_RATIO = 0.0  # tiny grid: force the survivor path
+    try:
+        flt = F.Or(*[F.ByTerm("body", w) for w in words[:4]], min_match=2)
+        dq = DeviceQuery(flt, list(r.segments), BM25())
+        spec = skyline_spec(dq.plan(0), r.segments[0], BM25(), 10)
+        assert spec is not None and spec.min_match == 2, "mm skyline engages"
+        got = dq.top_k(10)
+        want = HostQuery(flt, list(r.segments), BM25()).top_k(10)
+        assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+        for (gd, gv), (wd, wv) in zip(got, want):
+            assert abs(gv - wv) <= 1e-4 * max(1, abs(wv))
+    finally:
+        sky.SKYLINE_SCAN_RATIO = ratio
+    print("min_match skyline vs oracle: OK")
+
+
 if __name__ == "__main__":
     import jax
 
@@ -177,4 +212,5 @@ if __name__ == "__main__":
     check_phrase()
     check_wand_and_fuzz()
     check_segmerge()
+    check_min_match_skyline()
     print("VERIFY_TPU PASS on", jax.devices()[0].platform)

@@ -190,3 +190,76 @@ class TestGermanEndToEnd:
         assert q("Baumes") == [1, 3]
         # stopword never indexed
         assert search(r, F.ByTerm("body", b"und"), BM25(), k=10) == []
+
+
+class TestCollation:
+    """Locale-true collation via the system ICU (VERDICT r4 item 9).
+
+    Reference: icu::Collator::getSortKey with locale tailoring,
+    collation_token_stream.cpp:65-80 — byte order of the emitted keys
+    must equal the locale's collation order.
+    """
+
+    def _order(self, locale, words):
+        from iresearch_tpu.analysis.analyzers import CollationAnalyzer
+
+        ca = CollationAnalyzer(locale)
+        keys = {w: ca.tokenize(w)[0].term for w in words}
+        return sorted(words, key=lambda w: keys[w])
+
+    def _has_icu(self):
+        from iresearch_tpu.analysis.icu import get_icu
+
+        return get_icu() is not None
+
+    def test_swedish_tailoring(self):
+        import pytest
+
+        if not self._has_icu():
+            pytest.skip("no system ICU in this image")
+        # Swedish: å, ä, ö are distinct letters sorting AFTER z
+        got = self._order("sv", ["a", "b", "z", "å", "ä", "ö"])
+        assert got == ["a", "b", "z", "å", "ä", "ö"]
+
+    def test_german_tailoring(self):
+        import pytest
+
+        if not self._has_icu():
+            pytest.skip("no system ICU in this image")
+        # German: umlauts interleave with their base letters (ä with a)
+        got = self._order("de", ["a", "ä", "b", "o", "ö", "z"])
+        assert got == ["a", "ä", "b", "o", "ö", "z"]
+        # and differ from Swedish for the same input set
+        sv = self._order("sv", ["a", "ä", "b", "o", "ö", "z"])
+        assert sv == ["a", "b", "o", "z", "ä", "ö"]
+
+    def test_case_insensitive_equal_primary_prefix(self):
+        import pytest
+
+        if not self._has_icu():
+            pytest.skip("no system ICU in this image")
+        # default strength keeps case differences at a lower level:
+        # keys differ but sort adjacently (A before b, after a-variants)
+        got = self._order("en", ["a", "A", "b"])
+        assert got[:2] in (["a", "A"], ["A", "a"]) and got[2] == "b"
+
+    def test_fallback_without_icu(self, monkeypatch):
+        """No usable ICU -> NFKD casefold key + cap counter (graceful)."""
+        from iresearch_tpu.analysis import analyzers as an
+        from iresearch_tpu.analysis import icu as icu_mod
+        from iresearch_tpu.utils.metrics import registry
+
+        monkeypatch.setattr(icu_mod, "_icu", False)
+        ca = an.CollationAnalyzer("sv")
+        assert ca._coll is None
+        before = registry()._counters.get(
+            ("irs_collation_nfkd_fallback", ()), 0
+        )
+        key = ca.tokenize("Ämne")[0].term
+        import unicodedata
+
+        assert key == unicodedata.normalize("NFKD", "Ämne").casefold().encode()
+        after = registry()._counters.get(
+            ("irs_collation_nfkd_fallback", ()), 0
+        )
+        assert after == before + 1

@@ -295,3 +295,93 @@ def test_skyline_disabled_env_matches(reader, monkeypatch):
     assert [d for d, _ in on] == [d for d, _ in off]
     for (da, sa), (db, sb) in zip(on, off):
         assert sa == pytest.approx(sb, rel=1e-6)
+
+
+@pytest.mark.parametrize("scorer", [BM25(), TFIDF()], ids=["bm25", "tfidf"])
+@pytest.mark.parametrize("mm", [2, 3])
+def test_min_match_dense_exact(reader, scorer, mm):
+    """min_match disjunctions of dense spans take the skyline tier with a
+    count-threshold match and a host-rescored θ (VERDICT r4 item 5).
+    Reference: min-match early pruning, disjunction.hpp:860-1100."""
+    t = _hot_terms(reader)
+    flt = F.Or(*[F.ByTerm("body", x) for x in t], min_match=mm)
+    spec, dq = _spec(reader, flt, scorer, 10)
+    assert spec is not None and spec.min_match == mm and not spec.conj
+    want = HostQuery(flt, list(reader.segments), scorer).top_k(10)
+    assert_topk_equiv(dq.top_k(10), want)
+
+
+def test_min_match_theta_prunes(reader):
+    """Small k must engage the host-rescore θ and shrink the survivor
+    set below the raw >=mm-hit row count."""
+    t = _hot_terms(reader)
+    flt = F.Or(*[F.ByTerm("body", x) for x in t], min_match=2)
+    spec, dq = _spec(reader, flt, BM25(), 1)
+    assert spec is not None and spec.min_match == 2
+    sr = reader.segments[0]
+    cache = sr.dense_cache("body")
+    real = int((spec.row_ids < spec.ndrows).sum())
+    assert real < cache.ndrows, "θ must prune below the all-candidate set"
+    want = HostQuery(flt, list(reader.segments), BM25()).top_k(1)
+    assert_topk_equiv(dq.top_k(1), want)
+
+
+def test_min_match_exceeds_spans(reader):
+    """mm greater than the leaf count matches nothing — the empty
+    survivor set must round-trip as an empty result."""
+    t = _hot_terms(reader)
+    flt = F.Or(*[F.ByTerm("body", x) for x in t[:3]], min_match=5)
+    spec, dq = _spec(reader, flt, BM25(), 10)
+    got = dq.top_k(10)
+    want = HostQuery(flt, list(reader.segments), BM25()).top_k(10)
+    assert got == [] and want == []
+
+
+def test_min_match_batched_exact(reader):
+    from iresearch_tpu.exec import batch as batch_mod
+    from iresearch_tpu.exec.batch import QueryBatch
+
+    t = _hot_terms(reader)
+    filters = [
+        F.Or(*[F.ByTerm("body", x) for x in t], min_match=2),
+        F.Or(*[F.ByTerm("body", x) for x in t], min_match=3),
+        F.Or(F.ByTerm("body", t[0]), F.ByTerm("body", t[1]),
+             F.ByTerm("body", t[3]), min_match=2),
+    ]
+    qb = QueryBatch(filters, list(reader.segments), BM25(), wand=True)
+    pb = qb.prepare(0, 10)
+    assert any(
+        c[3] is batch_mod._run_batch_skyline for c in pb._calls
+    ), "batched min_match of hot terms must take the skyline kernel"
+    for flt, got in zip(filters, qb.search(k=10)):
+        want = HostQuery(flt, list(reader.segments), BM25()).top_k(10)
+        assert_topk_equiv(got, want)
+
+
+def test_min_match_skyline_off_matches(reader, monkeypatch):
+    """Skyline on/off agree for min_match trees (pure acceleration)."""
+    from iresearch_tpu.exec import DeviceQuery
+    from iresearch_tpu.exec import executor as ex
+
+    t = _hot_terms(reader)
+    flt = F.Or(*[F.ByTerm("body", x) for x in t], min_match=2)
+    on = DeviceQuery(flt, list(reader.segments), BM25()).top_k(10)
+    monkeypatch.setattr(ex, "_USE_SKYLINE", False)
+    off = DeviceQuery(flt, list(reader.segments), BM25()).top_k(10)
+    assert [d for d, _ in on] == [d for d, _ in off]
+    for (da, sa), (db, sb) in zip(on, off):
+        assert sa == pytest.approx(sb, rel=1e-6)
+
+
+def test_min_match_with_deletes_exact(reader_deletes):
+    """Deletes are baked into the grid; min_match skyline stays exact."""
+    reader = reader_deletes
+    t = _hot_terms(reader)
+    flt = F.Or(*[F.ByTerm("body", x) for x in t], min_match=2)
+    spec, dq = _spec(reader, flt, BM25(), 10)
+    assert spec is not None and spec.min_match == 2
+    got = dq.top_k(10)
+    want = HostQuery(flt, list(reader.segments), BM25()).top_k(10)
+    assert_topk_equiv(got, want)
+    alive = reader.segments[0].alive
+    assert all(alive[doc] for doc, _ in got)

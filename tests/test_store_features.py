@@ -52,6 +52,9 @@ PARAMS = [
     ("rot13+zlib", lambda: EncryptedDirectory(MemoryDirectory(), Rot13Cipher()), "zlib"),
     ("aesctr", lambda: EncryptedDirectory(MemoryDirectory(), AesCtrCipher(b"k" * 16)), "none"),
     ("aesctr+lz4", lambda: EncryptedDirectory(MemoryDirectory(), AesCtrCipher(b"secret")), "lz4"),
+    ("lz4dict", lambda: MemoryDirectory(), "lz4dict"),
+    ("delta", lambda: MemoryDirectory(), "delta"),
+    ("rot13+delta", lambda: EncryptedDirectory(MemoryDirectory(), Rot13Cipher()), "delta"),
 ]
 
 
@@ -245,3 +248,203 @@ def test_commit_atomicity_under_failure(op, at):
     w2.close()
     r2 = DirectoryReader.open(inner)
     assert len(search(r2, F.ByTerm("body", "third"), k=5)) == 1
+
+
+def test_delta_codec_roundtrip_and_ratio():
+    """Delta + zig-zag varint codec (reference: delta_compression.cpp) —
+    sorted-ish u64 payloads shrink to ~1-2 B/value; byte-exact roundtrip;
+    non-u64-aligned payloads frame raw."""
+    from iresearch_tpu.store.codecs import DeltaCompressor
+
+    c = DeltaCompressor()
+    rng = np.random.default_rng(7)
+    vals = np.cumsum(rng.integers(0, 100, 10_000).astype(np.uint64))
+    blob = vals.tobytes()
+    packed = c.compress(blob)
+    assert c.decompress(packed) == blob
+    assert len(packed) <= 2 * len(vals), (
+        f"{len(packed)/len(vals):.2f} B/value for smooth deltas"
+    )
+    # descending / negative deltas survive via zig-zag
+    vals2 = vals[::-1].copy()
+    assert c.decompress(c.compress(vals2.tobytes())) == vals2.tobytes()
+    # extremes: wraparound deltas
+    vals3 = np.array([0, 2**64 - 1, 1, 2**63], np.uint64)
+    assert c.decompress(c.compress(vals3.tobytes())) == vals3.tobytes()
+    # unaligned payload -> raw framing
+    odd = b"x" * 13
+    assert c.decompress(c.compress(odd)) == odd
+    assert get_compressor("delta").name == "delta"
+
+
+def test_lz4dict_carried_dictionary_blocks():
+    """Carried-dict lz4 (reference: streaming lz4, lz4compression.hpp:
+    47-71): blocks 1+ compress against block 0 and must beat plain
+    per-block lz4 on cross-block-redundant columns; lazy point reads
+    stay block-granular (block b touches at most blocks {0, b})."""
+    from iresearch_tpu.formats.columnstore import (
+        COLUMN_BLOCK,
+        ColumnBlocks,
+        split_column_blocks,
+    )
+    from iresearch_tpu.store.codecs import get_compressor
+
+    rng = np.random.default_rng(11)
+    n = int(2.5 * COLUMN_BLOCK)
+    # values share vocabulary across blocks (dictionary-compressible)
+    words = [rng.bytes(12) for _ in range(64)]
+    vals = [words[int(i)] for i in rng.integers(0, 64, n)]
+    offsets = np.zeros(n + 1, np.uint64)
+    offsets[1:] = np.cumsum([len(v) for v in vals])
+    blob = b"".join(vals)
+
+    plain = get_compressor("lz4")
+    withd = get_compressor("lz4dict")
+    comp_p, _ = split_column_blocks(offsets, blob, plain)
+    comp_d, boffs = split_column_blocks(offsets, blob, withd)
+    assert len(comp_d) < len(comp_p), "dict blocks must beat plain lz4"
+
+    cb = ColumnBlocks(comp_d, boffs, offsets, withd, n)
+    for i in [0, 1, COLUMN_BLOCK - 1, COLUMN_BLOCK, 2 * COLUMN_BLOCK + 7, n - 1]:
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        assert cb.read(i, lo, hi) == blob[lo:hi]
+    assert cb.tobytes() == blob
+
+
+def _docs_matching(r, term):
+    return len(search(r, F.ByTerm("body", term), k=1000))
+
+
+_SWEEP = [
+    (op, at)
+    for op in ("write", "read", "sync", "rename", "remove")
+    for at in (0, 1, 2)
+]
+
+
+@pytest.mark.parametrize("op,at", _SWEEP, ids=[f"{o}{a}" for o, a in _SWEEP])
+def test_consolidation_atomicity_under_failure(op, at):
+    """Failure injected at EVERY directory op x call count during
+    consolidation: the prior generation must stay committed, readable
+    after a reopen, and pre-failure snapshot readers must keep serving
+    (reference: index_death_tests.cpp:40-90 consolidation surfaces).
+    Ops the consolidation never reaches simply succeed — asserted
+    consistent either way."""
+    inner = MemoryDirectory()
+    d = FailingDirectory(inner)
+    w = IndexWriter(d, IndexWriterOptions(invert_backend="numpy"))
+    for gen in range(3):  # 3 committed segments = a consolidation candidate set
+        for i in range(4):
+            w.insert([
+                Field("body", f"alpha g{gen} d{i}", analyzer="segmentation")
+            ])
+        assert w.commit()
+    gen_before = find_last_generation(inner)
+    snap = DirectoryReader.open(inner)  # pre-failure snapshot
+    assert _docs_matching(snap, "alpha") == 12
+
+    d.arm(op, at)
+    try:
+        w.consolidate()
+        failed = False
+    except OSError:
+        failed = True
+    d.fail_op = None
+
+    # snapshot isolation: the old reader still serves its generation
+    assert _docs_matching(snap, "alpha") == 12
+    # reopen: whatever generation is last must be complete + consistent
+    r = DirectoryReader.open(inner)
+    assert _docs_matching(r, "alpha") == 12
+    if failed:
+        # a failure AFTER the atomic rename (orphan GC's `remove`) leaves
+        # the new generation legitimately published; anything earlier
+        # must leave the prior generation last
+        assert find_last_generation(inner) in (gen_before, gen_before + 1)
+    # recovery: a later consolidation (or commit) proceeds normally
+    w.consolidate()
+    w.close()
+    r2 = DirectoryReader.open(inner)
+    assert _docs_matching(r2, "alpha") == 12
+
+
+_IMPORT_SWEEP = [
+    (op, at) for op in ("write", "sync", "rename") for at in (0, 1)
+]
+
+
+@pytest.mark.parametrize(
+    "op,at", _IMPORT_SWEEP, ids=[f"{o}{a}" for o, a in _IMPORT_SWEEP]
+)
+def test_import_atomicity_under_failure(op, at):
+    """Failure during the commit that publishes imported segments
+    (reference: IndexWriter::Import, index_writer.cpp:1653 + death
+    tests): the prior generation survives; the import can be retried."""
+    src = MemoryDirectory()
+    with IndexWriter(src, IndexWriterOptions(invert_backend="numpy")) as ws:
+        for i in range(5):
+            ws.insert([Field("body", f"imported d{i}", analyzer="segmentation")])
+        ws.commit()
+    src_reader = DirectoryReader.open(src)
+
+    inner = MemoryDirectory()
+    d = FailingDirectory(inner)
+    w = IndexWriter(d, IndexWriterOptions(invert_backend="numpy"))
+    w.insert([Field("body", "native doc", analyzer="segmentation")])
+    assert w.commit()
+    gen1 = find_last_generation(inner)
+
+    w.import_reader(src_reader)
+    d.arm(op, at)
+    try:
+        w.commit()
+        failed = False  # call count past what this commit performs
+    except OSError:
+        failed = True
+    d.fail_op = None
+
+    if failed:
+        assert find_last_generation(inner) == gen1
+        r = DirectoryReader.open(inner)
+        assert _docs_matching(r, "native") == 1
+        assert _docs_matching(r, "imported") == 0
+        # retry: the import is re-staged and publishes cleanly
+        w.import_reader(src_reader)
+        assert w.commit()
+    w.close()
+    r2 = DirectoryReader.open(inner)
+    assert _docs_matching(r2, "native") == 1
+    assert _docs_matching(r2, "imported") == 5
+
+
+def test_reopen_during_failed_commit_window():
+    """A reader that reopens BETWEEN a failed commit and the writer's
+    recovery sees the prior generation (never a torn one), and reopen
+    reuses unchanged segment readers (reference: reader refresh race,
+    directory_reader_impl.cpp:209+)."""
+    inner = MemoryDirectory()
+    d = FailingDirectory(inner)
+    w = IndexWriter(d, IndexWriterOptions(invert_backend="numpy"))
+    w.insert([Field("body", "alpha one", analyzer="segmentation")])
+    assert w.commit()
+    r1 = DirectoryReader.open(inner)
+
+    w.insert([Field("body", "alpha two", analyzer="segmentation")])
+    d.arm("rename", 0)
+    with pytest.raises(OSError):
+        w.commit()
+    d.fail_op = None
+
+    r2 = r1.reopen()
+    assert _docs_matching(r2, "alpha") == 1
+    # unchanged segment readers are REUSED across reopen
+    assert r2.segments[0] is r1.segments[0]
+
+    # recovery commit ("alpha two" was discarded with the failed commit —
+    # the same discard semantics test_commit_atomicity_under_failure
+    # pins), then reopen picks up the new generation
+    w.insert([Field("body", "alpha three", analyzer="segmentation")])
+    assert w.commit()
+    w.close()
+    r3 = r2.reopen()
+    assert _docs_matching(r3, "alpha") == 2
