@@ -42,7 +42,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-NUM_DOCS = int(__import__("os").environ.get("BENCH_DOCS", 50_000))
+# default corpus = the reference's CANONICAL 5M-doc run
+# (scripts/index-benchmark.sh:9-29); BENCH_DOCS=50000 is the quick
+# smoke-test escape hatch. The segment build caches under .bench_cache
+# (one-time ~10-15 min host build), and the jit cache under .jax_cache
+# makes repeat runs start in seconds.
+NUM_DOCS = int(__import__("os").environ.get("BENCH_DOCS", 5_000_000))
 # Corpora beyond SEG_DOCS split into segments of SEG_DOCS docs each —
 # the shape a real index has after tiered consolidation (the reference
 # caps segments via ConsolidateTier; a 25M-doc reference index is also

@@ -59,6 +59,14 @@ class ShardedSearcher:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = AXIS
         self.D = self.mesh.devices.size
+        # multi-host (DCN) mesh: some mesh devices belong to other
+        # processes — host arrays then enter via make_array_from_callback
+        # (each process contributes its addressable shards) and replicated
+        # jit inputs must be explicitly placed (see prepare_many)
+        self._multiproc = any(
+            d.process_index != jax.process_index()
+            for d in self.mesh.devices.flat
+        )
         self.segments = list(segments)
         S = max(1, math.ceil(len(self.segments) / self.D) * self.D)
         self.S = S
@@ -83,13 +91,29 @@ class ShardedSearcher:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         spec = P(self.axis, *([None] * (spec_dims - 1)))
-        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+        sharding = NamedSharding(self.mesh, spec)
+        if self._multiproc:
+            # multi-host mesh (DCN): every process holds the full host
+            # array (the index build is deterministic and replayed per
+            # process); each contributes only its ADDRESSABLE shards —
+            # device_put to a cross-process sharding is not allowed
+            arr = np.asarray(arr)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+        return jax.device_put(arr, sharding)
 
     def _put_rep(self, arr: np.ndarray):
         """Replicate an array on every mesh device (no shard axis)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(arr, NamedSharding(self.mesh, P()))
+        sharding = NamedSharding(self.mesh, P())
+        if self._multiproc:
+            arr = np.asarray(arr)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+        return jax.device_put(arr, sharding)
 
     def _stack_alive(self):
         alive = np.zeros((self.S, self.nd_pad), np.bool_)
@@ -588,8 +612,8 @@ class ShardedSearcher:
                 (
                     tuple(pools_st),
                     tuple(rowsets_st),
-                    jnp.asarray(avgdl),
-                    jnp.asarray(leaf_min_b),
+                    self._put_rep(avgdl),
+                    self._put_rep(leaf_min_b),
                     self._put(am, 4),
                     self._put(asc, 4),
                     self._alive,

@@ -126,6 +126,33 @@ def test_tiny_segment_pads_to_requested_k():
             assert gv == pytest.approx(rv, rel=1e-5)
 
 
+@pytest.mark.parametrize("scorer", [BM25()])
+def test_fused_pass_equals_per_segment_dispatch(reader, scorer):
+    """run(fused=True) — one jitted program covering every segment's
+    bodies plus the merge — must produce bit-identical results to the
+    per-segment dispatch path (fused=False), and hit the global fused
+    cache on re-run."""
+    from iresearch_tpu.exec import batch as B
+    from iresearch_tpu.exec.batch import QueryBatch
+
+    segs = list(reader.segments)
+    qb = QueryBatch(_filters(), segs, scorer, wand=True)
+    mb = qb.prepare_all(7)
+    v1, d1 = (np.asarray(a) for a in mb.run(fused=True))
+    v0, d0 = (np.asarray(a) for a in mb.run(fused=False))
+    np.testing.assert_array_equal(d1, d0)
+    np.testing.assert_array_equal(v1, v0)
+    # the fused program is cached by per-segment template keys
+    fkey = ("segfused", tuple(p._key for p in mb.preps), 7)
+    assert fkey in B._FUSED_CACHE
+    # a fresh MergedBatch of the same structure reuses the cached program
+    mb2 = QueryBatch(_filters(), segs, scorer, wand=True).prepare_all(7)
+    before = B._FUSED_CACHE[fkey]
+    v2, d2 = (np.asarray(a) for a in mb2.run(fused=True))
+    assert B._FUSED_CACHE[fkey] is before
+    np.testing.assert_array_equal(d2, d0)
+
+
 def test_merged_batch_rejects_int32_overflow():
     from iresearch_tpu.exec.segmerge import MergedBatch
 
