@@ -174,6 +174,202 @@ def merge_segments(
     return data
 
 
+def _maps_monotone(doc_maps: List[np.ndarray]) -> bool:
+    """True when every kept doc id ascends in old-doc order — the
+    no-custom-sort case, where merged (term, doc) order equals
+    per-segment order concatenated (segments' remapped ranges are
+    disjoint ascending)."""
+    for m in doc_maps:
+        kept = m[m >= 0]
+        if len(kept) > 1 and not bool((np.diff(kept) > 0).all()):
+            return False
+    return True
+
+
+def _merge_field_native(
+    readers: List[SegmentReader],
+    doc_maps: List[np.ndarray],
+    fname: str,
+    new_num_docs: int,
+    merged_terms: List[bytes],
+    index: Dict[bytes, int],
+    term_lists: List[List[bytes]],
+) -> Optional[FieldPostings]:
+    """Native streaming merge (iresearch_native.cpp:irs_merge_decode).
+
+    One C++ pass per segment decodes+remaps+compacts its postings; doc
+    order within each merged term is the segment concatenation order
+    (exact when doc maps are monotone — checked by the caller), so the
+    placement is a vectorized counting scatter with NO sort at all
+    (the numpy path pays a 2-key lexsort over every entry). Positions/
+    offsets/payloads gather by runs straight from the packed pools into
+    the merged flat layout. Output is byte-identical to the numpy path
+    (test_merge_native). Returns None to fall back (native lib absent,
+    mixed feature presence, IRS_MERGE_NATIVE=0).
+
+    Reference: merge_writer.cpp treats this as the HOT path (SURVEY
+    §3.6); per-segment decodes run on a thread pool like the
+    reference's concurrent consolidations.
+    """
+    import os as _os
+
+    if _os.environ.get("IRS_MERGE_NATIVE", "1") == "0":
+        return None
+    from iresearch_tpu import native as _native
+
+    if _native.load() is None or getattr(
+        _native.load(), "irs_merge_decode", None
+    ) is None:
+        return None
+    parts = []  # (fp, dmap, terms)
+    for sr, dmap, terms in zip(readers, doc_maps, term_lists):
+        fp = sr.data.fields.get(fname)
+        if fp is not None:
+            parts.append((fp, dmap, terms))
+    if not parts:
+        return None
+    # uniform feature presence only (mixed-presence unions stay numpy)
+    has_pos = {fp.has_positions for fp, _, _ in parts}
+    has_offs = {fp.offs_start is not None for fp, _, _ in parts}
+    has_pays = {fp.pay_len is not None for fp, _, _ in parts}
+    if len(has_pos) != 1 or len(has_offs) != 1 or len(has_pays) != 1:
+        return None
+    has_pos, has_offs, has_pays = has_pos.pop(), has_offs.pop(), has_pays.pop()
+
+    Tm = len(merged_terms)
+    new_norms = np.zeros(new_num_docs, np.uint32)
+    features = parts[0][0].features
+
+    def decode_one(args):
+        fp, dmap, terms = args
+        tid_remap = np.fromiter(
+            (index[t] for t in terms), np.int64, count=len(terms)
+        )
+        e_cap = int(fp.entries[:, TermCols.DF].astype(np.int64).sum())
+        return _native.merge_decode(
+            fp.entries, fp.doc_words, fp.base, fp.freq_words,
+            dmap.astype(np.int64, copy=False), tid_remap, e_cap,
+        )
+
+    if len(parts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(parts)) as ex:
+            decoded = list(ex.map(decode_one, parts))
+    else:
+        decoded = [decode_one(parts[0])]
+    if any(d is None for d in decoded):
+        return None
+
+    # vectorized counting placement: dst of entry j of segment s =
+    # term_ptr[tid] + (kept entries of tid in earlier segments) + rank of
+    # j within its (segment, tid) run — no sort anywhere
+    counts = [
+        np.bincount(d[0], minlength=Tm).astype(np.int64) for d in decoded
+    ]
+    df2 = np.zeros(Tm, np.int64)
+    for c in counts:
+        df2 += c
+    term_ptr = np.zeros(Tm + 1, np.int64)
+    np.cumsum(df2, out=term_ptr[1:])
+    E = int(term_ptr[-1])
+    e_doc = np.empty(E, np.uint32)
+    e_freq = np.empty(E, np.uint32)
+    prior = np.zeros(Tm, np.int64)
+    dsts = []
+    for (tid_s, doc_s, freq_s, _orig, _po), counts_s in zip(decoded, counts):
+        run_start = np.cumsum(counts_s) - counts_s
+        rank = np.arange(len(tid_s), dtype=np.int64) - run_start[tid_s]
+        dst = term_ptr[tid_s] + prior[tid_s] + rank
+        e_doc[dst] = doc_s
+        e_freq[dst] = freq_s
+        prior += counts_s
+        dsts.append(dst)
+    for fp, dmap, _terms in parts:
+        keep_norm = dmap >= 0
+        new_norms[dmap[keep_norm]] = fp.norms[keep_norm]
+
+    pos_flat = None
+    offs = pays = None
+    if has_pos:
+        pos_ptr = np.zeros(E + 1, np.int64)
+        np.cumsum(e_freq.astype(np.int64), out=pos_ptr[1:])
+        P = int(pos_ptr[-1])
+        pos_flat = np.empty(P, np.uint32)
+        if has_offs:
+            o_start = np.empty(P, np.uint32)
+            o_end = np.empty(P, np.uint32)
+        if has_pays:
+            pay_len = np.empty(P, np.uint32)
+        for (fp, _dmap, _terms), d, dst in zip(parts, decoded, dsts):
+            _tid_s, _doc_s, freq_s, orig_s, posoff_s = d
+            ttf = fp.entries[:, TermCols.TTF].astype(np.int64)
+            tid_pos_base = np.zeros(len(ttf), np.int64)
+            if len(ttf):
+                np.cumsum(ttf[:-1], out=tid_pos_base[1:])
+            dst_off = pos_ptr[dst]
+            _native.merge_gather_pos(
+                fp.entries, fp.pos_words, tid_pos_base, orig_s,
+                posoff_s, freq_s, dst_off, pos_flat,
+            )
+            if has_offs:
+                _native.copy_runs_u32(
+                    fp.offs_start, posoff_s, dst_off, freq_s, o_start
+                )
+                _native.copy_runs_u32(
+                    fp.offs_end, posoff_s, dst_off, freq_s, o_end
+                )
+            if has_pays:
+                _native.copy_runs_u32(
+                    fp.pay_len, posoff_s, dst_off, freq_s, pay_len
+                )
+        if has_offs:
+            offs = (o_start, o_end)
+        if has_pays:
+            bptr = np.zeros(P + 1, np.int64)
+            np.cumsum(pay_len.astype(np.int64), out=bptr[1:])
+            blob_out = np.empty(int(bptr[-1]), np.uint8)
+            for (fp, _dmap, _terms), d, dst in zip(parts, decoded, dsts):
+                _tid_s, _doc_s, freq_s, _orig_s, posoff_s = d
+                pptr = np.zeros(len(fp.pay_len) + 1, np.int64)
+                np.cumsum(fp.pay_len.astype(np.int64), out=pptr[1:])
+                src_b = pptr[posoff_s]
+                len_b = pptr[posoff_s + freq_s.astype(np.int64)] - src_b
+                dst_b = bptr[pos_ptr[dst]]
+                _native.copy_runs_bytes(
+                    np.frombuffer(fp.pay_blob, np.uint8), src_b, dst_b,
+                    len_b, blob_out,
+                )
+            pays = (pay_len, blob_out.tobytes())
+
+    # drop terms that lost all postings to doc masks (same as numpy path)
+    keep_terms = np.flatnonzero(df2 > 0)
+    if len(keep_terms) < Tm:
+        kept = [merged_terms[i] for i in keep_terms]
+        new_ptr = np.zeros(len(kept) + 1, np.int64)
+        np.cumsum(df2[keep_terms], out=new_ptr[1:])
+        merged_terms = kept
+        term_ptr = new_ptr
+
+    blob = b"".join(merged_terms)
+    offsets = np.zeros(len(merged_terms) + 1, np.uint64)
+    np.cumsum([len(t) for t in merged_terms], out=offsets[1:])
+    from iresearch_tpu.formats.spec import IndexFeatures
+
+    return encode_field_postings(
+        e_doc,
+        e_freq,
+        term_ptr,
+        blob,
+        offsets,
+        new_norms,
+        pos_flat=pos_flat,
+        features=features if features is not None else IndexFeatures.FREQ,
+        offs=offs,
+        pays=pays,
+    )
+
+
 def _merge_field(
     readers: List[SegmentReader],
     doc_maps: List[np.ndarray],
@@ -187,6 +383,14 @@ def _merge_field(
         term_lists.append(sr.terms(fname) if fp is not None else [])
     merged_terms = sorted(set().union(*term_lists)) if term_lists else []
     index = {t: i for i, t in enumerate(merged_terms)}
+
+    if merged_terms and _maps_monotone(doc_maps):
+        out = _merge_field_native(
+            readers, doc_maps, fname, new_num_docs,
+            merged_terms, index, term_lists,
+        )
+        if out is not None:
+            return out
 
     all_tid = []
     all_doc = []

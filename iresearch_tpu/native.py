@@ -156,6 +156,57 @@ def load() -> Optional[ctypes.CDLL]:
             ]
         except AttributeError:
             lib.irs_scatter_pack = None
+        # consolidation-merge kernels (older .so builds lack them)
+        try:
+            lib.irs_merge_decode.restype = ctypes.c_int64
+            lib.irs_merge_decode.argtypes = [
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_void_p),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ]
+            lib.irs_merge_gather_pos.restype = None
+            lib.irs_merge_gather_pos.argtypes = [
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_void_p),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ]
+            lib.irs_copy_runs_u32.restype = None
+            lib.irs_copy_runs_u32.argtypes = [
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ]
+            lib.irs_copy_runs_bytes.restype = None
+            lib.irs_copy_runs_bytes.argtypes = [
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ]
+        except AttributeError:
+            lib.irs_merge_decode = None
         _lib = lib
         return _lib
 
@@ -280,6 +331,124 @@ def scatter_pack(
         ptrs,
     )
     return outs
+
+
+def _pool_ptrs(pools) -> "ctypes.Array":
+    """(c_void_p * 6) pointer table over per-class pool arrays."""
+    return (ctypes.c_void_p * len(pools))(*(p.ctypes.data for p in pools))
+
+
+def merge_decode(
+    entries: np.ndarray,  # u32 [T, ncols]
+    doc_words,  # 6 per-class u32 pools
+    base,  # 6 per-class u32 base arrays
+    freq_words,  # 6 per-class u32 pools
+    dmap: np.ndarray,  # i64 [num_docs] new doc or -1
+    tid_remap: np.ndarray,  # i64 [T] merged term ids
+    e_cap: int,  # sum(df) upper bound for the outputs
+) -> Optional[tuple]:
+    """One-pass decode+remap of a segment field (merge hot path).
+
+    Returns (tid i32, doc u32, freq u32, orig_tid i32, pos_off i64) for
+    the kept entries — pos_off is the global flat position rank (cumsum
+    of freq over ALL entries) indexing positions_flat()/OFFS/PAY — or
+    None when the native library is unavailable."""
+    lib = load()
+    if lib is None or getattr(lib, "irs_merge_decode", None) is None:
+        return None
+    T = entries.shape[0]
+    cap = max(1, e_cap)
+    out_tid = np.empty(cap, np.int32)
+    out_doc = np.empty(cap, np.uint32)
+    out_freq = np.empty(cap, np.uint32)
+    out_orig = np.empty(cap, np.int32)
+    out_posoff = np.empty(cap, np.int64)
+    n = lib.irs_merge_decode(
+        np.ascontiguousarray(entries, np.uint32),
+        T,
+        entries.shape[1],
+        _pool_ptrs(doc_words),
+        _pool_ptrs(base),
+        _pool_ptrs(freq_words),
+        np.ascontiguousarray(dmap, np.int64),
+        np.ascontiguousarray(tid_remap, np.int64),
+        out_tid,
+        out_doc,
+        out_freq,
+        out_orig,
+        out_posoff,
+    )
+    return (
+        out_tid[:n],
+        out_doc[:n],
+        out_freq[:n],
+        out_orig[:n],
+        out_posoff[:n],
+    )
+
+
+def merge_gather_pos(
+    entries: np.ndarray,  # u32 [T, ncols] (PCLS/PSTART columns)
+    pos_words,  # 6 per-class u32 position pools
+    tid_pos_base: np.ndarray,  # i64 [T] flat base rank per term
+    orig_tid: np.ndarray,  # i32 [E]
+    src_off: np.ndarray,  # i64 [E] global flat source rank
+    freq: np.ndarray,  # u32 [E]
+    dst_off: np.ndarray,  # i64 [E] merged flat offsets
+    out_pos: np.ndarray,  # u32 [P] output buffer
+) -> bool:
+    lib = load()
+    if lib is None or getattr(lib, "irs_merge_decode", None) is None:
+        return False
+    lib.irs_merge_gather_pos(
+        np.ascontiguousarray(entries, np.uint32),
+        entries.shape[1],
+        _pool_ptrs(pos_words),
+        np.ascontiguousarray(tid_pos_base, np.int64),
+        np.ascontiguousarray(orig_tid, np.int32),
+        np.ascontiguousarray(src_off, np.int64),
+        np.ascontiguousarray(freq, np.uint32),
+        np.ascontiguousarray(dst_off, np.int64),
+        len(orig_tid),
+        out_pos,
+    )
+    return True
+
+
+def copy_runs_u32(
+    src: np.ndarray, src_off: np.ndarray, dst_off: np.ndarray,
+    lens: np.ndarray, out: np.ndarray,
+) -> bool:
+    lib = load()
+    if lib is None or getattr(lib, "irs_merge_decode", None) is None:
+        return False
+    lib.irs_copy_runs_u32(
+        np.ascontiguousarray(src, np.uint32),
+        np.ascontiguousarray(src_off, np.int64),
+        np.ascontiguousarray(dst_off, np.int64),
+        np.ascontiguousarray(lens, np.uint32),
+        len(src_off),
+        out,
+    )
+    return True
+
+
+def copy_runs_bytes(
+    src: np.ndarray, src_off: np.ndarray, dst_off: np.ndarray,
+    lens: np.ndarray, out: np.ndarray,
+) -> bool:
+    lib = load()
+    if lib is None or getattr(lib, "irs_merge_decode", None) is None:
+        return False
+    lib.irs_copy_runs_bytes(
+        np.ascontiguousarray(src, np.uint8),
+        np.ascontiguousarray(src_off, np.int64),
+        np.ascontiguousarray(dst_off, np.int64),
+        np.ascontiguousarray(lens, np.int64),
+        len(src_off),
+        out,
+    )
+    return True
 
 
 def crc32c(data: bytes, seed: int = 0) -> Optional[int]:

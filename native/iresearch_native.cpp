@@ -455,6 +455,144 @@ void irs_levenshtein_batch(const uint32_t* query, int32_t qlen,
   delete[] cur;
 }
 
+// ---- consolidation merge kernels -------------------------------------
+// The reference treats segment merging as a HOT path (merge_writer.cpp,
+// SURVEY §3.6): full decode -> doc-id remap -> union -> re-encode. The
+// numpy merge (index/merge.py) is vectorized but makes ~10 full passes
+// over E-sized temporaries plus a 2-key lexsort; these kernels do the
+// decode+remap in ONE streaming pass per segment and gather position
+// runs straight from the packed pools into the merged layout. Packed
+// layout per formats/bitpack.py: at width b (pow2, classes
+// {1,2,4,8,16,32}), lane j of a 128-lane block row lives in word
+// j % (4b) at bit (j / (4b)) * b.
+
+namespace {
+
+struct PlanarReader {
+  const uint32_t* words;  // pool rows: [rows, 4b] u32
+  uint32_t wl;            // log2(words per block) = log2(4b)
+  uint32_t bl;            // log2(b)
+  uint32_t mask;          // (1<<b)-1 (0xFFFFFFFF for b=32)
+
+  inline uint32_t at(int64_t row, uint32_t lane) const {
+    const uint32_t wpb_mask = (1u << wl) - 1u;
+    const uint32_t shift = (lane >> wl) << bl;
+    return (words[(static_cast<uint64_t>(row) << wl) + (lane & wpb_mask)] >>
+            shift) & mask;
+  }
+};
+
+inline PlanarReader reader_for(const uint32_t* const* pools, uint32_t cls) {
+  static const uint32_t kWl[6] = {2, 3, 4, 5, 6, 7};
+  static const uint32_t kBl[6] = {0, 1, 2, 3, 4, 5};
+  static const uint32_t kMask[6] = {1u,          3u,         15u,
+                                    255u,        65535u,     0xFFFFFFFFu};
+  return PlanarReader{pools[cls], kWl[cls], kBl[cls], kMask[cls]};
+}
+
+}  // namespace
+
+// Decode + remap one segment field in one streaming pass.
+// entries: u32 [T, ncols] (TermCols layout: DF=0, DCLS=2, FCLS=3,
+// DSTART=4, FSTART=5). dmap[old_doc] = new global doc id or -1 (masked).
+// tid_remap[t] = merged term id. Outputs (caller allocates E = sum df):
+// kept entries' merged tid / new doc / freq / original tid / global flat
+// source position offset (cumsum of freq over ALL entries, kept or not —
+// the flat rank the OFFS/PAY streams and positions_flat() use).
+// Returns the kept count.
+int64_t irs_merge_decode(const uint32_t* entries, int64_t T, int64_t ncols,
+                         const uint32_t* const* doc_words,
+                         const uint32_t* const* base_pools,
+                         const uint32_t* const* freq_words,
+                         const int64_t* dmap, const int64_t* tid_remap,
+                         int32_t* out_tid, uint32_t* out_doc,
+                         uint32_t* out_freq, int32_t* out_orig_tid,
+                         int64_t* out_posoff) {
+  int64_t n = 0;
+  int64_t pos_off = 0;  // global flat position rank (all entries)
+  for (int64_t t = 0; t < T; ++t) {
+    const uint32_t* e = entries + t * ncols;
+    const int64_t df = e[0];          // TermCols.DF
+    const uint32_t dcls = e[2];       // DCLS
+    const uint32_t fcls = e[3];       // FCLS
+    const int64_t dstart = e[4];      // DSTART
+    const int64_t fstart = e[5];      // FSTART
+    const PlanarReader dr = reader_for(doc_words, dcls);
+    const PlanarReader fr = reader_for(freq_words, fcls);
+    const uint32_t* base = base_pools[dcls];
+    const int64_t mt = tid_remap[t];
+    uint32_t doc = 0;
+    for (int64_t r = 0; r < df; ++r) {
+      const int64_t b = r >> 7;
+      const uint32_t l = static_cast<uint32_t>(r & 127);
+      if (l == 0) {
+        doc = base[dstart + b];
+      } else {
+        doc += dr.at(dstart + b, l);
+      }
+      const uint32_t f = fr.at(fstart + b, l);
+      const int64_t nd = dmap[doc];
+      if (nd >= 0) {
+        out_tid[n] = static_cast<int32_t>(mt);
+        out_doc[n] = static_cast<uint32_t>(nd);
+        out_freq[n] = f;
+        out_orig_tid[n] = static_cast<int32_t>(t);
+        out_posoff[n] = pos_off;
+        ++n;
+      }
+      pos_off += f;
+    }
+  }
+  return n;
+}
+
+// Gather kept entries' position runs from the packed per-term position
+// pools straight into the merged flat layout. For kept entry i of the
+// source segment: its positions are the run [src_off[i] -
+// tid_pos_base[orig_tid[i]], +freq[i]) WITHIN term orig_tid[i]'s packed
+// stream (PCLS=entries[.,10], PSTART=entries[.,11]); they are written to
+// out_pos[dst_off[i] ...]. tid_pos_base[t] = flat rank of term t's first
+// position (int64 cumsum of TTF, host-computed).
+void irs_merge_gather_pos(const uint32_t* entries, int64_t ncols,
+                          const uint32_t* const* pos_words,
+                          const int64_t* tid_pos_base,
+                          const int32_t* orig_tid, const int64_t* src_off,
+                          const uint32_t* freq, const int64_t* dst_off,
+                          int64_t E, uint32_t* out_pos) {
+  for (int64_t i = 0; i < E; ++i) {
+    const int64_t t = orig_tid[i];
+    const uint32_t* e = entries + t * ncols;
+    const PlanarReader pr = reader_for(pos_words, e[10]);  // PCLS
+    const int64_t pstart = e[11];                          // PSTART
+    int64_t q = src_off[i] - tid_pos_base[t];  // within-term position rank
+    uint32_t* dst = out_pos + dst_off[i];
+    for (uint32_t j = 0; j < freq[i]; ++j, ++q) {
+      dst[j] = pr.at(pstart + (q >> 7), static_cast<uint32_t>(q & 127));
+    }
+  }
+}
+
+// Generic run-copy for the flat position-parallel streams (offsets,
+// payload lengths): out[dst_off[i] + j] = src[src_off[i] + j].
+void irs_copy_runs_u32(const uint32_t* src, const int64_t* src_off,
+                       const int64_t* dst_off, const uint32_t* len,
+                       int64_t E, uint32_t* out) {
+  for (int64_t i = 0; i < E; ++i) {
+    std::memcpy(out + dst_off[i], src + src_off[i],
+                static_cast<size_t>(len[i]) * sizeof(uint32_t));
+  }
+}
+
+// Byte-range run copy (payload blobs).
+void irs_copy_runs_bytes(const uint8_t* src, const int64_t* src_off,
+                         const int64_t* dst_off, const int64_t* len,
+                         int64_t E, uint8_t* out) {
+  for (int64_t i = 0; i < E; ++i) {
+    std::memcpy(out + dst_off[i], src + src_off[i],
+                static_cast<size_t>(len[i]));
+  }
+}
+
 // crc32c (Castagnoli, software table) — blobpack checksum helper.
 static uint32_t crc32c_table[256];
 static bool crc32c_init_done = false;
