@@ -122,6 +122,13 @@ def parse_args(argv):
     p.add_argument("--engine", default="device", choices=["device", "host"])
     p.add_argument("--wand", action="store_true",
                    help="block-max pruning for eligible queries (exact)")
+    p.add_argument("--wand-mode", default="exact",
+                   choices=["exact", "strict", "approx"],
+                   help="speed/recall knob (reference WandContext.strict, "
+                   "index_reader_options.hpp:48-56): exact never prunes a "
+                   "true top-k block; strict may drop float-tie boundary "
+                   "docs; approx decodes only the sampled highest-bound "
+                   "blocks (fastest, recall tradeoff)")
     p.add_argument("--csv", action="store_true")
     p.add_argument("--metrics-out", default=None,
                    help="write Prometheus text metrics to this file")
@@ -151,7 +158,8 @@ def main(argv) -> int:
                 from iresearch_tpu.exec import DeviceQuery
 
                 dq = DeviceQuery(
-                    flt, list(reader.segments), scorer, wand=args.wand
+                    flt, list(reader.segments), scorer, wand=args.wand,
+                    wand_mode=args.wand_mode,
                 )
                 hits = dq.top_k(args.topN)
             else:

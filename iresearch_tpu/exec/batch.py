@@ -351,7 +351,8 @@ def _run_batch(
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "mode",
-        "driver_gi", "group_leaf", "wand", "sample", "nd", "dense_static",
+        "driver_gi", "group_leaf", "wand", "sample", "wand_mode", "nd",
+        "dense_static",
     ),
 )
 def _run_batch_candidates(
@@ -374,6 +375,7 @@ def _run_batch_candidates(
     group_leaf: tuple,
     wand: bool,
     sample: int,
+    wand_mode: str = "exact",
     nd: int = 0,
     dense_static=(),
 ):
@@ -406,6 +408,7 @@ def _run_batch_candidates(
             group_leaf=group_leaf,
             wand=wand,
             sample=sample,
+            wand_mode=wand_mode,
             nd=nd,
             dense_args=dense_args,
             dense_static=dense_static,
@@ -569,7 +572,7 @@ def _run_batch_skyline(
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample",
-        "dense_static",
+        "wand_mode", "dense_static",
     ),
 )
 def _run_batch_wand(
@@ -588,6 +591,7 @@ def _run_batch_wand(
     k: int,
     nd: int,
     sample: int,
+    wand_mode: str = "exact",
     dense_static=(),
 ):
     """Vmapped block-max WAND: per-query θ and pruning in one dispatch."""
@@ -613,6 +617,7 @@ def _run_batch_wand(
             k=k,
             nd=nd,
             sample=sample,
+            mode=wand_mode,
             dense_args=dense_args,
             dense_static=dense_static,
         )
@@ -641,14 +646,17 @@ class QueryBatch:
         scorer: Optional[Scorer] = None,
         wand: bool = False,
         wand_sample: int = 16,
+        wand_mode: str = "exact",
     ) -> None:
         self.scorer = scorer or BM25()
         self.segments = list(segments)
         self.wand_sample = wand_sample
+        self.wand_mode = wand_mode
         # device_phrase off: batch stacking materializes aux arrays host-side
         self.queries = [
             DeviceQuery(
-                f, self.segments, self.scorer, wand=wand, device_phrase=False
+                f, self.segments, self.scorer, wand=wand,
+                wand_mode=wand_mode, device_phrase=False,
             )
             for f in filters
         ]
@@ -1067,6 +1075,7 @@ class QueryBatch:
                     # already decode every row
                     wand=use_wand and max(Rs) > self.wand_sample,
                     sample=self.wand_sample,
+                    wand_mode=self.wand_mode,
                     nd=nd,
                     dense_static=tuple(dense_static),
                 )
@@ -1146,6 +1155,7 @@ class QueryBatch:
                     k=min(k, nd),
                     nd=nd,
                     sample=self.wand_sample,
+                    wand_mode=self.wand_mode,
                     dense_static=tuple(dense_static),
                 )
                 calls.append((qis, args, kwargs, _run_batch_wand))

@@ -529,6 +529,7 @@ def gridmix_topk(
 def wand_theta(
     pools, sorted_sets, avgdl, leaf_min, alive,
     *, tree, gbits, scorer, num_leaves, k, sample, mode,
+    wand_mode="exact",
 ):
     """Lower-bound θ from the highest-upper-bound `sample` blocks per group.
 
@@ -557,6 +558,11 @@ def wand_theta(
             num_leaves=num_leaves, k=k, slicer=slicer,
         )
         theta = vals[k - 1]
+    if wand_mode in ("strict", "approx"):
+        # reference MinStrict (formats_10.cpp:2434): no float-order guard,
+        # ties at θ within reorder ulps may be pruned (approx reaches here
+        # only for tiers that keep θ-pruning, e.g. join)
+        return theta
     # float-order guard (same epsilon dance as wand_body / the reference's
     # nextafter, formats_10.cpp:2434-2441)
     return jnp.where(
@@ -582,6 +588,7 @@ def candidate_body(
     group_leaf: tuple = (),
     wand: bool = False,
     sample: int = 16,
+    wand_mode: str = "exact",  # "exact" | "strict" | "approx" — see wand_body
     nd: int = 0,  # gridmix: padded doc-axis length
     dense_args=(),
     dense_static=(),
@@ -606,24 +613,36 @@ def candidate_body(
                 (rows_d[order], rows_f[order], rows_n[order], w[order],
                  leaf[order], ub[order], other[order])
             )
-        theta = wand_theta(
-            pools, sorted_sets, avgdl, leaf_min, alive,
-            tree=tree, gbits=gbits, scorer=scorer, num_leaves=num_leaves,
-            k=k, sample=sample, mode=mode,
-        )
-
-        def prune(rs):
-            rows_d, rows_f, rows_n, w, leaf, ub, other = rs
-            keep = (ub + other) >= theta
-            return (
-                jnp.where(keep, rows_d, 0),
-                jnp.where(keep, rows_f, 0),
-                jnp.where(keep, rows_n, 0),
-                jnp.where(keep, w, 0.0),
-                leaf, ub, other,
+        if wand_mode == "approx" and mode in ("direct", "sort"):
+            # approximate mode: decode only the `sample` highest-bound
+            # blocks per group — one pass, no θ phase (candidate-space
+            # analog of wand_body's sampled-pass-only return). Join mode
+            # keeps θ-pruning (its nreal lane accounting assumes full
+            # driver rowsets); approx there = strict θ.
+            sets = [
+                tuple(r[: min(sample, r.shape[0])] for r in rs)
+                for rs in sorted_sets
+            ]
+        else:
+            theta = wand_theta(
+                pools, sorted_sets, avgdl, leaf_min, alive,
+                tree=tree, gbits=gbits, scorer=scorer,
+                num_leaves=num_leaves,
+                k=k, sample=sample, mode=mode, wand_mode=wand_mode,
             )
 
-        sets = [prune(rs) for rs in sorted_sets]
+            def prune(rs):
+                rows_d, rows_f, rows_n, w, leaf, ub, other = rs
+                keep = (ub + other) >= theta
+                return (
+                    jnp.where(keep, rows_d, 0),
+                    jnp.where(keep, rows_f, 0),
+                    jnp.where(keep, rows_n, 0),
+                    jnp.where(keep, w, 0.0),
+                    leaf, ub, other,
+                )
+
+            sets = [prune(rs) for rs in sorted_sets]
 
     if mode == "direct":
         return direct_topk(

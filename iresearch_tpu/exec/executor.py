@@ -183,6 +183,7 @@ def wand_body(
     k: int,
     nd: int,
     sample: int,
+    mode: str = "exact",  # "exact" | "strict" | "approx"
     dense_args=(),  # per dense span: (pool, start, w, norms, avgdl, ub, other)
     dense_static=(),  # per dense span: (bits, leaf, ndrows) — static
 ):
@@ -199,6 +200,21 @@ def wand_body(
     one cached row — and run the normal dense pass. Exact: any doc in a
     block has total score ≤ ub + other, so every block containing a true
     top-k doc survives, and survivors keep ALL their contributions.
+
+    ``mode`` is the reference's WandContext speed/recall knob
+    (index_reader_options.hpp:48-56):
+    - "exact"  (default): θ shaved by a relative epsilon so float-order
+      differences between the sampled and full passes can never prune a
+      true top-k block — the analog of the reference's weak/nextafter
+      threshold (formats_10.cpp:2434-2441), made fully exact.
+    - "strict": θ used as-is (MinStrict, formats_10.cpp:2434). Blocks
+      whose bound ties the sampled k-th within float-reorder ulps may be
+      pruned, so a k-th doc tied at θ can be replaced by its neighbor.
+    - "approx": return the sampled pass's top-k directly — ONE pass that
+      decodes only the `sample` highest-bound blocks per group. The real
+      speed lever: work drops from all-blocks to sample·groups; recall
+      degrades gracefully (every returned doc's score is a lower bound
+      of its true score).
     """
     import jax.numpy as jnp
     from jax import lax
@@ -255,15 +271,18 @@ def wand_body(
         ),
         dense_sample_keep,
     )
+    if mode == "approx":
+        return wide_top_k(jnp.where(pm, ps, _NEG_INF), k)
     theta = wide_top_k(jnp.where(pm, ps, _NEG_INF), k)[0][k - 1]
-    # Safety margin: the sampled pass sums contributions in a different
-    # order than the full pass, so θ can sit a few ulp above the true
-    # k-th score; shave a relative epsilon so no true top-k block is
-    # pruned (the analog of the reference's nextafter dance,
-    # formats_10.cpp:2434-2441). -inf stays -inf.
-    theta = jnp.where(
-        jnp.isfinite(theta), theta - jnp.abs(theta) * 1e-5 - 1e-30, theta
-    )
+    if mode != "strict":
+        # Safety margin: the sampled pass sums contributions in a
+        # different order than the full pass, so θ can sit a few ulp
+        # above the true k-th score; shave a relative epsilon so no true
+        # top-k block is pruned (the analog of the reference's nextafter
+        # dance, formats_10.cpp:2434-2441). -inf stays -inf.
+        theta = jnp.where(
+            jnp.isfinite(theta), theta - jnp.abs(theta) * 1e-5 - 1e-30, theta
+        )
 
     # phase 2: full pass with sub-threshold blocks parked on the sentinel
     def prune(rs):
@@ -290,7 +309,7 @@ def wand_body(
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "nd", "sample",
-        "dense_static",
+        "wand_mode", "dense_static",
     ),
 )
 def _run_segment_wand(
@@ -308,6 +327,7 @@ def _run_segment_wand(
     k: int,
     nd: int,
     sample: int,
+    wand_mode: str = "exact",
     dense_static=(),
 ):
     return wand_body(
@@ -323,6 +343,7 @@ def _run_segment_wand(
         k=k,
         nd=nd,
         sample=sample,
+        mode=wand_mode,
         dense_args=dense_args,
         dense_static=dense_static,
     )
@@ -332,7 +353,8 @@ def _run_segment_wand(
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "mode",
-        "driver_gi", "group_leaf", "wand", "sample", "nd", "dense_static",
+        "driver_gi", "group_leaf", "wand", "sample", "wand_mode", "nd",
+        "dense_static",
     ),
 )
 def _run_segment_candidates(
@@ -354,6 +376,7 @@ def _run_segment_candidates(
     group_leaf: tuple,
     wand: bool,
     sample: int,
+    wand_mode: str = "exact",
     nd: int = 0,
     dense_static=(),
 ):
@@ -377,6 +400,7 @@ def _run_segment_candidates(
         group_leaf=group_leaf,
         wand=wand,
         sample=sample,
+        wand_mode=wand_mode,
         nd=nd,
         dense_args=dense_args,
         dense_static=dense_static,
@@ -623,12 +647,16 @@ class DeviceQuery:
         scorer: Optional[Scorer] = None,
         wand: bool = False,
         wand_sample: int = 16,
+        wand_mode: str = "exact",
         device_phrase: bool = True,
     ) -> None:
+        if wand_mode not in ("exact", "strict", "approx"):
+            raise ValueError(f"wand_mode must be exact|strict|approx, got {wand_mode!r}")
         self.flt = flt
         self.scorer = scorer or BM25()
         self.wand = wand
         self.wand_sample = wand_sample
+        self.wand_mode = wand_mode
         self.device_phrase = device_phrase
         self.prepared = HostQuery(flt, list(segments), self.scorer)
         self.compiler = PlanCompiler(self.prepared, self.scorer)
@@ -964,6 +992,7 @@ class DeviceQuery:
                 group_leaf=group_leaf,
                 wand=wand_eff,
                 sample=self.wand_sample,
+                wand_mode=self.wand_mode,
                 nd=plan.nd_pad,
                 dense_static=dense_static,
             )
@@ -983,6 +1012,7 @@ class DeviceQuery:
                 k=kk,
                 nd=plan.nd_pad,
                 sample=self.wand_sample,
+                wand_mode=self.wand_mode,
                 dense_static=dense_static,
             )
             return vals, docs
