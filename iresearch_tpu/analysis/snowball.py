@@ -5,8 +5,10 @@ library selected by locale (/root/reference/core/analysis/
 text_token_stream.cpp:944-971, /root/reference/external/snowball/), and
 `stem` is a single-token snowball wrapper
 (text_token_stemming_stream.hpp:42). Here English uses the in-repo
-porter2 coding (analysis/porter2.py — porter2 IS snowball "english");
-other locales resolve to the environment's snowball implementation
+porter2 coding (analysis/porter2.py — porter2 IS snowball "english"),
+and German/French/Russian are likewise vendored
+(analysis/snowball_impl.py, fuzz-verified against nltk); remaining
+locales resolve to the environment's snowball implementation
 (nltk.stem.snowball, a faithful reimplementation of the published
 algorithms). A locale with no stemmer available resolves to None and
 the caller falls back to identity — recorded via a metrics counter so
@@ -67,6 +69,16 @@ def stemmer(locale: str) -> Optional[Callable[[str], str]]:
     fn: Optional[Callable[[str], str]] = None
     if lang2 == "en":
         fn = porter2_stem
+    elif lang2 in ("de", "fr", "ru"):
+        # vendored implementations (analysis/snowball_impl.py) — no
+        # environment dependency for the most common locales
+        from iresearch_tpu.analysis import snowball_impl as _impl
+
+        fn = {
+            "de": _impl.stem_german,
+            "fr": _impl.stem_french,
+            "ru": _impl.stem_russian,
+        }[lang2]
     else:
         alg = _LANGS.get(lang2)
         if alg is not None:
