@@ -530,10 +530,17 @@ def registered() -> List[str]:
 def get(name: str, args: str | dict | None = None) -> Analyzer:
     """Create an analyzer by registered name from JSON/dict args.
 
-    Mirrors ``analyzers::get(name, text_format::json, args)``.
+    Mirrors ``analyzers::get(name, text_format::json, args)``. A registry
+    miss consults $IRS_PLUGIN_PATH/libanalyzer-<name>.so before failing —
+    the load_entry_from_so analog (reference register.hpp:78-117).
     """
     if name not in _REGISTRY:
-        raise KeyError(f"unknown analyzer: {name!r} (have {registered()})")
+        from iresearch_tpu.utils.plugins import try_load_for_key
+
+        if not try_load_for_key("analyzer", name):
+            raise KeyError(
+                f"unknown analyzer: {name!r} (have {registered()})"
+            )
     if args is None:
         args = {}
     elif isinstance(args, str):
