@@ -153,7 +153,7 @@ def _bucket4(n: int) -> int:
     jax.jit,
     static_argnames=(
         "tree", "gbits", "scorer", "num_leaves", "k", "nd", "has_aux",
-        "dense_static", "use_scan", "scan_conj",
+        "dense_static", "use_scan", "scan_conj", "scan_mm",
     ),
 )
 def _run_batch(
@@ -177,6 +177,7 @@ def _run_batch(
     dense_static=(),
     use_scan: bool = False,
     scan_conj: bool = False,
+    scan_mm: int = 1,
 ):
     import jax.numpy as jnp
     from jax import lax
@@ -223,6 +224,7 @@ def _run_batch(
                 scorer=scorer,
                 span_bits=span_bits,
                 conj=scan_conj,
+                mm=scan_mm,
             )
             # the top 2k rows by row max provably contain every winner
             # (see ops/dense_scan.py:dense_scan_topk docstring)
@@ -261,14 +263,16 @@ def _run_batch(
                 score = score + _score_expr(
                     scorer, ws_c[:, s, None, None], f, dl, avgdl_s, jnp
                 )
-                fagg = f if fagg is None else (
-                    jnp.minimum(fagg, f) if scan_conj else fagg + f
+                h = (f > 0.0).astype(jnp.float32) if scan_mm > 1 else f
+                fagg = h if fagg is None else (
+                    jnp.minimum(fagg, h) if scan_conj else fagg + h
                 )
             lane = jnp.arange(BLOCK_LANES, dtype=jnp.int32)
             docs = (
                 rows_c[:, :, None] * BLOCK_LANES + lane[None, None, :]
             )
-            masked = jnp.where(fagg > 0.0, score, _NEG_INF)
+            hit = fagg >= float(scan_mm) if scan_mm > 1 else fagg > 0.0
+            masked = jnp.where(hit, score, _NEG_INF)
             return jax.vmap(lambda v, d: topk_docs(v, d, k))(
                 masked.reshape(qc, -1), docs.reshape(qc, -1)
             )
@@ -1134,6 +1138,7 @@ class QueryBatch:
                     dense_static=tuple(dense_static),
                     use_scan=True,
                     scan_conj=scan_mode == "and",
+                    scan_mm=scan_mode if isinstance(scan_mode, int) else 1,
                 )
                 calls.append((qis, args, kwargs, _run_batch))
                 continue

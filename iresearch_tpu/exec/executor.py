@@ -471,7 +471,9 @@ def _run_segment_dslice(
 
 def scan_shape(plan):
     """Fused-scan eligibility of a plan: None, "or" (any-hit, spans sum
-    into one leaf), or "and" (all-hit, one span per leaf)."""
+    into one leaf), "and" (all-hit, one span per leaf), or int mm >= 2
+    (a min_match disjunction, one span per leaf — the fused analog of
+    the reference's min-match block pruning, disjunction.hpp:860-1100)."""
     if (
         plan.exec_mode != "dense"
         or plan.groups
@@ -487,27 +489,33 @@ def scan_shape(plan):
         return "or"
     t = plan.tree
     if (
-        t[0] == "and"
+        t[0] in ("and", "or")
         and not t[2]
-        and t[3] == "sum"
+        and t[4 if t[0] == "or" else 3] == "sum"
         and all(c[0] == "leaf" for c in t[1])
         and sorted(c[1] for c in t[1]) == list(range(L))
         and [ds.leaf for ds in plan.dense_spans] == list(range(L))
     ):
-        return "and"
+        if t[0] == "and":
+            return "and"
+        if int(t[3]) >= 2:
+            return int(t[3])
     return None
 
 
 @partial(
     jax.jit,
-    static_argnames=("scorer", "span_bits", "k", "interpret", "conj"),
+    static_argnames=(
+        "scorer", "span_bits", "k", "interpret", "conj", "mm",
+    ),
 )
 def _run_dense_scan(
     span_pools, span_starts, span_w, norms_grid, avgdl,
-    *, scorer, span_bits, k, interpret, conj=False,
+    *, scorer, span_bits, k, interpret, conj=False, mm=1,
 ):
     """Fused scan fast path (ops/dense_scan.py): sum trees whose spans
-    are all dense-grid resident — disjunctive or conjunctive."""
+    are all dense-grid resident — disjunctive, conjunctive, or
+    min_match."""
     from jax import lax
 
     from iresearch_tpu.ops.dense_scan import dense_scan_topk
@@ -520,7 +528,7 @@ def _run_dense_scan(
     return dense_scan_topk(
         words, span_w, norms_grid, avgdl,
         scorer=scorer, span_bits=span_bits, k=k, interpret=interpret,
-        conj=conj,
+        conj=conj, mm=mm,
     )
 
 
@@ -935,6 +943,7 @@ class DeviceQuery:
                 k=kk,
                 interpret=jax.default_backend() == "cpu",
                 conj=shape == "and",
+                mm=shape if isinstance(shape, int) else 1,
             )
         if plan.exec_mode == "dslice":
             import jax.numpy as jnp

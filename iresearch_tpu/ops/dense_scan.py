@@ -67,10 +67,11 @@ def _score_expr(scorer, w, f, dl, avgdl, jnp):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scorer", "span_bits", "conj")
+    jax.jit, static_argnames=("scorer", "span_bits", "conj", "mm")
 )
 def dense_scan_rowmax_xla(
-    span_words, span_w, norms, avgdl, *, scorer, span_bits, conj=False
+    span_words, span_w, norms, avgdl, *, scorer, span_bits, conj=False,
+    mm=1,
 ):
     """jnp twin of the Pallas row-max kernel: XLA fuses the unpack +
     score + row reduction into one pass with no materialized [nd]
@@ -84,7 +85,9 @@ def dense_scan_rowmax_xla(
         # u16 doc lengths: exact integer convert (via i32 — no u16->f32)
         norms = norms.astype(jnp.int32).astype(jnp.float32)
     score = jnp.zeros((ndrows, BLOCK), jnp.float32)
-    # disjunction: hit when any span has f > 0; conjunction: all spans
+    # disjunction: hit when any span has f > 0; conjunction: all spans;
+    # min_match (mm >= 2): at least mm spans (the fused analog of the
+    # reference's min-match early pruning, disjunction.hpp:860-1100)
     fagg = None
     for s, words in enumerate(span_words):
         f = unpack_jnp(words, span_bits[s]).astype(jnp.int32).astype(
@@ -93,10 +96,12 @@ def dense_scan_rowmax_xla(
         score = score + _score_expr(
             scorer, span_w[s], f, norms, avgdl, jnp
         )
-        fagg = f if fagg is None else (
-            jnp.minimum(fagg, f) if conj else fagg + f
+        h = (f > 0.0).astype(jnp.float32) if mm > 1 else f
+        fagg = h if fagg is None else (
+            jnp.minimum(fagg, h) if conj else fagg + h
         )
-    masked = jnp.where(fagg > 0.0, score, -jnp.inf)
+    hit = fagg >= float(mm) if mm > 1 else fagg > 0.0
+    masked = jnp.where(hit, score, -jnp.inf)
     amax = jnp.max(masked, axis=1)
     lane_i = jnp.arange(BLOCK, dtype=jnp.int32)
     first = jnp.min(
@@ -106,7 +111,8 @@ def dense_scan_rowmax_xla(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scorer", "span_bits", "interpret", "conj")
+    jax.jit,
+    static_argnames=("scorer", "span_bits", "interpret", "conj", "mm"),
 )
 def dense_scan_rowmax(
     span_words,  # tuple: u32 [ndrows, wpb_s] per span (pre-sliced rows)
@@ -118,6 +124,7 @@ def dense_scan_rowmax(
     span_bits: Tuple[int, ...],
     interpret: bool = False,
     conj: bool = False,
+    mm: int = 1,
 ):
     """(row_max f32 [ndrows], row_arg i32 [ndrows]) of the summed span
     scores; rows with no hit get -inf."""
@@ -152,10 +159,12 @@ def dense_scan_rowmax(
             score = score + _score_expr(
                 scorer, w_refs[s][0, 0, 0], f, dl, avg, jnp
             )
-            fagg = f if fagg is None else (
-                jnp.minimum(fagg, f) if conj else fagg + f
+            h = (f > 0.0).astype(jnp.float32) if mm > 1 else f
+            fagg = h if fagg is None else (
+                jnp.minimum(fagg, h) if conj else fagg + h
             )
-        masked = jnp.where(fagg > 0.0, score, -jnp.inf)
+        hit = fagg >= float(mm) if mm > 1 else fagg > 0.0
+        masked = jnp.where(hit, score, -jnp.inf)
         max_ref[0] = jnp.max(masked, axis=1).reshape(1, _ROWS)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1)
         amax = jnp.max(masked, axis=1).reshape(_ROWS, 1)
@@ -206,7 +215,7 @@ def dense_scan_rowmax(
 
 def _score_rows(
     span_words, span_w, span_bits, norms_rows, avgdl, rows, scorer,
-    conj=False,
+    conj=False, mm=1,
 ):
     """Re-score M gathered rows in plain JAX: [M, 128] masked scores."""
     import jax.numpy as jnp
@@ -231,15 +240,19 @@ def _score_rows(
         score = score + _score_expr(
             scorer, span_w[s], f, norms_rows, avgdl, jnp
         )
-        fagg = f if fagg is None else (
-            jnp.minimum(fagg, f) if conj else fagg + f
+        h = (f > 0.0).astype(jnp.float32) if mm > 1 else f
+        fagg = h if fagg is None else (
+            jnp.minimum(fagg, h) if conj else fagg + h
         )
-    return jnp.where(fagg > 0.0, score, -jnp.inf)
+    hit = fagg >= float(mm) if mm > 1 else fagg > 0.0
+    return jnp.where(hit, score, -jnp.inf)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scorer", "span_bits", "k", "interpret", "conj"),
+    static_argnames=(
+        "scorer", "span_bits", "k", "interpret", "conj", "mm",
+    ),
 )
 def dense_scan_topk(
     span_words,
@@ -252,10 +265,12 @@ def dense_scan_topk(
     k: int,
     interpret: bool = False,
     conj: bool = False,
+    mm: int = 1,
 ):
     """Exact (vals f32 [k], docs i32 [k]) for a sum tree of dense spans
-    — disjunctive (any span hits) or conjunctive (all spans hit) —
-    ordered by (-score, doc); -inf when matches < k.
+    — disjunctive (any span hits), conjunctive (all spans hit), or
+    min_match (>= mm spans hit) — ordered by (-score, doc); -inf when
+    matches < k.
 
     Refine step: the top 2k rows by row max provably contain every
     winner — at most k rows hold scores strictly above the true k-th
@@ -271,12 +286,12 @@ def dense_scan_topk(
         bv, _bi = dense_scan_rowmax(
             span_words, span_w, norms, avgdl,
             scorer=scorer, span_bits=span_bits, interpret=interpret,
-            conj=conj,
+            conj=conj, mm=mm,
         )
     else:
         bv, _bi = dense_scan_rowmax_xla(
             span_words, span_w, norms, avgdl,
-            scorer=scorer, span_bits=span_bits, conj=conj,
+            scorer=scorer, span_bits=span_bits, conj=conj, mm=mm,
         )
     ndrows = norms.shape[0]
     m = min(max(2 * k, 16), ndrows)
@@ -284,7 +299,7 @@ def dense_scan_topk(
     rows = rows.astype(jnp.int32)
     scores = _score_rows(
         span_words, span_w, span_bits, norms[rows], avgdl, rows, scorer,
-        conj=conj,
+        conj=conj, mm=mm,
     )  # [M, 128]
     docs = rows[:, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
     from iresearch_tpu.exec.candidates import topk_docs
