@@ -83,6 +83,40 @@ def main():
     topk(x)[0].block_until_ready()
     rows.append(("device top_k 1M", timeit(lambda: topk(x)[0].block_until_ready())))
 
+    # WAND mode ladder (exact vs strict vs approx) on a prepared OR query
+    # — the WandContext speed/recall knob (tests/test_wand_modes.py pins
+    # semantics; this records the speed side)
+    from iresearch_tpu.exec import DeviceQuery
+    from iresearch_tpu.index.reader import DirectoryReader
+    from iresearch_tpu.index.writer import Field, IndexWriter, IndexWriterOptions
+    from iresearch_tpu.search import filters as F
+    from iresearch_tpu.store.directory import MemoryDirectory
+    import iresearch_tpu.exec.plan as planmod
+
+    words16 = [f"w{i:02d}" for i in range(40)]
+    d = MemoryDirectory()
+    with IndexWriter(d, IndexWriterOptions(invert_backend="numpy")) as w:
+        bulk = rng.integers(0, len(words16), size=(20_000, 24))
+        for row in bulk:
+            w.insert([Field("body", " ".join(words16[j] for j in row),
+                            analyzer="segmentation")])
+        w.commit()
+    r = DirectoryReader.open(d)
+    flt = F.Or(*[F.ByTerm("body", f"w{i:02d}") for i in range(6)])
+    old_join = planmod.JOIN_MAX_SPANS
+    planmod.JOIN_MAX_SPANS = 0  # exercise the WAND body itself
+    try:
+        for mode in ("exact", "strict", "approx"):
+            dq = DeviceQuery(flt, list(r.segments), wand=True,
+                             wand_sample=8, wand_mode=mode)
+            dq.execute_segment(0, 10)  # compile + upload
+            rows.append(
+                (f"wand 6-term OR 20k docs [{mode}]",
+                 timeit(lambda dq=dq: dq.execute_segment(0, 10))),
+            )
+    finally:
+        planmod.JOIN_MAX_SPANS = old_join
+
     # columnstore build (column writer analog)
     from iresearch_tpu.formats.columnstore import ColumnBuilder
 

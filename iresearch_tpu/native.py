@@ -207,6 +207,32 @@ def load() -> Optional[ctypes.CDLL]:
             ]
         except AttributeError:
             lib.irs_merge_decode = None
+        # dense-grid cache builder (older .so builds lack it)
+        try:
+            lib.irs_dense_build.restype = None
+            lib.irs_dense_build.argtypes = [
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_void_p),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_uint32,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_void_p,  # alive u8 or NULL
+                ctypes.c_double,
+                ctypes.c_double,
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            ]
+        except AttributeError:
+            lib.irs_dense_build = None
         _lib = lib
         return _lib
 
@@ -336,6 +362,62 @@ def scatter_pack(
 def _pool_ptrs(pools) -> "ctypes.Array":
     """(c_void_p * 6) pointer table over per-class pool arrays."""
     return (ctypes.c_void_p * len(pools))(*(p.ctypes.data for p in pools))
+
+
+def dense_build(
+    entries: np.ndarray,  # u32 [T, ncols]
+    doc_words,  # 6 per-class u32 pools
+    base,  # 6 per-class u32 base arrays
+    freq_words,  # 6 per-class u32 pools
+    tids: np.ndarray,  # i32 selected term ids of ONE width class
+    ndrows: int,
+    cls: int,  # grid width class (BITS index)
+    dl: np.ndarray,  # f32 [ndrows*128] clamped doc lengths
+    alive,  # u8 [num_docs] contiguous, or None
+    c0: float,
+    c1: float,  # champion-lane BM25 constants
+) -> Optional[tuple]:
+    """One-pass dense-grid build for one class (build_dense_cache hot
+    path): returns (packed u32 [rows_c, wpb], bmaxf u32, dl_min u16,
+    f_c u16, dl_c u16, f_mdl u16) with rows_c = 1 + len(tids)*ndrows,
+    or None when the native library lacks irs_dense_build. Output is
+    element-identical to the numpy builder (tests/test_dense_native.py).
+    """
+    lib = load()
+    if lib is None or getattr(lib, "irs_dense_build", None) is None:
+        return None
+    from iresearch_tpu.formats.bitpack import BITS, words_per_block
+
+    nt = len(tids)
+    rows_c = 1 + nt * ndrows
+    packed = np.zeros((rows_c, words_per_block(BITS[cls])), np.uint32)
+    bmaxf = np.zeros(rows_c, np.uint32)
+    dl_min = np.zeros(rows_c, np.uint16)
+    f_c = np.zeros(rows_c, np.uint16)
+    dl_c = np.ones(rows_c, np.uint16)
+    f_mdl = np.zeros(rows_c, np.uint16)
+    lib.irs_dense_build(
+        np.ascontiguousarray(entries, np.uint32),
+        entries.shape[1],
+        _pool_ptrs(doc_words),
+        _pool_ptrs(base),
+        _pool_ptrs(freq_words),
+        np.ascontiguousarray(tids, np.int32),
+        nt,
+        ndrows,
+        cls,
+        np.ascontiguousarray(dl, np.float32),
+        None if alive is None else alive.ctypes.data,
+        float(c0),
+        float(c1),
+        packed,
+        bmaxf,
+        dl_min,
+        f_c,
+        dl_c,
+        f_mdl,
+    )
+    return packed, bmaxf, dl_min, f_c, dl_c, f_mdl
 
 
 def merge_decode(

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <limits>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -642,3 +643,138 @@ void irs_scatter_pack(const uint32_t* vals, const int64_t* row,
 }
 
 }  // extern "C"
+
+// ---- dense-grid cache builder ----------------------------------------
+// Reader-side acceleration (formats/dense.py:build_dense_cache): repack
+// each high-df term's postings in doc-grid order plus per-row skyline
+// summaries. The numpy builder sweeps a full [ndrows, 128] grid ~10x per
+// term (pack, max, argmin, argmax, where-chains) — ~120 ms/term at 5M
+// docs; this kernel streams each term's df entries ONCE, writing the
+// planar packed words and updating the row summaries in place, then
+// finishes with one pass over the span's rows for empty-row defaults.
+// Output semantics are IDENTICAL to the numpy builder (tie-breaks keep
+// the first lane: entries arrive doc-ascending, so strictly-greater /
+// strictly-less updates reproduce argmax/argmin first-occurrence; the
+// champion score f/((f+c0)+c1*dl) is evaluated in float like numpy's
+// f32 ops). Verified element-equal in tests/test_dense_native.py.
+//
+// entries/doc_words/base_pools/freq_words: as irs_merge_decode.
+// tids: the class's selected term ids; term i's span starts at row
+// 1 + i*ndrows (row 0 = zero sentinel). dl: f32 [ndrows*128] clamped
+// doc lengths (pad lanes 1.0). alive: u8 [num_docs] or NULL.
+// Outputs (caller allocates/zeroes; dl_c pre-filled with 1):
+// packed u32 [(1+nt*ndrows) * wpb], bmaxf u32, dl_min/f_c/dl_c/f_mdl u16.
+extern "C" void irs_dense_build(const uint32_t* entries, int64_t ncols,
+                     const uint32_t* const* doc_words,
+                     const uint32_t* const* base_pools,
+                     const uint32_t* const* freq_words,
+                     const int32_t* tids, int64_t nt, int64_t ndrows,
+                     uint32_t cls, const float* dl, const uint8_t* alive,
+                     double c0_d, double c1_d, uint32_t* packed,
+                     uint32_t* bmaxf, uint16_t* dl_min, uint16_t* f_c,
+                     uint16_t* dl_c, uint16_t* f_mdl) {
+  const float c0 = static_cast<float>(c0_d);
+  const float c1 = static_cast<float>(c1_d);
+  static const uint32_t kWl[6] = {2, 3, 4, 5, 6, 7};
+  static const uint32_t kBl[6] = {0, 1, 2, 3, 4, 5};
+  const uint32_t wl = kWl[cls];
+  const uint32_t bl = kBl[cls];
+  const uint32_t wpb_mask = (1u << wl) - 1u;
+  // per-row scratch for one term's span
+  float* best_s = new float[ndrows];
+  float* best_d = new float[ndrows];
+  uint32_t* champ_f = new uint32_t[ndrows];
+  float* champ_d = new float[ndrows];
+  uint32_t* mdl_f = new uint32_t[ndrows];
+
+  for (int64_t i = 0; i < nt; ++i) {
+    const int64_t t = tids[i];
+    const uint32_t* e = entries + t * ncols;
+    const int64_t df = e[0];      // TermCols.DF
+    const uint32_t dcls = e[2];   // DCLS
+    const uint32_t fcls = e[3];   // FCLS
+    const int64_t dstart = e[4];  // DSTART
+    const int64_t fstart = e[5];  // FSTART
+    const PlanarReader dr = reader_for(doc_words, dcls);
+    const PlanarReader fr = reader_for(freq_words, fcls);
+    const uint32_t* base = base_pools[dcls];
+    const int64_t span = 1 + i * ndrows;
+    for (int64_t r = 0; r < ndrows; ++r) {
+      best_s[r] = -1.0f;  // numpy: non-hit lanes score -1
+      best_d[r] = std::numeric_limits<float>::infinity();
+      champ_f[r] = 0;
+      champ_d[r] = 0.0f;
+      mdl_f[r] = 0;
+    }
+    uint32_t doc = 0;
+    for (int64_t r = 0; r < df; ++r) {
+      const int64_t b = r >> 7;
+      const uint32_t l = static_cast<uint32_t>(r & 127);
+      if (l == 0) {
+        doc = base[dstart + b];
+      } else {
+        doc += dr.at(dstart + b, l);
+      }
+      if (alive && !alive[doc]) continue;
+      const uint32_t f = fr.at(fstart + b, l);
+      const int64_t row = doc >> 7;
+      const uint32_t lane = doc & 127u;
+      // planar packed write (lane j -> word j % wpb, bit (j/wpb)*b)
+      packed[((span + row) << wl) + (lane & wpb_mask)] |=
+        f << ((lane >> wl) << bl);
+      const int64_t pr = span + row;
+      if (f > bmaxf[pr]) bmaxf[pr] = f;
+      const float d = dl[doc];
+      const float ff = static_cast<float>(f);
+      const float s = ff / ((ff + c0) + (c1 * d));
+      if (s > best_s[row]) {
+        best_s[row] = s;
+        champ_f[row] = f;
+        champ_d[row] = d;
+      }
+      if (d < best_d[row]) {
+        best_d[row] = d;
+        mdl_f[row] = f;
+      }
+    }
+    for (int64_t r = 0; r < ndrows; ++r) {
+      const int64_t pr = span + r;
+      const bool any = bmaxf[pr] != 0;  // postings freq >= 1 when present
+      if (any) {
+        const float dmin = best_d[r];
+        const float dmin_u = dmin < 65535.0f ? dmin : 65535.0f;
+        dl_min[pr] = static_cast<uint16_t>(dmin_u);
+        f_mdl[pr] = static_cast<uint16_t>(
+          dmin <= 65535.0f ? (mdl_f[r] < 65535u ? mdl_f[r] : 65535u) : 0u);
+        const uint32_t fc =
+          champ_f[r] < 65535u ? champ_f[r] : 65535u;
+        const float dc = champ_d[r];
+        if (dc > 65535.0f) {  // overflowing dl: zero the pair (valid lb)
+          f_c[pr] = 0;
+          dl_c[pr] = 1;
+        } else {
+          f_c[pr] = static_cast<uint16_t>(fc);
+          dl_c[pr] = static_cast<uint16_t>(dc);
+        }
+      } else {
+        // numpy empty-row defaults: dmin -> 1.0, champion jc = lane 0
+        // of the zero grid (fc = 0, dc = dl[row*128])
+        dl_min[pr] = 1;
+        f_mdl[pr] = 0;
+        const float dc = dl[r << 7];
+        if (dc > 65535.0f) {
+          f_c[pr] = 0;
+          dl_c[pr] = 1;
+        } else {
+          f_c[pr] = 0;
+          dl_c[pr] = static_cast<uint16_t>(dc);
+        }
+      }
+    }
+  }
+  delete[] best_s;
+  delete[] best_d;
+  delete[] champ_f;
+  delete[] champ_d;
+  delete[] mdl_f;
+}
