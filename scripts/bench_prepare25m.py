@@ -28,14 +28,21 @@ def main():
     from iresearch_tpu.index.segment import SegmentReader
     from iresearch_tpu.search import filters as F
 
+    # use every cached 5M segment present (a 25M bench run leaves 5; a
+    # merge-bench run leaves 2) — per-segment plan-setup cost is linear
+    # in segment count, so fewer segments understate only that term
     srs = []
     t0 = time.time()
     for si in range(5):
         suffix = "" if si == 0 else f"_s{42 + si}"
         path = os.path.join(CACHE, f"seg_5000000_30000_v5{suffix}.bin")
+        if not os.path.exists(path):
+            break
         with open(path, "rb") as f:
             srs.append(SegmentReader(f"b{si}", read_segment(f.read())))
-    print(f"5 segments loaded ({time.time()-t0:.1f}s)")
+    if len(srs) < 2:
+        sys.exit("need >= 2 cached 5M segments (run bench_merge.py first)")
+    print(f"{len(srs)} segments loaded ({time.time()-t0:.1f}s)")
 
     def time_prepare(mk, n=30, label=""):
         from iresearch_tpu.exec import DeviceQuery
@@ -54,7 +61,7 @@ def main():
                 dq.plan(s)
         dt = (time.time() - t) / n * 1000
         print(f"{label}: {dt:.2f} ms/query host prepare+plan (amortized, "
-              f"{n} fresh queries x 5 segments)")
+              f"{n} fresh queries x {len(srs)} segments)")
         return dt
 
     rng = np.random.default_rng(7)
