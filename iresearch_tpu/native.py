@@ -106,6 +106,21 @@ def load() -> Optional[ctypes.CDLL]:
             ]
         except AttributeError:
             lib.irs_dfa_determinize = None
+        try:
+            lib.irs_lev_dfa_build.restype = ctypes.c_int32
+            lib.irs_lev_dfa_build.argtypes = [
+                np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_char_p,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ]
+        except AttributeError:
+            lib.irs_lev_dfa_build = None
         lib.irs_crc32c.restype = ctypes.c_uint32
         lib.irs_crc32c.argtypes = [
             ctypes.c_char_p,
@@ -381,6 +396,42 @@ def dfa_determinize(
     )
     if n < 0:
         return None
+    return out_trans[:n].copy(), out_accept[:n].astype(np.bool_)
+
+
+def lev_dfa_build(
+    target: str,
+    max_d: int,
+    with_transpositions: bool,
+    prefix: bytes,
+    max_states: int,
+):
+    """One-call (Damerau-)Levenshtein byte-DFA construction: the NFA build
+    AND the subset construction both run in C++ (irs_lev_dfa_build),
+    collapsing the per-query fuzzy-prepare cost to one ctypes call. Tables
+    are bit-identical to search/automaton.py:levenshtein_dfa's Python NFA
+    path (pinned by tests/test_automaton.py). Tri-state: (trans, accept)
+    on success; False when the construction exceeds ``max_states`` (the
+    Python path would too); None when the library is unavailable."""
+    lib = load()
+    if lib is None or getattr(lib, "irs_lev_dfa_build", None) is None:
+        return None
+    q = np.array([ord(c) for c in target], np.uint32)
+    out_trans = np.empty((max_states, 256), np.uint16)
+    out_accept = np.zeros(max_states, np.uint8)
+    n = lib.irs_lev_dfa_build(
+        q,
+        len(q),
+        max_d,
+        1 if with_transpositions else 0,
+        prefix,
+        len(prefix),
+        max_states,
+        out_trans,
+        out_accept,
+    )
+    if n < 0:
+        return False
     return out_trans[:n].copy(), out_accept[:n].astype(np.bool_)
 
 

@@ -26,6 +26,8 @@ from typing import Dict, FrozenSet, List, Optional, Tuple
 
 import numpy as np
 
+from .. import native as _native
+
 _MAX_DFA_STATES = 4096
 
 
@@ -217,6 +219,16 @@ def _nfa_to_dfa(
 
 # UTF-8 "any one character" byte fragment, shared by `_` and the
 # Levenshtein any-char edges
+def _native_lev_build(
+    target: str, max_d: int, with_transpositions: bool, prefix: bytes
+):
+    """Indirection over native.lev_dfa_build so tests can force the
+    Python NFA path (same tri-state contract)."""
+    return _native.lev_dfa_build(
+        target, max_d, with_transpositions, prefix, _MAX_DFA_STATES
+    )
+
+
 _UTF8_ANY = (
     ((0x00, 0x7F),),
     ((0xC2, 0xDF), (0x80, 0xBF)),
@@ -241,7 +253,15 @@ def levenshtein_dfa(
     transpose — UTF-8 byte-expanded and determinized, feeding the same
     native sorted-dictionary intersection as wildcard. None when the
     subset construction exceeds the state budget (caller falls back to
-    the banded DP)."""
+    the banded DP).
+
+    When the native library is present the WHOLE construction (NFA build
+    + determinization) runs in one C call (irs_lev_dfa_build) — the
+    Python NFA assembly below is the fallback and the bit-identical
+    oracle (test_automaton.py:test_native_lev_build_equals_python)."""
+    nat = _native_lev_build(target, max_d, with_transpositions, prefix)
+    if nat is not None:
+        return nat if nat is not False else None
     q = [ord(c) for c in target]
     Q = len(q)
     trans: List[List[Tuple[Tuple[int, int], int]]] = []

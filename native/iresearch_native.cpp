@@ -959,3 +959,117 @@ extern "C" int32_t irs_dfa_determinize(
   }
   return n_dfa;
 }
+
+// ---------------------------------------------------------------------------
+// One-call (Damerau-)Levenshtein byte-DFA build: constructs the position NFA
+// (match / substitute / insert / delete / restricted transpose over UTF-8
+// byte expansions) and determinizes it, all native. State numbering mirrors
+// search/automaton.py:levenshtein_dfa exactly — start, prefix chain, grid
+// (i, e) rows, then UTF-8 mid states in edge-emission order — so the DFA
+// tables are BIT-IDENTICAL to the Python construction (pinned by
+// tests/test_automaton.py); this is a pure prepare-latency collapse of the
+// per-query fuzzy cost into one C call. The reference amortizes the same
+// cost with precomputed parametric tables
+// (core/utils/levenshtein_default_pdp.cpp); one-call native construction
+// plays that role here at ~tens of microseconds per term.
+extern "C" int32_t irs_lev_dfa_build(
+    const uint32_t* q, int32_t qlen, int32_t max_d, int32_t transpose,
+    const uint8_t* prefix, int32_t plen, int32_t max_states,
+    uint16_t* out_trans, uint8_t* out_accept) {
+  std::vector<int32_t> esrc, edst;
+  std::vector<uint8_t> elo, ehi;
+  std::vector<int32_t> psrc, pdst;  // epsilon edges
+  const size_t approx_edges =
+      static_cast<size_t>((max_d + 1)) * (qlen + 1) * 16 + plen + 8;
+  esrc.reserve(approx_edges);
+  edst.reserve(approx_edges);
+  elo.reserve(approx_edges);
+  ehi.reserve(approx_edges);
+  int32_t n_states = 0;
+  auto new_state = [&]() { return n_states++; };
+  auto edge = [&](int32_t s, uint8_t lo, uint8_t hi, int32_t d) {
+    esrc.push_back(s);
+    elo.push_back(lo);
+    ehi.push_back(hi);
+    edst.push_back(d);
+  };
+  const int32_t start = new_state();
+  int32_t cur = start;
+  for (int32_t i = 0; i < plen; ++i) {
+    const int32_t nxt = new_state();
+    edge(cur, prefix[i], prefix[i], nxt);
+    cur = nxt;
+  }
+  // grid ids: (i, e) -> grid[e * stride + i], allocated e-major like the
+  // Python loop so numbering matches.
+  const int32_t stride = qlen + 1;
+  std::vector<int32_t> grid(static_cast<size_t>(max_d + 1) * stride);
+  for (int32_t e = 0; e <= max_d; ++e)
+    for (int32_t i = 0; i <= qlen; ++i)
+      grid[static_cast<size_t>(e) * stride + i] = new_state();
+  psrc.push_back(cur);
+  pdst.push_back(grid[0]);
+
+  auto char_edge = [&](int32_t src, uint32_t cp, int32_t dst) {
+    char bs[4];
+    const int32_t n = u8_emit(cp, bs);
+    int32_t c2 = src;
+    for (int32_t k = 0; k < n - 1; ++k) {
+      const int32_t mid = new_state();
+      edge(c2, static_cast<uint8_t>(bs[k]), static_cast<uint8_t>(bs[k]), mid);
+      c2 = mid;
+    }
+    edge(c2, static_cast<uint8_t>(bs[n - 1]), static_cast<uint8_t>(bs[n - 1]),
+         dst);
+  };
+  // the 4-branch "any UTF-8 character" fragment (automaton.py:_UTF8_ANY)
+  static const uint8_t kAny[4][4][2] = {
+      {{0x00, 0x7F}, {0, 0}, {0, 0}, {0, 0}},
+      {{0xC2, 0xDF}, {0x80, 0xBF}, {0, 0}, {0, 0}},
+      {{0xE0, 0xEF}, {0x80, 0xBF}, {0x80, 0xBF}, {0, 0}},
+      {{0xF0, 0xF4}, {0x80, 0xBF}, {0x80, 0xBF}, {0x80, 0xBF}},
+  };
+  auto any_edge = [&](int32_t src, int32_t dst) {
+    for (int32_t br = 0; br < 4; ++br) {
+      const int32_t blen = br + 1;
+      int32_t c2 = src;
+      for (int32_t k = 0; k < blen - 1; ++k) {
+        const int32_t mid = new_state();
+        edge(c2, kAny[br][k][0], kAny[br][k][1], mid);
+        c2 = mid;
+      }
+      edge(c2, kAny[br][blen - 1][0], kAny[br][blen - 1][1], dst);
+    }
+  };
+  for (int32_t e = 0; e <= max_d; ++e)
+    for (int32_t i = 0; i <= qlen; ++i) {
+      const int32_t s = grid[static_cast<size_t>(e) * stride + i];
+      if (i < qlen)
+        char_edge(s, q[i], grid[static_cast<size_t>(e) * stride + i + 1]);
+      if (e < max_d) {
+        any_edge(s, grid[static_cast<size_t>(e + 1) * stride + i]);
+        if (i < qlen) {
+          const int32_t diag = grid[static_cast<size_t>(e + 1) * stride + i + 1];
+          any_edge(s, diag);  // substitution
+          psrc.push_back(s);  // deletion
+          pdst.push_back(diag);
+        }
+        if (transpose && i + 1 < qlen) {
+          const int32_t mid = new_state();
+          char_edge(s, q[i + 1], mid);
+          char_edge(mid, q[i],
+                    grid[static_cast<size_t>(e + 1) * stride + i + 2]);
+        }
+      }
+    }
+  // accept: (i, e) completable by deletions alone — qlen - i <= max_d - e
+  std::vector<uint8_t> amask(n_states, 0);
+  for (int32_t e = 0; e <= max_d; ++e)
+    for (int32_t i = 0; i <= qlen; ++i)
+      if (qlen - i <= max_d - e)
+        amask[grid[static_cast<size_t>(e) * stride + i]] = 1;
+  return irs_dfa_determinize(
+      n_states, static_cast<int64_t>(esrc.size()), esrc.data(), elo.data(),
+      ehi.data(), edst.data(), static_cast<int64_t>(psrc.size()), psrc.data(),
+      pdst.data(), amask.data(), max_states, out_trans, out_accept);
+}

@@ -254,11 +254,14 @@ def test_native_determinizer_equals_python():
 
     def python_only(fn, *args, **kw):
         orig = A._native_determinize
+        orig_lev = A._native_lev_build
         A._native_determinize = lambda *a: None
+        A._native_lev_build = lambda *a: None
         try:
             return fn(*args, **kw)
         finally:
             A._native_determinize = orig
+            A._native_lev_build = orig_lev
 
     for pat in PATTERNS:
         nat = A.wildcard_dfa(pat.encode("utf-8"))
@@ -282,3 +285,50 @@ def test_native_determinizer_equals_python():
         if nat is not None:
             assert np.array_equal(nat[0], py[0]), term
             assert np.array_equal(nat[1], py[1]), term
+
+
+def test_native_lev_build_equals_python():
+    """irs_lev_dfa_build (one-call native NFA construction +
+    determinization) must produce the BIT-IDENTICAL tables the Python NFA
+    assembly does — same state numbering, same mid-state emission order —
+    for ASCII, multi-byte UTF-8, prefixes, transpositions, and d up to 3.
+    Pure speedup of fuzzy prepare, never a behavior change (reference
+    amortizes construction with parametric tables,
+    levenshtein_default_pdp.cpp)."""
+    from iresearch_tpu.search import automaton as A
+
+    lib = native.load()
+    if lib is None or getattr(lib, "irs_lev_dfa_build", None) is None:
+        pytest.skip("native library unavailable")
+
+    def nfa_python(fn, *args, **kw):
+        orig_lev = A._native_lev_build
+        A._native_lev_build = lambda *a: None
+        try:
+            return fn(*args, **kw)
+        finally:
+            A._native_lev_build = orig_lev
+
+    cases = [
+        ("a", 1, False, b""),
+        ("kimberly", 1, True, b""),
+        ("kimberly", 2, True, b""),
+        ("example", 3, False, b""),
+        ("björk", 1, True, b""),
+        ("björk", 2, False, b""),
+        ("国际机场", 1, True, b""),
+        ("\U0001F600ab", 1, False, b""),  # 4-byte UTF-8
+        ("team", 1, False, b"up"),
+        ("straße", 2, True, "pré".encode("utf-8")),
+        ("", 1, False, b""),
+        ("", 2, True, b"pre"),
+    ]
+    for term, d, tr, pref in cases:
+        nat = A.levenshtein_dfa(term, d, with_transpositions=tr, prefix=pref)
+        py = nfa_python(
+            A.levenshtein_dfa, term, d, with_transpositions=tr, prefix=pref
+        )
+        assert (nat is None) == (py is None), (term, d, tr, pref)
+        if nat is not None:
+            assert np.array_equal(nat[0], py[0]), (term, d, tr, pref)
+            assert np.array_equal(nat[1], py[1]), (term, d, tr, pref)
